@@ -1,0 +1,44 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+The reference configures its session at ``MapBuilder.java:89-92`` (Hive support,
+Snappy, fixed 1200 shuffle partitions for ~100 MB output files from 2.5 B rows —
+``MapBuilder.java:166-169``). On modern Spark we let AQE size shuffles at
+runtime and enable skew-join handling instead of hand-tuning partition counts;
+the salted-write path (sources/writers.py) still pins its own partitioning
+because it must align with the sink.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_session(
+    app_name: str = "map_spark_sql_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        # AQE replaces the reference's fixed 1200-partition tuning
+        # (MapBuilder.java:166-169): coalesce small shuffle partitions,
+        # split skewed ones (the "0:0" ALL map key is carried by every row).
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow for the pandas-UDF binary encoders (tile MVT/proto paths).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if shuffle_partitions is not None:
+        builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

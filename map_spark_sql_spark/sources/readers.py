@@ -1,0 +1,73 @@
+"""Source adapters.
+
+The reference's ingest is an Avro directory scan with inferred schema
+(``MapBuilder.java:134-139``, S1) followed by a materializing parquet write
+(S2) "to defend against lazy evaluation that may cause the input avro files to
+be read multiple times" (``MapBuilder.java:129-133``). Our sources are the
+driver's parquet tables; the same scan-adapter role here is normalizing
+physical types so downstream plans are engine-portable.
+
+Nanosecond timestamps: the driver's parquet files carry
+``TIMESTAMP(NANOS)``, which Spark's vectorized reader rejects
+(PARQUET_TYPE_ILLEGAL) unless ``spark.sql.legacy.parquet.nanosAsLong`` is on.
+We enable that flag and rebuild proper ``timestamp`` columns with
+``timestamp_micros(ns div 1000)`` — the same truncation DuckDB applies when it
+reads TIMESTAMP_NS into its microsecond-resolution TIMESTAMP, so oracle
+comparisons agree exactly.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _nanos_timestamp_columns(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS), via pyarrow footer read."""
+    schema = pq.read_schema(path)
+    out = []
+    for field in schema:
+        t = field.type
+        if str(t).startswith("timestamp[ns"):
+            out.append(field.name)
+    return out
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver table, normalizing nano-timestamps to ``timestamp``."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    ns_cols = _nanos_timestamp_columns(path)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        # integer `div` (not `/`): epoch-nanos exceed double's 2^53 exact range
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES) -> None:
+    """Temp-view registration for staged SQL (S6, ``createOrReplaceTempView``
+    usage at ``PointMapBuilder.java:72``, ``TileMapBuilder.java:127-156``)."""
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
