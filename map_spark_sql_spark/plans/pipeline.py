@@ -1,0 +1,297 @@
+"""The occurrence-map pipeline, declarative end to end.
+
+Mirrors the reference's dataflow (SURVEY.md §3.1, ``MapBuilder.java:88-127``):
+
+    ingest (P1+P2+X1+S2) -> stats (U1+A1+P3) -> route (J1/J2)
+        -> points path (A2 -> A6 -> X4 -> X3/S7)
+        -> tiles path  (A3 -> t1 (U3+A4) -> t2 (P4+A5) -> t3 (U4+U5+A6)
+                        -> X5 -> X3/S7), per projection x zoom
+
+Differences from the reference, all deliberate (SURVEY.md §4):
+
+- Routing is a real **broadcast semi/anti join** (J1/J2) instead of a
+  driver-collected ``Set<String>`` serialized into UDF closures
+  (``MapBuilder.java:199-205``): same plan Catalyst would pick, but no driver
+  round-trip and no closure-size limit when the big-view set grows.
+- Every UDF is a native expression -> whole-stage codegen survives across
+  the entire stage; the reference breaks codegen at each of its five Java
+  UDF call sites.
+- The pyramid can derive zoom z from zoom z+1 (pixel z = pixel z+1 div 2)
+  instead of rescanning the base table for all 17 zooms; at 100 TB this cuts
+  the scan volume ~17x for the lower levels (SURVEY.md §4 caveat). The
+  per-zoom recompute remains the semantics-defining baseline and is what the
+  correctness oracle checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from map_spark_sql_spark.config import MapConfiguration
+from map_spark_sql_spark.functions.encode import encode_bor_year
+from map_spark_sql_spark.functions.keys import map_keys, salt_of, salted_key
+from map_spark_sql_spark.functions.projection import global_pixel
+from map_spark_sql_spark.functions.tiling import tile_addresses
+
+# The 19 source columns (P1, MapBuilder.java:140-159).
+OCCURRENCE_COLUMNS = [
+    "datasetKey",
+    "publishingOrgKey",
+    "publishingCountry",
+    "networkKey",
+    "countryCode",
+    "basisOfRecord",
+    "decimalLatitude",
+    "decimalLongitude",
+    "kingdomKey",
+    "phylumKey",
+    "classKey",
+    "orderKey",
+    "familyKey",
+    "genusKey",
+    "speciesKey",
+    "taxonKey",
+    "year",
+    "occurrenceStatus",
+    "hasGeospatialIssues",
+]
+
+# (map type, column) dimensions fanned out by U1 (MapKeysUDF.java:114-127).
+MAP_KEY_DIMS = [
+    ("TAXON", "kingdomKey"),
+    ("TAXON", "phylumKey"),
+    ("TAXON", "classKey"),
+    ("TAXON", "orderKey"),
+    ("TAXON", "familyKey"),
+    ("TAXON", "genusKey"),
+    ("TAXON", "speciesKey"),
+    ("TAXON", "taxonKey"),
+    ("DATASET", "datasetKey"),
+    ("PUBLISHER", "publishingOrgKey"),
+    ("COUNTRY", "countryCode"),
+    ("PUBLISHING_COUNTRY", "publishingCountry"),
+]
+
+
+def _with_map_keys(df: DataFrame) -> DataFrame:
+    dims = [(t, F.col(c)) for t, c in MAP_KEY_DIMS if c in df.columns]
+    network = F.col("networkKey") if "networkKey" in df.columns else None
+    return df.withColumn("mapKeys", map_keys(dims, network=network))
+
+
+def ingest(occurrence: DataFrame, cfg: MapConfiguration) -> DataFrame:
+    """P1 projection + P2 quality predicate (MapBuilder.java:140-164).
+
+    The reference follows this with a parquet-table materialization (S2) to
+    stop the Avro source being re-read by the two downstream branches
+    (``MapBuilder.java:129-133``). Callers that fan out into both branches
+    should do the same (write+re-read, or ``.persist()`` when it fits);
+    `run_pipeline` below materializes via localCheckpoint-free parquet echo.
+    """
+    cols = [c for c in OCCURRENCE_COLUMNS if c in occurrence.columns]
+    df = occurrence.select(*cols)
+    return df.filter(
+        F.col("decimalLatitude").isNotNull()
+        & F.col("decimalLongitude").isNotNull()
+        & (F.col("hasGeospatialIssues") == F.lit(False))
+        & (F.col("occurrenceStatus") == F.lit("PRESENT"))
+    )
+
+
+def map_key_stats(ingested: DataFrame) -> DataFrame:
+    """U1 explode -> A1 count per mapKey (MapBuilder.java:182-196).
+
+    Scale note: every record carries the ``"0:0"`` ALL key, so the count for
+    that key equals the table cardinality — a guaranteed whale. The groupBy
+    benefits from partial aggregation (map-side combine), which caps the
+    skew: each task emits one partial row per key it saw.
+    """
+    return (
+        _with_map_keys(ingested)
+        .select(F.explode("mapKeys").alias("mapKey"))
+        .groupBy("mapKey")
+        .agg(F.count(F.lit(1)).alias("occCount"))
+    )
+
+
+def keys_exceeding_threshold(stats: DataFrame, cfg: MapConfiguration) -> DataFrame:
+    """P3 HAVING-style filter (MapBuilder.java:197)."""
+    return stats.filter(F.col("occCount") >= cfg.tiles_threshold).select("mapKey")
+
+
+def _exploded(ingested: DataFrame) -> DataFrame:
+    """Per-record fan-out to (mapKey, lat, lng, borYear)."""
+    return _with_map_keys(ingested).select(
+        F.explode("mapKeys").alias("mapKey"),
+        F.col("decimalLatitude").alias("lat"),
+        F.col("decimalLongitude").alias("lng"),
+        encode_bor_year(F.col("basisOfRecord"), F.col("year")).alias("borYear"),
+    )
+
+
+def route_points(ingested: DataFrame, large_keys: DataFrame) -> DataFrame:
+    """J2 broadcast left-anti join: points path keeps the small views
+    (deny mode, PointMapBuilder.java:49 + MapKeysUDF.java:134-144)."""
+    return _exploded(ingested).join(F.broadcast(large_keys), "mapKey", "left_anti")
+
+
+def route_tiles(ingested: DataFrame, large_keys: DataFrame) -> DataFrame:
+    """J1 broadcast left-semi join: tiles path keeps the big views
+    (approve mode, TileMapBuilder.java:81 + MapKeysUDF.java:134-144)."""
+    return _exploded(ingested).join(F.broadcast(large_keys), "mapKey", "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# points path
+# ---------------------------------------------------------------------------
+
+
+def points_path(routed: DataFrame, cfg: MapConfiguration) -> DataFrame:
+    """A2 count per (view, location, borYear) -> A6 collect per view, with the
+    salted point key (U5 point variant) — PointMapBuilder.java:53-80.
+
+    Output schema matches FIXTURES.md §3 ``mapData``:
+    ``key string (salted mapKey), features array<struct<lat,lng,borYear,occCount>>``.
+    """
+    counts = routed.groupBy("mapKey", "lat", "lng", "borYear").agg(
+        F.count(F.lit(1)).alias("occCount")
+    )
+    return (
+        counts.groupBy("mapKey")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("lat", "lng", "borYear", "occCount"))
+            ).alias("features")
+        )
+        .select(
+            salted_key(F.col("mapKey"), modulus=cfg.key_salt_modulus).alias("key"),
+            F.col("mapKey"),
+            F.col("features"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# tiles path
+# ---------------------------------------------------------------------------
+
+
+def tiles_path(
+    routed: DataFrame, cfg: MapConfiguration, epsg: str, zoom: int
+) -> DataFrame:
+    """t1 -> t2 -> t3 for one (projection, zoom) — TileMapBuilder.java:113-158.
+
+    t1 (U3+A4): project to global pixel, SUM occurrence counts per
+        (mapKey, xy, borYear);
+    t2 (P4+A5): drop unplottable, collect borYearCount structs per pixel;
+    t3 (U4+U5+A6): fan out to buffered tile addresses, collect per-tile
+        feature lists keyed by the salted tile key.
+
+    Output: ``key string ("salt:mapKey:z:x:y"), mapKey, z, x, y,
+    tile array<struct<x:int, y:int, features:array<struct<borYear,occCount>>>>``.
+    """
+    if epsg == "EPSG:3031":
+        # O5: Antarctic subset (100 km buffer), TileMapBuilder.java:59-62
+        routed = routed.filter(F.col("lat") <= 1)
+
+    counts = routed.groupBy("mapKey", "lat", "lng", "borYear").agg(
+        F.count(F.lit(1)).alias("occCount")
+    )
+
+    t1 = (
+        counts.withColumn("xy", global_pixel(epsg, zoom, cfg.tile_size, "lat", "lng"))
+        .filter(F.col("xy").isNotNull())
+        .groupBy("mapKey", "xy", "borYear")
+        .agg(F.sum("occCount").alias("occCount"))
+    )
+    return _t2_t3(t1, cfg, epsg, zoom)
+
+
+def tile_pyramid(
+    routed: DataFrame, cfg: MapConfiguration, epsg: str, derive_lower_zooms: bool = True
+) -> dict[int, DataFrame]:
+    """All zoom levels maxZoom..0 for one projection (TileMapBuilder.java:66-77).
+
+    The reference recomputes every zoom from the base table ("slowest first"
+    loop, comment at ``TileMapBuilder.java:69``). With
+    ``derive_lower_zooms=True`` we compute only maxZoom from the base and roll
+    each lower zoom up from the previous one's t1 aggregate — a pixel at zoom
+    z is ``pixel(z+1) div 2`` — which scans ~1/17th of the data for the lower
+    pyramid. Both modes produce identical t1 aggregates; tests assert the
+    equivalence and the oracle pins the recompute semantics.
+    """
+    if epsg == "EPSG:3031":
+        routed = routed.filter(F.col("lat") <= 1)
+    counts = routed.groupBy("mapKey", "lat", "lng", "borYear").agg(
+        F.count(F.lit(1)).alias("occCount")
+    )
+
+    out: dict[int, DataFrame] = {}
+    t1 = None
+    for zoom in range(cfg.max_zoom, -1, -1):
+        if t1 is None or not derive_lower_zooms:
+            t1 = (
+                counts.withColumn(
+                    "xy", global_pixel(epsg, zoom, cfg.tile_size, "lat", "lng")
+                )
+                .filter(F.col("xy").isNotNull())
+                .groupBy("mapKey", "xy", "borYear")
+                .agg(F.sum("occCount").alias("occCount"))
+            )
+        else:
+            t1 = (
+                t1.withColumn(
+                    "xy",
+                    F.struct(
+                        (F.col("xy.x") / 2).cast("int").alias("x"),
+                        (F.col("xy.y") / 2).cast("int").alias("y"),
+                    ),
+                )
+                .groupBy("mapKey", "xy", "borYear")
+                .agg(F.sum("occCount").alias("occCount"))
+            )
+        out[zoom] = _t2_t3(t1, cfg, epsg, zoom)
+    return out
+
+
+def _t2_t3(t1: DataFrame, cfg: MapConfiguration, epsg: str, zoom: int) -> DataFrame:
+    t2 = t1.groupBy("mapKey", "xy").agg(
+        F.sort_array(F.collect_list(F.struct("borYear", "occCount"))).alias("features")
+    )
+    t3 = (
+        t2.withColumn(
+            "tile",
+            F.explode(
+                tile_addresses(epsg, zoom, cfg.tile_size, cfg.tile_buffer_size, "xy.x", "xy.y")
+            ),
+        )
+        .groupBy("mapKey", F.col("tile.tileX").alias("x"), F.col("tile.tileY").alias("y"))
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("tile.pixelX").alias("px"),
+                        F.col("tile.pixelY").alias("py"),
+                        F.col("features"),
+                    )
+                )
+            ).alias("tile")
+        )
+    )
+    return t3.select(
+        salted_key(
+            F.col("mapKey"), F.lit(zoom), F.col("x"), F.col("y"), modulus=cfg.key_salt_modulus
+        ).alias("key"),
+        F.col("mapKey"),
+        F.lit(zoom).alias("z"),
+        "x",
+        "y",
+        "tile",
+    )
+
+
+def with_salt_column(df: DataFrame, key_col: str = "key") -> DataFrame:
+    """Expose the salt prefix as its own column for the sink repartition
+    (X2, SaltPrefixPartitioner.java:29-31 parses it back out of the key)."""
+    return df.withColumn("salt", F.split(F.col(key_col), ":").getItem(0).cast("int"))

@@ -1,0 +1,136 @@
+"""End-to-end pipeline tests on the synthetic occurrence fixture
+(FIXTURES.md), covering ingest, stats/routing, both branch paths, the
+binary encoders, and the pyramid roll-up equivalence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from map_spark_sql_spark.config import MapConfiguration
+from map_spark_sql_spark.plans import pipeline as P
+from map_spark_sql_spark.plans import tiles as T
+
+CFG = MapConfiguration(
+    tiles_threshold=40, tile_size=512, tile_buffer_size=64, max_zoom=4, key_salt_modulus=10
+)
+
+
+def test_ingest_filters(occurrence_df):
+    df = P.ingest(occurrence_df, CFG)
+    # 4 rows violate the quality predicate (MapBuilder.java:160-164)
+    assert df.count() == occurrence_df.count() - 4
+    assert set(df.columns) == set(P.OCCURRENCE_COLUMNS)
+
+
+def test_stats_and_threshold(occurrence_df):
+    stats = P.map_key_stats(P.ingest(occurrence_df, CFG))
+    rows = {r.mapKey: r.occCount for r in stats.collect()}
+    # the ALL key counts every surviving record
+    assert rows["0:0"] == occurrence_df.count() - 4
+    # kingdomKey=1 fan-out separate from speciesKey
+    assert "1:1" in rows and "1:500" in rows
+    assert rows["1:500"] == 50
+    large = {r.mapKey for r in P.keys_exceeding_threshold(stats, CFG).collect()}
+    assert "0:0" in large and "1:500" in large
+    assert "1:99" not in large
+
+
+def test_routing_disjoint_and_broadcast(occurrence_df, spark):
+    ing = P.ingest(occurrence_df, CFG)
+    large = P.keys_exceeding_threshold(P.map_key_stats(ing), CFG)
+    pts = P.route_points(ing, large)
+    tls = P.route_tiles(ing, large)
+    pk = {r.mapKey for r in pts.select("mapKey").distinct().collect()}
+    tk = {r.mapKey for r in tls.select("mapKey").distinct().collect()}
+    assert pk.isdisjoint(tk)
+    assert pk | tk == {r.mapKey for r in P.map_key_stats(ing).select("mapKey").collect()}
+    # J1/J2 must be broadcast joins, not shuffle joins
+    plan = tls._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_points_path_schema_and_content(occurrence_df):
+    ing = P.ingest(occurrence_df, CFG)
+    large = P.keys_exceeding_threshold(P.map_key_stats(ing), CFG)
+    out = P.points_path(P.route_points(ing, large), CFG)
+    assert [f.name for f in out.schema.fields] == ["key", "mapKey", "features"]
+    row = out.filter(F.col("mapKey") == "1:99").collect()[0]
+    assert row.key.split(":", 1)[1] == "1:99"
+    feats = {(f.lat, f.lng, f.borYear, f.occCount) for f in row.features}
+    assert feats == {(-75.0, 30.0, 200003, 1), (0.5, 30.0, 200003, 1)}
+
+
+def test_tiles_path_z0_totals(occurrence_df):
+    ing = P.ingest(occurrence_df, CFG)
+    large = P.keys_exceeding_threshold(P.map_key_stats(ing), CFG)
+    routed = P.route_tiles(ing, large)
+    t3 = P.tiles_path(routed, CFG, "EPSG:3857", 0)
+    rows = t3.filter(F.col("mapKey") == "1:500").collect()
+    # z0 3857: single tile, but date-line buffer duplicates may add addresses;
+    # taxon 500 sits at lng=2.0 -> exactly one tile row
+    assert len(rows) == 1
+    tile = rows[0]
+    assert (tile.z, tile.x, tile.y) == (0, 0, 0)
+    total = sum(f.occCount for p in tile.tile for f in p.features)
+    assert total == 50
+
+
+def test_antarctic_subset(occurrence_df):
+    ing = P.ingest(occurrence_df, CFG)
+    large = P.keys_exceeding_threshold(P.map_key_stats(ing), CFG)
+    routed = P.route_tiles(ing, large)
+    # 3031 path must only see lat <= 1 (TileMapBuilder.java:59-62): the row at
+    # lat=10 (key 0:0 view) is excluded, the -75/-88 rows survive
+    t3 = P.tiles_path(routed.filter(F.col("mapKey") == "0:0"), CFG, "EPSG:3031", 2)
+    total = sum(f.occCount for r in t3.collect() for p in r.tile for f in p.features)
+    south_rows = ing.filter("decimalLatitude <= 1").count()
+    assert total >= south_rows - 1  # buffer duplication can only add
+
+
+def test_pyramid_derivation_equivalence(occurrence_df):
+    """Rolling z from z+1 must equal recomputing z from base (SURVEY §4)."""
+    ing = P.ingest(occurrence_df, CFG)
+    large = P.keys_exceeding_threshold(P.map_key_stats(ing), CFG)
+    routed = P.route_tiles(ing, large).cache()
+    derived = P.tile_pyramid(routed, CFG, "EPSG:3857", derive_lower_zooms=True)
+    recomputed = P.tile_pyramid(routed, CFG, "EPSG:3857", derive_lower_zooms=False)
+    for z in (CFG.max_zoom, 2, 0):
+        d = {(r.key, r.x, r.y): r.tile for r in derived[z].collect()}
+        r_ = {(r.key, r.x, r.y): r.tile for r in recomputed[z].collect()}
+        assert d == r_, f"zoom {z} mismatch"
+    routed.unpersist()
+
+
+def test_binary_encoders_roundtrip(occurrence_df):
+    ing = P.ingest(occurrence_df, CFG)
+    large = P.keys_exceeding_threshold(P.map_key_stats(ing), CFG)
+
+    pts = P.points_path(P.route_points(ing, large), CFG)
+    enc = T.encode_point_features(pts).collect()
+    src = {r.mapKey: r.features for r in pts.collect()}
+    for r in enc:
+        decoded = T.decode_point_features_py(r.value)
+        want = [f.asDict() for f in src[r.mapKey]]
+        assert decoded == want
+
+    t3 = P.tiles_path(P.route_tiles(ing, large), CFG, "EPSG:4326", 1)
+    enc_t = T.encode_tiles(t3).collect()
+    src_t = {r.key: r.tile for r in t3.collect()}
+    for r in enc_t:
+        decoded = T.decode_tile_py(r.value)
+        want = [
+            {"px": p.px, "py": p.py, "features": [f.asDict() for f in p.features]}
+            for p in src_t[r.key]
+        ]
+        assert decoded == want
+
+
+def test_key_value_assembly(occurrence_df):
+    ing = P.ingest(occurrence_df, CFG)
+    large = P.keys_exceeding_threshold(P.map_key_stats(ing), CFG)
+    pts = T.encode_point_features(P.points_path(P.route_points(ing, large), CFG))
+    kv = T.to_key_values(pts, "EPSG:4326", "features")
+    assert [f.name for f in kv.schema.fields] == ["key", "family", "qualifier", "value"]
+    r = kv.first()
+    assert r.family == "EPSG_4326" and r.qualifier == "features"
+    assert isinstance(r.value, (bytes, bytearray))
