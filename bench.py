@@ -1,0 +1,74 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Timing is per-query wall clock around a full materialization (count of the
+result), after a warm-up action so session/JIT startup isn't billed to the
+first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    # reference-pipeline operators
+    "mapkeys_stats",
+    "points_features",
+    "t1_mercator_z4",
+    "tiles_mercator_z2",
+    "pyramid_rollup_z3",
+    # relational coverage
+    "tpch_q1_pricing_summary",
+    "tpch_q5_local_supplier_volume",
+    "window_top_order_per_customer",
+    # north-star ops
+    "dedup_minhash_pairs",
+    "similarity_topk_bruteforce",
+    "events_tumbling_5min",
+]
+
+
+def main() -> None:
+    from map_spark_sql_spark.queries import QUERIES
+    from map_spark_sql_spark.session import get_session
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    spark = get_session(app_name="bench", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: session, parquet footers, codegen paths
+    QUERIES["mapkeys_threshold"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -50,8 +50,11 @@ def stable_hash(key: Column) -> Column:
     return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint")
 
 
-def stable_hash_sql(key_sql: str) -> str:
-    """DuckDB twin of :func:`stable_hash`."""
+def stable_hash_sql(key_sql: str, dialect: str = "duckdb") -> str:
+    """SQL-text twin of :func:`stable_hash` (md5 agrees across engines; only
+    the hex->int idiom differs per dialect)."""
+    if dialect == "spark":
+        return f"CAST(conv(substring(md5({key_sql}), 1, 8), 16, 10) AS BIGINT)"
     return f"CAST('0x' || substr(md5({key_sql}), 1, 8) AS BIGINT)"
 
 

@@ -1,0 +1,316 @@
+"""Deduplication operators: exact, MinHash/LSH, SimHash.
+
+Greenfield (no reference citations — SURVEY.md §2.8): the dedup surface an
+LLM-data pipeline needs, built as native expressions so Catalyst codegen and
+AQE apply. Every fragment is emitted per-dialect ('spark'/'duckdb') from one
+builder, so the correctness oracle evaluates the same formula.
+
+Scale notes (100 TB):
+
+- exact dedup is a single hash-shuffle on the content digest; with
+  ``row_number`` semantics it keeps a deterministic representative.
+- MinHash signatures are computed per row with no shuffle; the LSH band join
+  shuffles only (band_id, band_hash) pairs — O(docs x bands) rows, not
+  O(docs^2). The candidate self-join is the one place skew matters: a
+  degenerate band (e.g. empty docs all hashing equal) makes a quadratic
+  bucket. Guard by salting or dropping buckets above a size cap before the
+  join (``max_bucket`` below).
+- SimHash is per-row too; identical-signature grouping is a plain groupBy.
+  The per-bit array pass is fine for document-sized token lists; for very
+  long docs explode+groupBy instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from map_spark_sql_spark.functions.keys import stable_hash_sql
+
+# ---------------------------------------------------------------------------
+# dialect-shared fragment builders
+# ---------------------------------------------------------------------------
+
+
+def words_sql(text: str, d: str) -> str:
+    fn = "split" if d == "spark" else "string_split"
+    return f"{fn}({text}, ' ')"
+
+
+def shingles_sql(text: str, n: int, d: str) -> str:
+    """n-word shingles joined by spaces; 1-based element access in both
+    dialects; documents shorter than n words yield an empty shingle list
+    (Spark ``sequence(1, 0)`` would count *down*, so it needs an explicit
+    empty-guard; DuckDB ``range(1, 1)`` is already empty)."""
+    w = words_sql(text, d)
+    if n == 1:
+        return w
+    if d == "spark":
+        parts = ", ".join(f"element_at({w}, CAST(i AS INT) + {j})" for j in range(n))
+        return (
+            f"CASE WHEN size({w}) >= {n} THEN "
+            f"transform(sequence(1, size({w}) - {n - 1}), i -> concat_ws(' ', {parts})) "
+            f"ELSE array() END"
+        )
+    parts = " || ' ' || ".join(f"({w})[CAST(i AS INT) + {j}]" for j in range(n))
+    return f"list_transform(range(1, greatest(len({w}) - {n - 2}, 1)), i -> {parts})"
+
+
+# MinHash permutation family: m_k = min over shingles of (a_k*h + b_k) mod P,
+# over ONE base hash per shingle (md5) instead of K md5 passes — the classic
+# affine-permutation scheme. P = 2^31-1 keeps a*h within int64 in both engines
+# after reducing h mod P first.
+MINHASH_P = 2_147_483_647
+
+
+def _perm_coeffs(k: int) -> tuple[int, int]:
+    """Deterministic odd multiplier / offset per permutation (no RNG)."""
+    import hashlib
+
+    ha = int.from_bytes(hashlib.md5(f"mh-a:{k}".encode()).digest()[:4], "big")
+    hb = int.from_bytes(hashlib.md5(f"mh-b:{k}".encode()).digest()[:4], "big")
+    return (ha % (MINHASH_P - 1)) | 1, hb % MINHASH_P
+
+
+def base_hashes_sql(text: str, n: int, d: str) -> str:
+    """One stable hash per shingle, pre-reduced mod P."""
+    sh = shingles_sql(text, n, d)
+    h = stable_hash_sql("s", d)
+    if d == "spark":
+        return f"transform({sh}, s -> {h} % {MINHASH_P})"
+    return f"list_transform({sh}, s -> {h} % {MINHASH_P})"
+
+
+def perm_minhash_sql(hashes_col: str, k: int, d: str) -> str:
+    """k-th MinHash from the base-hash array column."""
+    a, b = _perm_coeffs(k)
+    if d == "spark":
+        return f"array_min(transform({hashes_col}, h -> ({a} * h + {b}) % {MINHASH_P}))"
+    return f"list_min(list_transform({hashes_col}, h -> ({a} * h + {b}) % {MINHASH_P}))"
+
+
+def simhash_sql(text: str, bits: int, d: str) -> str:
+    """SimHash over the token set: bit j of the signature is the sign of
+    sum over tokens of (+1/-1 per bit j of the token hash)."""
+    w = words_sql(text, d)
+    h = stable_hash_sql("t", d)
+    terms = []
+    for j in range(bits):
+        p = 1 << j
+        bit = f"(CAST(floor({h} / {p}.0) AS BIGINT) % 2)"
+        term = f"CASE WHEN {bit} = 1 THEN 1 ELSE -1 END"
+        if d == "spark":
+            total = f"aggregate(transform({w}, t -> {term}), 0, (s, x) -> s + x)"
+        else:
+            total = f"list_sum(list_transform({w}, t -> {term}))"
+        terms.append(f"CASE WHEN {total} >= 0 THEN {p} ELSE 0 END")
+    return "CAST((" + " + ".join(terms) + ") AS BIGINT)"
+
+
+def content_hash_sql(text: str, d: str) -> str:
+    """Normalized content digest: md5 of lowercased whitespace-collapsed text."""
+    flags = "" if d == "spark" else ", 'g'"
+    norm = f"lower(regexp_replace({text}, '\\\\s+', ' '{flags}))"
+    return f"md5({norm})"
+
+
+# ---------------------------------------------------------------------------
+# Spark Column / DataFrame operators
+# ---------------------------------------------------------------------------
+
+
+def content_hash(text: Column | str) -> Column:
+    name = text if isinstance(text, str) else None
+    if name is None:
+        raise TypeError("pass the text column name (fragment-shared path)")
+    return F.expr(content_hash_sql(name, "spark"))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact near-identity dedup on the normalized content digest.
+
+    Returns one row per distinct content: ``(content_md5, keeper, copies)``
+    where keeper = min id (deterministic representative). The
+    ``row_number() over (partition by hash)`` formulation is equivalent; the
+    min-aggregation shape avoids a sort within each hash group.
+    """
+    return (
+        df.groupBy(content_hash(text_col).alias("content_md5"))
+        .agg(
+            F.min(id_col).alias("keeper"),
+            F.count(F.lit(1)).alias("copies"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle: int = 2,
+) -> DataFrame:
+    """Per-document MinHash signature columns m0..m{k-1}; one md5 pass over
+    the shingles, K cheap affine permutations, no shuffle."""
+    base = df.withColumn("_h", F.expr(base_hashes_sql(text_col, shingle, "spark")))
+    cols = [F.col(id_col)]
+    for k in range(num_hashes):
+        cols.append(F.expr(perm_minhash_sql("_h", k, "spark")).alias(f"m{k}"))
+    return base.select(*cols)
+
+
+def minhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle: int = 2,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """LSH candidate pairs with estimated Jaccard >= threshold.
+
+    Bands of ``num_hashes/bands`` rows each; documents sharing any band
+    bucket become candidates; the estimate is the fraction of equal minhash
+    components. Buckets larger than ``max_bucket`` are dropped before the
+    self-join (degenerate-bucket / skew guard).
+    """
+    rows_per = num_hashes // bands
+    # signature is consumed by the band fan-out AND twice by the estimate
+    # join; persist so the shingle/md5 pass runs once (at real scale this is
+    # the stage you'd checkpoint to storage)
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle).persist()
+
+    band_structs = []
+    for b in range(bands):
+        members = [F.col(f"m{b * rows_per + r}").cast("string") for r in range(rows_per)]
+        band_structs.append(
+            F.struct(F.lit(b).alias("band_id"), F.md5(F.concat_ws(":", *members)).alias("band_hash"))
+        )
+    bands_df = (
+        sig.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("bd"))
+        .select(id_col, "bd.band_id", "bd.band_hash")
+    )
+
+    bucket_sizes = bands_df.groupBy("band_id", "band_hash").agg(
+        F.count(F.lit(1)).alias("bsz")
+    )
+    bands_df = bands_df.join(
+        bucket_sizes.filter(F.col("bsz") <= max_bucket).select("band_id", "band_hash"),
+        ["band_id", "band_hash"],
+    )
+
+    a = bands_df.alias("a")
+    b = bands_df.alias("b")
+    cand = (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id"))
+        .distinct()
+    )
+
+    sa = sig.alias("sa")
+    sb = sig.alias("sb")
+    eq_terms = [
+        F.when(F.col(f"sa.m{k}") == F.col(f"sb.m{k}"), 1).otherwise(0)
+        for k in range(num_hashes)
+    ]
+    est = sum(eq_terms[1:], eq_terms[0]) / F.lit(float(num_hashes))
+    return (
+        cand.join(sa, F.col("a_id") == F.col(f"sa.{id_col}"))
+        .join(sb, F.col("b_id") == F.col(f"sb.{id_col}"))
+        .select("a_id", "b_id", F.round(est, 4).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 24) -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        F.expr(simhash_sql(text_col, bits, "spark")).alias("simhash"),
+    )
+
+
+def simhash_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 24
+) -> DataFrame:
+    """Documents with identical SimHash signatures (hamming distance 0);
+    banded near-matching (hamming <= k) is a follow-on."""
+    s = simhash(df, text_col, id_col, bits)
+    a, b = s.alias("a"), s.alias("b")
+    return (
+        a.join(b, "simhash")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("a_id"),
+            F.col(f"b.{id_col}").alias("b_id"),
+            "simhash",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# oracle generators (duckdb dialect)
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_oracle(table: str = "documents", text: str = "text", id_col: str = "doc_id") -> str:
+    return (
+        f"SELECT {content_hash_sql(text, 'duckdb')} AS content_md5, "
+        f"min({id_col}) AS keeper, count(*) AS copies FROM {table} GROUP BY content_md5"
+    )
+
+
+def minhash_pairs_oracle(
+    table: str = "documents",
+    text: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle: int = 2,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> str:
+    rows_per = num_hashes // bands
+    sig_cols = ", ".join(
+        f"{perm_minhash_sql('_h', k, 'duckdb')} AS m{k}" for k in range(num_hashes)
+    )
+    band_selects = []
+    for b in range(bands):
+        members = " || ':' || ".join(
+            f"CAST(m{b * rows_per + r} AS STRING)" for r in range(rows_per)
+        )
+        band_selects.append(
+            f"SELECT {id_col}, {b} AS band_id, md5({members}) AS band_hash FROM sig"
+        )
+    bands_sql = " UNION ALL ".join(band_selects)
+    eq_sum = " + ".join(
+        f"CASE WHEN sa.m{k} = sb.m{k} THEN 1 ELSE 0 END" for k in range(num_hashes)
+    )
+    return f"""
+WITH hashed AS (SELECT {id_col}, {base_hashes_sql(text, shingle, 'duckdb')} AS _h FROM {table}),
+sig AS (SELECT {id_col}, {sig_cols} FROM hashed),
+bands_all AS ({bands_sql}),
+keep AS (SELECT band_id, band_hash FROM bands_all GROUP BY band_id, band_hash
+         HAVING count(*) <= {max_bucket}),
+bands AS (SELECT b.* FROM bands_all b JOIN keep k USING (band_id, band_hash)),
+cand AS (SELECT DISTINCT a.{id_col} AS a_id, b.{id_col} AS b_id
+         FROM bands a JOIN bands b USING (band_id, band_hash)
+         WHERE a.{id_col} < b.{id_col})
+SELECT a_id, b_id, round(({eq_sum}) / {float(num_hashes)}, 4) AS est_jaccard
+FROM cand JOIN sig sa ON cand.a_id = sa.{id_col}
+          JOIN sig sb ON cand.b_id = sb.{id_col}
+WHERE round(({eq_sum}) / {float(num_hashes)}, 4) >= {threshold}
+"""
+
+
+def simhash_pairs_oracle(
+    table: str = "documents", text: str = "text", id_col: str = "doc_id", bits: int = 24
+) -> str:
+    sh = simhash_sql(text, bits, "duckdb")
+    return (
+        f"WITH s AS (SELECT {id_col}, {sh} AS simhash FROM {table}) "
+        f"SELECT a.{id_col} AS a_id, b.{id_col} AS b_id, a.simhash AS simhash "
+        f"FROM s a JOIN s b ON a.simhash = b.simhash AND a.{id_col} < b.{id_col}"
+    )

@@ -1,0 +1,170 @@
+"""Similarity search over embedding columns (SURVEY.md §2.8).
+
+Brute-force cosine top-k as the correctness baseline, and an LSH-bucketed
+variant (random-hyperplane signs) as the scale path: at 100 TB you never
+all-pairs-join embeddings — you bucket by an r-bit hyperplane signature so
+the candidate join touches ~N/2^r of the corpus per probe, then re-rank
+exactly within candidates.
+
+All arithmetic is done in float64 with explicit casts on both engines; the
+driver-facing queries round similarities to 6 decimals, which the parity
+probe showed is stable across Spark and DuckDB at this scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from map_spark_sql_spark.functions.keys import stable_hash_sql
+
+
+def _vec_lit(vec: list[float], d: str) -> str:
+    body = ",".join(f"CAST({float(x)!r} AS DOUBLE)" for x in vec)
+    return f"array({body})" if d == "spark" else f"[{body}]"
+
+
+def dot_sql(col: str, vec: list[float], d: str) -> str:
+    lit = _vec_lit(vec, d)
+    if d == "spark":
+        return (
+            f"aggregate(zip_with({col}, {lit}, (a, b) -> CAST(a AS DOUBLE) * b), "
+            f"CAST(0 AS DOUBLE), (s, x) -> s + x)"
+        )
+    return (
+        f"list_sum(list_transform(list_zip({col}, {lit}), "
+        f"t -> CAST(t[1] AS DOUBLE) * t[2]))"
+    )
+
+
+def norm_sql(col: str, d: str) -> str:
+    if d == "spark":
+        return (
+            f"sqrt(aggregate(transform({col}, a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE)), "
+            f"CAST(0 AS DOUBLE), (s, x) -> s + x))"
+        )
+    return f"sqrt(list_sum(list_transform({col}, a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE))))"
+
+
+def cosine_sql(col: str, vec: list[float], d: str, ndigits: int = 6) -> str:
+    qn = sum(float(x) * float(x) for x in vec) ** 0.5
+    return f"round({dot_sql(col, vec, d)} / ({norm_sql(col, d)} * {qn!r}), {ndigits})"
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force cosine top-k: one scan, no shuffle until the final top-k
+    (Spark runs TakeOrderedAndProject — per-partition heaps, driver merge).
+    Ties break on id for determinism."""
+    sim = F.expr(cosine_sql(vec_col, query_vec, "spark"))
+    return (
+        df.select(F.col(id_col), sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def cosine_topk_oracle(
+    query_vec: list[float],
+    k: int = 10,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    sim = cosine_sql(vec_col, query_vec, "duckdb")
+    return (
+        f"SELECT {id_col}, {sim} AS sim FROM {table} "
+        f"ORDER BY sim DESC, {id_col} LIMIT {k}"
+    )
+
+
+# --- LSH (random hyperplane) ------------------------------------------------
+
+
+def _hyperplane(dim: int, seed: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane from the md5-based
+    hash (no RNG dependency, reproducible across engines and sessions)."""
+    import hashlib
+
+    out = []
+    for i in range(dim):
+        h = hashlib.md5(f"hp:{seed}:{i}".encode()).digest()
+        v = int.from_bytes(h[:4], "big")
+        out.append((v / 2**31) - 1.0)  # [-1, 1)
+    return out
+
+
+def lsh_signature_sql(col: str, dim: int, bits: int, d: str) -> str:
+    terms = []
+    for b in range(bits):
+        hp = _hyperplane(dim, b)
+        terms.append(f"CASE WHEN {dot_sql(col, hp, d)} >= 0 THEN {1 << b} ELSE 0 END")
+    return "CAST((" + " + ".join(terms) + ") AS BIGINT)"
+
+
+def cosine_pairs_lsh(
+    df: DataFrame,
+    dim: int = 64,
+    bits: int = 8,
+    threshold: float = 0.8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Near-neighbor pairs: bucket by hyperplane signature, join within
+    buckets only, then exact cosine re-rank. The bucket join is the scale
+    lever — 2^bits buckets cap candidate pairs at sum(bucket^2) instead of
+    N^2."""
+    sig = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.expr(lsh_signature_sql(vec_col, dim, bits, "spark")).alias("bucket"),
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = a.join(b, "bucket").filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    dot = F.expr(
+        "aggregate(zip_with(a_vec, b_vec, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0 AS DOUBLE), (s, x) -> s + x)"
+    )
+    na = F.expr(norm_sql("a_vec", "spark"))
+    nb = F.expr(norm_sql("b_vec", "spark"))
+    return (
+        cand.select(
+            F.col(f"a.{id_col}").alias("a_id"),
+            F.col(f"b.{id_col}").alias("b_id"),
+            F.col(f"a.{vec_col}").alias("a_vec"),
+            F.col(f"b.{vec_col}").alias("b_vec"),
+        )
+        .withColumn("sim", F.round(dot / (na * nb), 6))
+        .filter(F.col("sim") >= threshold)
+        .select("a_id", "b_id", "sim")
+    )
+
+
+def cosine_pairs_lsh_oracle(
+    dim: int = 64,
+    bits: int = 8,
+    threshold: float = 0.8,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    sig = lsh_signature_sql(vec_col, dim, bits, "duckdb")
+    dot = (
+        "list_sum(list_transform(list_zip(a_vec, b_vec), "
+        "t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))"
+    )
+    na = norm_sql("a_vec", "duckdb")
+    nb = norm_sql("b_vec", "duckdb")
+    return f"""
+WITH sig AS (SELECT {id_col}, {vec_col}, {sig} AS bucket FROM {table}),
+cand AS (SELECT a.{id_col} AS a_id, b.{id_col} AS b_id,
+                a.{vec_col} AS a_vec, b.{vec_col} AS b_vec
+         FROM sig a JOIN sig b USING (bucket) WHERE a.{id_col} < b.{id_col})
+SELECT a_id, b_id, round({dot} / ({na} * {nb}), 6) AS sim
+FROM cand WHERE round({dot} / ({na} * {nb}), 6) >= {threshold}
+"""

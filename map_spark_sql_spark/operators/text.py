@@ -1,0 +1,98 @@
+"""Text analysis operators (SURVEY.md §2.8): quality stats, language
+heuristic, token counting, document fingerprinting.
+
+All native expressions over the ``documents`` table; the regex-flag
+difference (DuckDB's ``regexp_replace`` is single-match unless passed 'g')
+is the only dialect split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "la", "los", "y", "es"),
+}
+
+
+def _words(text: str, d: str) -> str:
+    return f"split({text}, ' ')" if d == "spark" else f"string_split({text}, ' ')"
+
+
+def _strip_non(text: str, keep_class: str, d: str) -> str:
+    """Remove every char NOT in the class -> length counts class members."""
+    flags = "" if d == "spark" else ", 'g'"
+    return f"regexp_replace({text}, '[^{keep_class}]', ''{flags})"
+
+
+def _contains_count(words: str, vocab: tuple[str, ...], d: str) -> str:
+    lits = ", ".join(f"'{w}'" for w in vocab)
+    if d == "spark":
+        return f"size(filter({words}, t -> array_contains(array({lits}), t)))"
+    return f"len(list_filter({words}, t -> list_contains([{lits}], t)))"
+
+
+def quality_stats_sql(text: str, d: str) -> dict[str, str]:
+    """Column -> expression map for the quality-scoring query."""
+    w = _words(text, d)
+    n_tokens = f"size({w})" if d == "spark" else f"len({w})"
+    stop = _contains_count(w, STOPWORDS["en"], d)
+    return {
+        "n_tokens": f"CAST({n_tokens} AS INTEGER)",
+        "n_chars_m": f"CAST(length({text}) AS INTEGER)",
+        "n_punct": f"CAST(length({_strip_non(text, '.,!?;:', d)}) AS INTEGER)",
+        "n_digits": f"CAST(length({_strip_non(text, '0-9', d)}) AS INTEGER)",
+        # ratios scaled to int per-mille: avoids float-division repr drift
+        "stopword_pm": (
+            f"CAST(floor(1000.0 * {stop} / greatest({n_tokens}, 1)) AS INTEGER)"
+        ),
+        "mean_token_len_x10": (
+            f"CAST(floor(10.0 * length(replace({text}, ' ', '')) / greatest({n_tokens}, 1)) AS INTEGER)"
+        ),
+    }
+
+
+def quality_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    exprs = quality_stats_sql(text_col, "spark")
+    return df.select(F.col(id_col), *[F.expr(e).alias(n) for n, e in exprs.items()])
+
+
+def language_guess_sql(text: str, d: str) -> str:
+    """Stopword-vote language ID: pick the language whose marker set scores
+    highest; ties resolve in fixed (en, de, fr, es) order; no hits -> 'und'."""
+    w = _words(text, d)
+    scores = {lang: _contains_count(w, vocab, d) for lang, vocab in STOPWORDS.items()}
+    order = ["en", "de", "fr", "es"]
+    # greatest-score argmax via chained CASE
+    conds = []
+    for i, lang in enumerate(order):
+        others = [scores[o] for o in order if o != lang]
+        cond = " AND ".join(f"{scores[lang]} >= {o}" for o in others)
+        conds.append(f"WHEN {scores[lang]} > 0 AND {cond} THEN '{lang}'")
+    return "CASE " + " ".join(conds) + " ELSE 'und' END"
+
+
+def language_guess(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return df.select(
+        F.col(id_col), F.expr(language_guess_sql(text_col, "spark")).alias("lang_guess")
+    )
+
+
+def token_fingerprint_sql(text: str, d: str) -> str:
+    """Canonical-form fingerprint: md5 of the sorted distinct token set
+    (case-folded) — the classic key-collision fingerprint for clustering
+    near-identical documents."""
+    w = _words(f"lower({text})", d)
+    if d == "spark":
+        return f"md5(array_join(array_sort(array_distinct({w})), ' '))"
+    return f"md5(array_to_string(list_sort(list_distinct({w})), ' '))"
+
+
+def token_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return df.select(
+        F.col(id_col), F.expr(token_fingerprint_sql(text_col, "spark")).alias("fingerprint")
+    )

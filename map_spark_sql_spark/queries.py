@@ -535,3 +535,325 @@ def boryear_decode(spark, sf_dir):
             "n",
         )
     )
+
+
+# ===========================================================================
+# Relational coverage (joins / aggregations / windows / set ops)
+#
+# The reference contains no JOIN keyword and no window functions (SURVEY.md
+# §2.3/§2.5) — these come free with the DataFrame API, and the correctness
+# harness's star schema exercises them. Shared-syntax SQL (identical in both
+# dialects) runs via spark.sql over registered views.
+# ===========================================================================
+
+from map_spark_sql_spark.sources.readers import register_views as _register_views
+
+
+def _shared_sql(name: str, sql: str, doc: str):
+    """Register a query whose text is valid in BOTH dialects verbatim."""
+
+    def fn(spark, sf_dir, _sql=sql):
+        _register_views(spark, sf_dir)
+        return spark.sql(_sql)
+
+    fn.__name__ = name
+    fn.__doc__ = doc
+    QUERIES[name] = fn
+    ORACLES[name] = sql
+    return fn
+
+
+_shared_sql(
+    "tpch_q1_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    "TPC-H Q1 shape: wide hash aggregation with arithmetic; exercises partial "
+    "aggregation and codegen (A-family operators).",
+)
+
+_shared_sql(
+    "join_orders_customer_agg",
+    """
+SELECT c_mktsegment, o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment, o_orderpriority
+""",
+    "Equi inner join (orders x customer) + grouped rollup; customer side is "
+    "broadcastable at every SF.",
+)
+
+_shared_sql(
+    "tpch_q5_local_supplier_volume",
+    """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+""",
+    "TPC-H Q5 shape: five-way join with dimension broadcast; the co-located "
+    "customer/supplier nation predicate.",
+)
+
+_shared_sql(
+    "join_semi_exists",
+    """
+SELECT o_orderpriority, count(*) AS n
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+GROUP BY o_orderpriority
+""",
+    "Left-semi join via EXISTS (J1 family; TPC-H Q4 shape).",
+)
+
+_shared_sql(
+    "join_anti_not_exists",
+    """
+SELECT c_mktsegment, count(*) AS n
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+""",
+    "Left-anti join via NOT EXISTS (J2 family; customers without orders).",
+)
+
+_shared_sql(
+    "agg_distinct_customers",
+    """
+SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_customers,
+       count(*) AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+""",
+    "Distinct aggregation (expand + two-phase agg in Spark).",
+)
+
+_shared_sql(
+    "window_top_order_per_customer",
+    """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) t WHERE rn = 1
+""",
+    "Window function top-1 per key (absent in the reference; free on Spark).",
+)
+
+_shared_sql(
+    "window_running_revenue",
+    """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+         AS running_total
+FROM orders
+""",
+    "Running-sum window with explicit frame.",
+)
+
+_shared_sql(
+    "set_ops_purchasers_vs_errors",
+    """
+SELECT user_id FROM events WHERE event_type = 'purchase'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'error'
+""",
+    "INTERSECT set op (absent in the reference, SURVEY §2.5).",
+)
+
+_shared_sql(
+    "set_ops_viewers_minus_buyers",
+    """
+SELECT user_id FROM events WHERE event_type = 'view'
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+""",
+    "EXCEPT set op.",
+)
+
+_shared_sql(
+    "orders_priority_histogram",
+    """
+SELECT o_orderpriority,
+       round(min(o_totalprice), 2) AS min_price,
+       round(max(o_totalprice), 2) AS max_price,
+       round(avg(o_totalprice), 4) AS avg_price,
+       count(*) AS n
+FROM orders GROUP BY o_orderpriority
+""",
+    "min/max/avg aggregate family.",
+)
+
+
+def _events_bucket(d: str) -> str:
+    return (
+        "unix_timestamp(ts)" if d == "spark" else "CAST(floor(epoch(ts)) AS BIGINT)"
+    )
+
+
+@q(
+    "events_tumbling_5min",
+    f"""
+SELECT event_type, CAST(floor({_events_bucket('duckdb')} / 300) AS BIGINT) AS bucket,
+       count(*) AS n, round(sum(value), 2) AS total_value
+FROM events GROUP BY event_type, bucket
+""",
+)
+def events_tumbling_5min(spark, sf_dir):
+    """Tumbling 5-minute event aggregation — the batch twin of the
+    structured-streaming windowed count (streaming/events.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn(
+            "bucket", F.floor(F.unix_timestamp("ts") / 300).cast("bigint")
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+# ===========================================================================
+# North-star operators (SURVEY.md §2.8): dedup, similarity, text, multimodal
+# ===========================================================================
+
+from map_spark_sql_spark.operators import dedup as DD
+from map_spark_sql_spark.operators import similarity as SIM
+from map_spark_sql_spark.operators import text as TX
+from map_spark_sql_spark.operators import multimodal as MM
+
+
+@q("dedup_exact", DD.exact_dedup_oracle())
+def dedup_exact(spark, sf_dir):
+    """Exact dedup on normalized content digest (SURVEY §2.8)."""
+    return DD.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@q(
+    "dedup_fingerprint_clusters",
+    f"SELECT {TX.token_fingerprint_sql('text', 'duckdb')} AS fingerprint, "
+    "count(*) AS cluster_size, min(doc_id) AS keeper FROM documents GROUP BY fingerprint",
+)
+def dedup_fingerprint_clusters(spark, sf_dir):
+    """Token-set fingerprint clustering: docs equal up to word order/repeats."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        TX.token_fingerprint(docs)
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("cluster_size"), F.min("doc_id").alias("keeper"))
+    )
+
+
+@q("dedup_minhash_pairs", DD.minhash_pairs_oracle(threshold=0.25))
+def dedup_minhash_pairs(spark, sf_dir):
+    """MinHash/LSH near-dup candidate pairs with estimated Jaccard."""
+    return DD.minhash_pairs(load_table(spark, sf_dir, "documents"), threshold=0.25)
+
+
+@q("dedup_simhash_pairs", DD.simhash_pairs_oracle())
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash collision pairs (hamming distance 0)."""
+    return DD.simhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@q(
+    "text_quality_stats",
+    "SELECT doc_id, "
+    + ", ".join(
+        f"{e} AS {n}" for n, e in TX.quality_stats_sql("text", "duckdb").items()
+    )
+    + " FROM documents",
+)
+def text_quality_stats(spark, sf_dir):
+    """Per-document quality metrics (token/punct/digit/stopword stats)."""
+    return TX.quality_stats(load_table(spark, sf_dir, "documents"))
+
+
+@q(
+    "text_language_confusion",
+    f"SELECT lang, {TX.language_guess_sql('text', 'duckdb')} AS lang_guess, "
+    "count(*) AS n FROM documents GROUP BY lang, lang_guess",
+)
+def text_language_confusion(spark, sf_dir):
+    """Heuristic language ID vs the labeled lang column (confusion counts)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", F.expr(TX.language_guess_sql("text", "spark")).alias("lang_guess"))
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _sim_query_sql(d: str) -> str:
+    """Cosine top-10 against the vec_id=0 embedding, by scalar subquery (the
+    query vector is read from the data itself so the oracle needs no
+    literals)."""
+    dot = (
+        "aggregate(zip_with(e.embedding, q.qe, (a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)), "
+        "CAST(0 AS DOUBLE), (s, x) -> s + x)"
+        if d == "spark"
+        else "list_sum(list_transform(list_zip(e.embedding, q.qe), t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))"
+    )
+    ne = SIM.norm_sql("e.embedding", d)
+    nq = SIM.norm_sql("q.qe", d)
+    return f"""
+SELECT e.vec_id, round({dot} / ({ne} * {nq}), 6) AS sim
+FROM embeddings e
+CROSS JOIN (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+WHERE e.vec_id <> 0
+ORDER BY sim DESC, e.vec_id
+LIMIT 10
+"""
+
+
+@q("similarity_topk_bruteforce", _sim_query_sql("duckdb"))
+def similarity_topk_bruteforce(spark, sf_dir):
+    """Brute-force cosine top-10 (TakeOrderedAndProject; per-partition heaps)."""
+    _register_views(spark, sf_dir)
+    return spark.sql(_sim_query_sql("spark"))
+
+
+@q("similarity_pairs_lsh", SIM.cosine_pairs_lsh_oracle(bits=6, threshold=0.3))
+def similarity_pairs_lsh(spark, sf_dir):
+    """LSH-bucketed near-neighbor pairs + exact re-rank (the 100 TB path)."""
+    return SIM.cosine_pairs_lsh(load_table(spark, sf_dir, "embeddings"), bits=6, threshold=0.3)
+
+
+@q(
+    "multimodal_metadata",
+    "SELECT doc_id AS media_id, "
+    "CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind, "
+    "octet_length(encode(text)) AS n_bytes FROM documents",
+)
+def multimodal_metadata(spark, sf_dir):
+    """Multimodal binary column metadata (payload synthesized from text)."""
+    media = MM.media_from_documents(load_table(spark, sf_dir, "documents"))
+    return media.select("media_id", "kind", "n_bytes")
+
+
+@q("multimodal_featurize")  # rows-only: mapInPandas is not SQL-expressible
+def multimodal_featurize(spark, sf_dir):
+    """Arrow-batched feature extraction over binary payloads (stub decoder);
+    rows-only check by contract — the driver sees no oracle entry."""
+    media = MM.media_from_documents(load_table(spark, sf_dir, "documents"))
+    return MM.featurize_media(media)
