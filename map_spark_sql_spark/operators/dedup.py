@@ -89,22 +89,36 @@ def perm_minhash_sql(hashes_col: str, k: int, d: str) -> str:
     return f"list_min(list_transform({hashes_col}, h -> ({a} * h + {b}) % {MINHASH_P}))"
 
 
-def simhash_sql(text: str, bits: int, d: str) -> str:
-    """SimHash over the token set: bit j of the signature is the sign of
-    sum over tokens of (+1/-1 per bit j of the token hash)."""
+def token_hashes_sql(text: str, d: str) -> str:
+    """Stable hash per token — the ONE expensive (md5) pass; every simhash
+    bit is then a cheap arithmetic fold over this array."""
     w = words_sql(text, d)
     h = stable_hash_sql("t", d)
+    fn = "transform" if d == "spark" else "list_transform"
+    return f"{fn}({w}, t -> {h})"
+
+
+def simhash_from_hashes_sql(hashes: str, bits: int, d: str) -> str:
+    """SimHash from a token-hash array column: bit j of the signature is the
+    sign of sum over tokens of (+1/-1 per bit j of the token hash)."""
     terms = []
     for j in range(bits):
         p = 1 << j
-        bit = f"(CAST(floor({h} / {p}.0) AS BIGINT) % 2)"
+        bit = f"(CAST(floor(h / {p}.0) AS BIGINT) % 2)"
         term = f"CASE WHEN {bit} = 1 THEN 1 ELSE -1 END"
         if d == "spark":
-            total = f"aggregate(transform({w}, t -> {term}), 0, (s, x) -> s + x)"
+            total = f"aggregate(transform({hashes}, h -> {term}), 0, (s, x) -> s + x)"
         else:
-            total = f"list_sum(list_transform({w}, t -> {term}))"
+            total = f"list_sum(list_transform({hashes}, h -> {term}))"
         terms.append(f"CASE WHEN {total} >= 0 THEN {p} ELSE 0 END")
     return "CAST((" + " + ".join(terms) + ") AS BIGINT)"
+
+
+def simhash_sql(text: str, bits: int, d: str) -> str:
+    """One-shot SimHash expression (recomputes token hashes per bit — prefer
+    :func:`token_hashes_sql` + :func:`simhash_from_hashes_sql` staged via a
+    column/CTE, which runs md5 once per token instead of ``bits`` times)."""
+    return simhash_from_hashes_sql(token_hashes_sql(text, d), bits, d)
 
 
 def content_hash_sql(text: str, d: str) -> str:
@@ -117,6 +131,19 @@ def content_hash_sql(text: str, d: str) -> str:
 # ---------------------------------------------------------------------------
 # Spark Column / DataFrame operators
 # ---------------------------------------------------------------------------
+
+
+def _widen(df: DataFrame) -> DataFrame:
+    """Repartition up to default parallelism iff the input is narrower.
+
+    CPU-heavy per-row passes (md5 shingling, simhash) are otherwise bound by
+    input file count; on a real cluster with many input splits this branch
+    never fires.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def content_hash(text: Column | str) -> Column:
@@ -151,8 +178,14 @@ def minhash_signatures(
     shingle: int = 2,
 ) -> DataFrame:
     """Per-document MinHash signature columns m0..m{k-1}; one md5 pass over
-    the shingles, K cheap affine permutations, no shuffle."""
-    base = df.withColumn("_h", F.expr(base_hashes_sql(text_col, shingle, "spark")))
+    the shingles, K cheap affine permutations, no shuffle.
+
+    The hash pass is CPU-bound per row, so it must not be narrower than the
+    cluster: a small file count (one parquet file = one task) would serialize
+    it. ``_widen`` round-robins up to default parallelism only when the scan
+    is narrower — at real scale (thousands of input files) it's a no-op.
+    """
+    base = _widen(df).withColumn("_h", F.expr(base_hashes_sql(text_col, shingle, "spark")))
     cols = [F.col(id_col)]
     for k in range(num_hashes):
         cols.append(F.expr(perm_minhash_sql("_h", k, "spark")).alias(f"m{k}"))
@@ -176,12 +209,17 @@ def minhash_pairs(
     components. Buckets larger than ``max_bucket`` are dropped before the
     self-join (degenerate-bucket / skew guard).
     """
-    rows_per = num_hashes // bands
-    # signature is consumed by the band fan-out AND twice by the estimate
-    # join; persist so the shingle/md5 pass runs once (at real scale this is
-    # the stage you'd checkpoint to storage)
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle).persist()
+    from pyspark.sql import Window
 
+    rows_per = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle)
+
+    # Carry the whole signature array through the band fan-out so the one
+    # bucket self-join yields both signatures — no re-join back to the
+    # signature table (two shuffles saved vs the naive candidates->lookup
+    # plan; at 100 TB the signature table is the big one, so not re-joining
+    # it matters more, not less).
+    sig_arr = F.array(*[F.col(f"m{k}") for k in range(num_hashes)])
     band_structs = []
     for b in range(bands):
         members = [F.col(f"m{b * rows_per + r}").cast("string") for r in range(rows_per)]
@@ -189,46 +227,51 @@ def minhash_pairs(
             F.struct(F.lit(b).alias("band_id"), F.md5(F.concat_ws(":", *members)).alias("band_hash"))
         )
     bands_df = (
-        sig.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("bd"))
-        .select(id_col, "bd.band_id", "bd.band_hash")
+        sig.select(F.col(id_col), sig_arr.alias("sig"), F.explode(F.array(*band_structs)).alias("bd"))
+        .select(id_col, "sig", "bd.band_id", "bd.band_hash")
     )
 
-    bucket_sizes = bands_df.groupBy("band_id", "band_hash").agg(
-        F.count(F.lit(1)).alias("bsz")
-    )
-    bands_df = bands_df.join(
-        bucket_sizes.filter(F.col("bsz") <= max_bucket).select("band_id", "band_hash"),
-        ["band_id", "band_hash"],
+    # Degenerate-bucket guard as a window count over the band shuffle — one
+    # shuffle, versus groupBy + join which needs two.
+    w = Window.partitionBy("band_id", "band_hash")
+    bands_df = (
+        bands_df.withColumn("bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("bsz") <= max_bucket)
+        .drop("bsz")
     )
 
+    # Force a shuffle join: the window above already exchanged on
+    # (band_id, band_hash), and both sides are the identical subplan, so the
+    # shuffled-hash join runs off ONE ReusedExchange — the signature pass is
+    # computed once. The planner's default (broadcasting the whole band
+    # table) recomputes it per side and wouldn't survive 100 TB anyway.
     a = bands_df.alias("a")
-    b = bands_df.alias("b")
-    cand = (
+    b = bands_df.hint("shuffle_hash").alias("b")
+    est = F.expr(
+        "aggregate(zip_with(a.sig, b.sig, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), "
+        f"0, (s, x) -> s + x) / CAST({num_hashes} AS DOUBLE)"
+    )
+    return (
         a.join(b, ["band_id", "band_hash"])
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id"))
-        .distinct()
-    )
-
-    sa = sig.alias("sa")
-    sb = sig.alias("sb")
-    eq_terms = [
-        F.when(F.col(f"sa.m{k}") == F.col(f"sb.m{k}"), 1).otherwise(0)
-        for k in range(num_hashes)
-    ]
-    est = sum(eq_terms[1:], eq_terms[0]) / F.lit(float(num_hashes))
-    return (
-        cand.join(sa, F.col("a_id") == F.col(f"sa.{id_col}"))
-        .join(sb, F.col("b_id") == F.col(f"sb.{id_col}"))
-        .select("a_id", "b_id", F.round(est, 4).alias("est_jaccard"))
+        .select(
+            F.col(f"a.{id_col}").alias("a_id"),
+            F.col(f"b.{id_col}").alias("b_id"),
+            F.round(est, 4).alias("est_jaccard"),
+        )
         .filter(F.col("est_jaccard") >= threshold)
+        .distinct()
     )
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 24) -> DataFrame:
-    return df.select(
-        F.col(id_col),
-        F.expr(simhash_sql(text_col, bits, "spark")).alias("simhash"),
+    return (
+        _widen(df)
+        .withColumn("_th", F.expr(token_hashes_sql(text_col, "spark")))
+        .select(
+            F.col(id_col),
+            F.expr(simhash_from_hashes_sql("_th", bits, "spark")).alias("simhash"),
+        )
     )
 
 
@@ -236,17 +279,27 @@ def simhash_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 24
 ) -> DataFrame:
     """Documents with identical SimHash signatures (hamming distance 0);
-    banded near-matching (hamming <= k) is a follow-on."""
+    banded near-matching (hamming <= k) is a follow-on.
+
+    Shaped as groupBy(simhash) -> in-bucket pair fan-out rather than a
+    self-join: the signature pass (the md5-heavy part) runs once, there is
+    ONE shuffle keyed by signature, and pair generation is a local explode.
+    A self-join would recompute the signatures on both sides and shuffle
+    twice.
+    """
     s = simhash(df, text_col, id_col, bits)
-    a, b = s.alias("a"), s.alias("b")
+    buckets = (
+        s.groupBy("simhash")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = F.expr(
+        "flatten(transform(ids, (a, i) -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), b -> struct(a, b))))"
+    )
     return (
-        a.join(b, "simhash")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("a_id"),
-            F.col(f"b.{id_col}").alias("b_id"),
-            "simhash",
-        )
+        buckets.select("simhash", F.explode(pairs).alias("p"))
+        .select(F.col("p.a").alias("a_id"), F.col("p.b").alias("b_id"), "simhash")
     )
 
 
@@ -308,9 +361,10 @@ WHERE round(({eq_sum}) / {float(num_hashes)}, 4) >= {threshold}
 def simhash_pairs_oracle(
     table: str = "documents", text: str = "text", id_col: str = "doc_id", bits: int = 24
 ) -> str:
-    sh = simhash_sql(text, bits, "duckdb")
+    sh = simhash_from_hashes_sql("_th", bits, "duckdb")
     return (
-        f"WITH s AS (SELECT {id_col}, {sh} AS simhash FROM {table}) "
+        f"WITH th AS (SELECT {id_col}, {token_hashes_sql(text, 'duckdb')} AS _th FROM {table}), "
+        f"s AS (SELECT {id_col}, {sh} AS simhash FROM th) "
         f"SELECT a.{id_col} AS a_id, b.{id_col} AS b_id, a.simhash AS simhash "
         f"FROM s a JOIN s b ON a.simhash = b.simhash AND a.{id_col} < b.{id_col}"
     )
