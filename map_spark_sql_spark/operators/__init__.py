@@ -1,8 +1,9 @@
 """North-star extension operators (SURVEY.md §2.8).
 
 Beyond the reference's surface: the operations a large-scale LLM training-data
-pipeline needs — deduplication, similarity search, text analysis, multimodal
-columns — built Spark-first on the ``documents`` / ``embeddings`` tables.
+pipeline needs — deduplication, similarity search, text analysis, temporal
+joins, multimodal columns — built Spark-first on the ``documents`` /
+``embeddings`` / ``events`` tables.
 """
 
 from map_spark_sql_spark.operators.dedup import (
@@ -10,13 +11,21 @@ from map_spark_sql_spark.operators.dedup import (
     exact_dedup,
     minhash_signatures,
     minhash_pairs,
+    ngram_jaccard_pairs,
     simhash,
     simhash_pairs,
 )
-from map_spark_sql_spark.operators.similarity import cosine_topk, cosine_pairs_lsh
+from map_spark_sql_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_ivf,
+    cosine_pairs_lsh,
+)
+from map_spark_sql_spark.operators.temporal import asof_join, interval_band_join
 from map_spark_sql_spark.operators.text import (
     language_guess,
     quality_stats,
+    rolling_fingerprint,
+    token_counts,
     token_fingerprint,
 )
 
@@ -25,11 +34,17 @@ __all__ = [
     "exact_dedup",
     "minhash_signatures",
     "minhash_pairs",
+    "ngram_jaccard_pairs",
     "simhash",
     "simhash_pairs",
     "cosine_topk",
+    "cosine_topk_ivf",
     "cosine_pairs_lsh",
+    "asof_join",
+    "interval_band_join",
     "language_guess",
     "quality_stats",
+    "rolling_fingerprint",
+    "token_counts",
     "token_fingerprint",
 ]

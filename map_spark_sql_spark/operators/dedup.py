@@ -303,9 +303,97 @@ def simhash_pairs(
     )
 
 
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle: int = 3,
+    threshold: float = 0.2,
+    max_df: int = 200,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via an inverted index (no doc self-join).
+
+    Explode each document's DISTINCT shingle-hash set, drop shingles whose
+    document frequency exceeds ``max_df`` (standard frequent-feature pruning
+    — a stopword shingle shared by half the corpus creates a quadratic
+    posting list and adds no discriminative signal), then fan out in-posting
+    pairs and count shared shingles per pair:
+
+        J(a, b) = shared / (|a| + |b| - shared)
+
+    over the pruned shingle space. Scale shape: rows after explode =
+    sum(|doc| posting entries); the only wide shuffle keys on shingle hash,
+    and the pair count aggregation keys on (a, b) — both well-distributed by
+    construction (max_df bounds the per-key fan-out).
+    """
+    from pyspark.sql import Window
+
+    arr = F.expr(base_hashes_sql(text_col, shingle, "spark"))
+    sh = (
+        _widen(df)
+        .select(F.col(id_col), F.array_distinct(arr).alias("hs"))
+        .withColumn("sz", F.size("hs"))
+        .filter(F.col("sz") > 0)
+        .select(id_col, "sz", F.explode("hs").alias("h"))
+    )
+    sh = (
+        sh.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("h")))
+        .filter(F.col("df") <= max_df)
+        .drop("df")
+    )
+    # posting list -> in-bucket ordered pair fan-out (same join-free shape as
+    # simhash_pairs); members sorted by (id, sz) struct so a < b holds.
+    buckets = (
+        sh.groupBy("h")
+        .agg(F.sort_array(F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("sz").alias("sz")))).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    pairs = F.expr(
+        "flatten(transform(ms, (a, i) -> "
+        "transform(slice(ms, i + 2, size(ms) - i - 1), b -> struct(a.id AS a_id, a.sz AS a_sz, b.id AS b_id, b.sz AS b_sz))))"
+    )
+    shared = (
+        buckets.select(F.explode(pairs).alias("p"))
+        .groupBy("p.a_id", "p.a_sz", "p.b_id", "p.b_sz")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    jac = F.col("shared") / (F.col("a_sz") + F.col("b_sz") - F.col("shared"))
+    return (
+        shared.withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # oracle generators (duckdb dialect)
 # ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs_oracle(
+    table: str = "documents",
+    text: str = "text",
+    id_col: str = "doc_id",
+    shingle: int = 3,
+    threshold: float = 0.2,
+    max_df: int = 200,
+) -> str:
+    """DuckDB twin of :func:`ngram_jaccard_pairs` (plain self-join on the
+    posting table — equivalent pair set, simpler in a single-node oracle)."""
+    hashes = base_hashes_sql(text, shingle, "duckdb")
+    return f"""
+WITH docs AS (SELECT {id_col}, list_distinct({hashes}) AS hs FROM {table}),
+sized AS (SELECT {id_col}, len(hs) AS sz, hs FROM docs WHERE len(hs) > 0),
+sh0 AS (SELECT {id_col}, sz, unnest(hs) AS h FROM sized),
+sh AS (SELECT * FROM (SELECT {id_col}, sz, h, count(*) OVER (PARTITION BY h) AS dfreq FROM sh0) WHERE dfreq <= {max_df}),
+shared AS (
+  SELECT a.{id_col} AS a_id, a.sz AS a_sz, b.{id_col} AS b_id, b.sz AS b_sz,
+         count(*) AS shared
+  FROM sh a JOIN sh b ON a.h = b.h AND a.{id_col} < b.{id_col}
+  GROUP BY a_id, a_sz, b_id, b_sz)
+SELECT a_id, b_id, round(CAST(shared AS DOUBLE) / (a_sz + b_sz - shared), 4) AS jaccard
+FROM shared WHERE round(CAST(shared AS DOUBLE) / (a_sz + b_sz - shared), 4) >= {threshold}
+"""
 
 
 def exact_dedup_oracle(table: str = "documents", text: str = "text", id_col: str = "doc_id") -> str:

@@ -83,6 +83,121 @@ def cosine_topk_oracle(
     )
 
 
+def dot_cols_sql(a: str, b: str, d: str) -> str:
+    """Dot product between two array *columns* (vs :func:`dot_sql`'s
+    column x literal)."""
+    if d == "spark":
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            f"CAST(0 AS DOUBLE), (s, x) -> s + x)"
+        )
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        f"t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))"
+    )
+
+
+def cosine_cols_sql(a: str, b: str, d: str) -> str:
+    return f"({dot_cols_sql(a, b, d)} / ({norm_sql(a, d)} * {norm_sql(b, d)}))"
+
+
+# --- IVF (inverted-file index with coarse quantizer) -------------------------
+
+
+def cosine_topk_ivf(
+    df: DataFrame,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    query_id: int = 0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF approximate top-k: assign every vector to its nearest coarse
+    centroid, probe only the ``nprobe`` centroids closest to the query, and
+    re-rank candidates exactly.
+
+    The coarse quantizer is deterministic — the first ``n_centroids`` vectors
+    by id (a k-means fit would drop in behind the same ``cent`` relation).
+    Scale shape: assignment is a broadcast cross join against ``n_centroids``
+    rows (map-side, no shuffle of the big table); the probe filter keeps
+    ~nprobe/n_centroids of the corpus before the exact re-rank, which is the
+    whole point of IVF at 100 TB. All tie-breaks (equal cosine) resolve to
+    the lower centroid/vector id so the result is reproducible and
+    oracle-checkable.
+    """
+    from pyspark.sql import Window
+
+    cent = df.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    )
+    ccos = F.expr(cosine_cols_sql(vec_col, "cvec", "spark"))
+    assign = (
+        df.crossJoin(F.broadcast(cent))
+        .withColumn("ccos", ccos)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.col("cid"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(id_col, "cid")
+    )
+    q = df.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("qe"))
+    qcos_c = F.expr(cosine_cols_sql("cvec", "qe", "spark"))
+    probes = (
+        cent.crossJoin(F.broadcast(q))
+        .withColumn("qcos", qcos_c)
+        .orderBy(F.desc("qcos"), F.col("cid"))
+        .limit(nprobe)
+        .select("cid")
+    )
+    cand_ids = assign.join(F.broadcast(probes), "cid").select(id_col)
+    sim = F.round(F.expr(cosine_cols_sql(vec_col, "qe", "spark")), 6)
+    return (
+        df.join(cand_ids, id_col)
+        .filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(F.col(id_col), sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def cosine_topk_ivf_oracle(
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    query_id: int = 0,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB twin of :func:`cosine_topk_ivf` — identical assignment, probe,
+    and tie-break logic as chained CTEs."""
+    d = "duckdb"
+    ccos = cosine_cols_sql(vec_col, "cvec", d)
+    qcos_c = cosine_cols_sql("cvec", "qe", d)
+    sim = cosine_cols_sql(vec_col, "qe", d)
+    return f"""
+WITH cent AS (SELECT {id_col} AS cid, {vec_col} AS cvec FROM {table} WHERE {id_col} < {n_centroids}),
+assign0 AS (
+  SELECT e.{id_col}, c.cid,
+         row_number() OVER (PARTITION BY e.{id_col} ORDER BY {ccos} DESC, c.cid) AS rn
+  FROM {table} e CROSS JOIN cent c),
+assign AS (SELECT {id_col}, cid FROM assign0 WHERE rn = 1),
+q AS (SELECT {vec_col} AS qe FROM {table} WHERE {id_col} = {query_id}),
+probes AS (
+  SELECT cid FROM cent CROSS JOIN q ORDER BY {qcos_c} DESC, cid LIMIT {nprobe}),
+cands AS (SELECT {id_col} FROM assign JOIN probes USING (cid))
+SELECT e.{id_col}, round({sim}, 6) AS sim
+FROM {table} e JOIN cands USING ({id_col}) CROSS JOIN q
+WHERE e.{id_col} <> {query_id}
+ORDER BY sim DESC, e.{id_col} LIMIT {k}
+"""
+
+
 # --- LSH (random hyperplane) ------------------------------------------------
 
 

@@ -1,0 +1,103 @@
+"""Temporal join operators: as-of join and interval/range join.
+
+The reference has no joins at all (SURVEY.md §2.3); these are north-star
+extension operators in the custom-operator family the build brief calls out
+(as-of join, range join) — implemented as compositions of existing DataFrame
+ops, per the (a)-path of the custom-operator ladder (composition before
+Pandas UDF before mapPartitions).
+
+**As-of join** (``left`` row matched to the latest ``right`` row with
+``right.ts <= left.ts`` per key) is built on the union + ordered-window
+``last(ignorenulls)`` formulation rather than a join:
+
+- one shuffle, keyed by the join key (the union is shuffle-free);
+- no range predicate in a join condition (which Spark would execute as a
+  broadcast-nested-loop or a sort-merge with per-row scan-back);
+- at 100 TB both sides stream through one sort per partition-key group —
+  the same shape Spark uses for window functions, with well-understood
+  spill behavior. Skewed keys salt the same way any window op does.
+
+The DuckDB oracle uses native ``ASOF LEFT JOIN`` — an independent
+implementation of the same semantics, which makes the correctness check a
+cross-engine differential test of the window formulation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_payload: Sequence[str] = (),
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Match each left row to the most recent right row at-or-before its
+    timestamp, per join key.
+
+    Returns all left columns plus ``{prefix}{col}`` for each
+    ``right_payload`` column and ``{prefix}ts`` (null when no right row
+    precedes). Ties on the timestamp resolve to the right row with the
+    greatest payload struct (deterministic; irrelevant when ``(key, ts)`` is
+    unique on the right, the common case).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+
+    payload = F.struct(
+        F.col(right_ts).alias("__ts"), *[F.col(c).alias(c) for c in right_payload]
+    )
+    r = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__side"),
+        payload.alias("__p"),
+    )
+    l = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r.schema["__p"].dataType).alias("__p"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__row"),
+    )
+    r = r.withColumn("__row", F.lit(None).cast(l.schema["__row"].dataType))
+
+    # right rows sort before left rows at an equal timestamp -> inclusive <=
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__t"), F.col("__side"), F.col("__p"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        l.unionByName(r.select(*l.columns))
+        .withColumn("__m", F.last("__p", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+    )
+    out = [F.col(f"__row.{c}").alias(c) for c in left.columns]
+    out.append(F.col("__m.__ts").alias(f"{prefix}ts"))
+    out += [F.col(f"__m.{c}").alias(f"{prefix}{c}") for c in right_payload]
+    return matched.select(*out)
+
+
+def interval_band_join(
+    df: DataFrame,
+    bands: Sequence[tuple[str, float, float]],
+    value_col: str,
+    band_col: str = "band",
+) -> DataFrame:
+    """Range join of rows to [lo, hi) literal bands via a broadcast inequality
+    join — the band table is tiny by definition, so Catalyst plans a
+    broadcast-nested-loop over it, which is a map-side O(rows x bands) pass,
+    not a shuffle."""
+    spark = df.sparkSession
+    band_df = spark.createDataFrame(
+        [(b, float(lo), float(hi)) for b, lo, hi in bands], f"{band_col} string, lo double, hi double"
+    )
+    cond = (F.col(value_col) >= F.col("lo")) & (F.col(value_col) < F.col("hi"))
+    return df.join(F.broadcast(band_df), cond).drop("lo", "hi")

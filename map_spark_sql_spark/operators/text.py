@@ -96,3 +96,63 @@ def token_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     return df.select(
         F.col(id_col), F.expr(token_fingerprint_sql(text_col, "spark")).alias("fingerprint")
     )
+
+
+# --- rolling-hash fingerprint ------------------------------------------------
+
+ROLL_B = 1_000_003  # polynomial base (prime)
+ROLL_P = 2_147_483_647  # modulus 2^31-1; B*P + h stays well inside int64
+
+
+def rolling_fingerprint_sql(text: str, d: str) -> str:
+    """Order-sensitive document fingerprint: Rabin-Karp polynomial rolling
+    hash folded over the token-hash sequence, ``h_i = (h_{i-1}*B + t_i) mod P``.
+    Unlike :func:`token_fingerprint_sql` (set semantics) this distinguishes
+    permutations — the pair of them separates "same words" from "same text".
+    """
+    from map_spark_sql_spark.operators.dedup import token_hashes_sql
+
+    th = token_hashes_sql(text, d)
+    if d == "spark":
+        return (
+            f"aggregate({th}, CAST(0 AS BIGINT), "
+            f"(s, x) -> (s * {ROLL_B} + x) % {ROLL_P})"
+        )
+    # list_reduce seeds from the first element, so prepend the 0 seed
+    return f"list_reduce([CAST(0 AS BIGINT)] || {th}, (s, x) -> (s * {ROLL_B} + x) % {ROLL_P})"
+
+
+def rolling_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return df.select(
+        F.col(id_col), F.expr(rolling_fingerprint_sql(text_col, "spark")).alias("roll_fp")
+    )
+
+
+# --- token counting (whitespace + BPE-ish regex) ------------------------------
+
+# A BPE-ish pre-tokenizer: letter runs, digit runs, and single non-alnum
+# marks — the word/number/punct split every byte-pair vocabulary starts from.
+BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def token_counts_sql(text: str, d: str) -> dict[str, str]:
+    low = f"lower({text})"
+    ws = _words(low, d)
+    if d == "spark":
+        toks = f"regexp_extract_all({low}, '{BPE_PATTERN}', 0)"
+        n_ws, n_re = f"size({ws})", f"size({toks})"
+        n_uniq = f"size(array_distinct({toks}))"
+    else:
+        toks = f"regexp_extract_all({low}, '{BPE_PATTERN}')"
+        n_ws, n_re = f"len({ws})", f"len({toks})"
+        n_uniq = f"len(list_distinct({toks}))"
+    return {
+        "n_ws_tokens": f"CAST({n_ws} AS INTEGER)",
+        "n_bpe_tokens": f"CAST({n_re} AS INTEGER)",
+        "n_uniq_bpe": f"CAST({n_uniq} AS INTEGER)",
+    }
+
+
+def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    exprs = token_counts_sql(text_col, "spark")
+    return df.select(F.col(id_col), *[F.expr(e).alias(n) for n, e in exprs.items()])

@@ -706,6 +706,94 @@ FROM orders GROUP BY o_orderpriority
 )
 
 
+_shared_sql(
+    "range_join_price_bands",
+    """
+WITH bands AS (SELECT * FROM (VALUES ('low', 0, 60000), ('mid', 60000, 180000),
+                                     ('high', 180000, 1000000)) AS t(band, lo, hi))
+SELECT band, count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band
+""",
+    "Interval/range join against a literal band table (broadcast nested loop "
+    "over 3 rows — map-side, no shuffle of the fact side).",
+)
+
+_shared_sql(
+    "agg_rollup_region_nation",
+    """
+SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+       count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_balance
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+""",
+    "ROLLUP hierarchy aggregation (region -> nation -> grand total).",
+)
+
+_shared_sql(
+    "agg_grouping_sets_orders",
+    """
+SELECT CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+       CAST(grouping(o_orderpriority) AS INTEGER) AS g_prio,
+       coalesce(o_orderstatus, '-') AS status,
+       coalesce(o_orderpriority, '-') AS priority,
+       count(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+    "GROUPING SETS with grouping() indicator columns.",
+)
+
+_shared_sql(
+    "union_all_contacts_by_nation",
+    """
+SELECT n_name, kind, count(*) AS n FROM (
+  SELECT c_nationkey AS nk, 'customer' AS kind FROM customer
+  UNION ALL
+  SELECT s_nationkey AS nk, 'supplier' AS kind FROM supplier
+) u JOIN nation ON nk = n_nationkey
+GROUP BY n_name, kind
+""",
+    "UNION ALL of two relations + dimension join.",
+)
+
+
+# --- as-of join (temporal.py): window formulation vs native DuckDB ASOF -----
+
+from map_spark_sql_spark.operators import temporal as TP
+
+
+@q(
+    "asof_purchase_last_view",
+    """
+WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+v AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view')
+SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, epoch_us(v.ts) AS view_ts_us,
+       v.event_id AS view_event_id, round(v.value, 2) AS view_value
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+""",
+)
+def asof_purchase_last_view(spark, sf_dir):
+    """As-of join: each purchase matched to the user's latest at-or-before
+    view. Spark side is the union+window formulation (operators/temporal.py);
+    the oracle is DuckDB's native ASOF LEFT JOIN — an independent
+    implementation of the same semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts", "value")
+    v = ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts", "value")
+    joined = TP.asof_join(p, v, on="user_id", right_payload=("event_id", "value"), prefix="view_")
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros("view_ts").alias("view_ts_us"),
+        F.col("view_event_id"),
+        F.round("view_value", 2).alias("view_value"),
+    )
+
+
 def _events_bucket(d: str) -> str:
     return (
         "unix_timestamp(ts)" if d == "spark" else "CAST(floor(epoch(ts)) AS BIGINT)"
@@ -776,6 +864,13 @@ def dedup_simhash_pairs(spark, sf_dir):
     return DD.simhash_pairs(load_table(spark, sf_dir, "documents"))
 
 
+@q("dedup_ngram_jaccard", DD.ngram_jaccard_pairs_oracle())
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard pairs via inverted index + frequent-shingle
+    pruning (no doc-side self-join)."""
+    return DD.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
 @q(
     "text_quality_stats",
     "SELECT doc_id, "
@@ -787,6 +882,35 @@ def dedup_simhash_pairs(spark, sf_dir):
 def text_quality_stats(spark, sf_dir):
     """Per-document quality metrics (token/punct/digit/stopword stats)."""
     return TX.quality_stats(load_table(spark, sf_dir, "documents"))
+
+
+@q(
+    "text_token_counts",
+    "SELECT doc_id, "
+    + ", ".join(f"{e} AS {n}" for n, e in TX.token_counts_sql("text", "duckdb").items())
+    + " FROM documents",
+)
+def text_token_counts(spark, sf_dir):
+    """Token counting: whitespace tokens vs BPE-ish regex pre-tokens
+    (letter runs / digit runs / punctuation marks) + distinct count."""
+    return TX.token_counts(load_table(spark, sf_dir, "documents"))
+
+
+@q(
+    "text_rolling_fingerprint",
+    f"SELECT {TX.rolling_fingerprint_sql('text', 'duckdb')} AS roll_fp, "
+    "count(*) AS cluster_size, min(doc_id) AS keeper FROM documents GROUP BY roll_fp",
+)
+def text_rolling_fingerprint(spark, sf_dir):
+    """Order-sensitive rolling-hash (Rabin-Karp) fingerprint clusters —
+    exact-sequence dup detection, vs the order-insensitive token-set
+    fingerprint of dedup_fingerprint_clusters."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        TX.rolling_fingerprint(docs)
+        .groupBy("roll_fp")
+        .agg(F.count(F.lit(1)).alias("cluster_size"), F.min("doc_id").alias("keeper"))
+    )
 
 
 @q(
@@ -831,6 +955,13 @@ def similarity_topk_bruteforce(spark, sf_dir):
     """Brute-force cosine top-10 (TakeOrderedAndProject; per-partition heaps)."""
     _register_views(spark, sf_dir)
     return spark.sql(_sim_query_sql("spark"))
+
+
+@q("similarity_topk_ivf", SIM.cosine_topk_ivf_oracle())
+def similarity_topk_ivf(spark, sf_dir):
+    """IVF approximate top-10: coarse-quantizer assignment, nprobe=2 probe,
+    exact re-rank — the partition-pruned ANN path."""
+    return SIM.cosine_topk_ivf(load_table(spark, sf_dir, "embeddings"))
 
 
 @q("similarity_pairs_lsh", SIM.cosine_pairs_lsh_oracle(bits=6, threshold=0.3))

@@ -1,0 +1,127 @@
+"""Unit tests for the north-star operator modules (dedup, similarity, text,
+temporal) on small hand-built frames — behavior specs independent of the
+driver's oracle harness."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from map_spark_sql_spark.operators import dedup as DD
+from map_spark_sql_spark.operators import similarity as SIM
+from map_spark_sql_spark.operators import temporal as TP
+from map_spark_sql_spark.operators import text as TX
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox leaps over the lazy dog"),  # near dup of 1
+        (4, "dog lazy the over jumps fox brown quick the"),  # permutation of 1
+        (5, "completely different content about spark engines"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestDedup:
+    def test_exact_dedup_groups_identical(self, docs):
+        out = {r["keeper"]: r["copies"] for r in DD.exact_dedup(docs).collect()}
+        assert out[1] == 2  # docs 1 and 2 collapse
+        assert sum(out.values()) == 5
+
+    def test_minhash_identical_docs_estimate_1(self, docs):
+        pairs = {
+            (r["a_id"], r["b_id"]): r["est_jaccard"]
+            for r in DD.minhash_pairs(docs, threshold=0.0, shingle=2).collect()
+        }
+        assert pairs[(1, 2)] == 1.0
+        # near-dup scores below the exact dup but is found
+        assert (1, 3) in pairs and pairs[(1, 3)] < 1.0
+
+    def test_ngram_jaccard_exact_values(self, docs):
+        # unigram shingles: doc1 tokens {the,quick,brown,fox,jumps,over,lazy,dog} (8 distinct)
+        # doc3 swaps jumps->leaps: |A∩B|=7, |A∪B|=9 -> 7/9
+        pairs = {
+            (r["a_id"], r["b_id"]): r["jaccard"]
+            for r in DD.ngram_jaccard_pairs(docs, shingle=1, threshold=0.0).collect()
+        }
+        assert pairs[(1, 2)] == 1.0
+        assert pairs[(1, 4)] == 1.0  # permutation: same token SET
+        assert pairs[(1, 3)] == round(7 / 9, 4)
+        assert (1, 5) not in pairs  # disjoint vocab
+
+    def test_simhash_pairs_find_identical(self, docs):
+        ids = {(r["a_id"], r["b_id"]) for r in DD.simhash_pairs(docs).collect()}
+        assert (1, 2) in ids
+
+
+class TestText:
+    def test_rolling_fingerprint_order_sensitive(self, docs):
+        fp = {r["doc_id"]: r["roll_fp"] for r in TX.rolling_fingerprint(docs).collect()}
+        assert fp[1] == fp[2]  # identical text
+        assert fp[1] != fp[4]  # permutation differs (unlike the set fingerprint)
+
+    def test_token_set_fingerprint_permutation_invariant(self, docs):
+        fp = {r["doc_id"]: r["fingerprint"] for r in TX.token_fingerprint(docs).collect()}
+        assert fp[1] == fp[4]
+
+    def test_token_counts(self, spark):
+        df = spark.createDataFrame([(1, "Hello, world 42!")], "doc_id long, text string")
+        row = TX.token_counts(df).first()
+        # ws tokens: [hello,, world, 42!] = 3; bpe: hello , world 42 ! = 5
+        assert row["n_ws_tokens"] == 3
+        assert row["n_bpe_tokens"] == 5
+        assert row["n_uniq_bpe"] == 5
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def vecs(self, spark):
+        rows = [
+            (0, [1.0, 0.0]),
+            (1, [1.0, 0.1]),   # close to query
+            (2, [0.0, 1.0]),   # orthogonal
+            (3, [-1.0, 0.0]),  # opposite
+            (4, [2.0, 0.0]),   # same direction as query (cos=1)
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_bruteforce_ranking(self, vecs):
+        got = [r["vec_id"] for r in SIM.cosine_topk(vecs, [1.0, 0.0], k=3).collect()]
+        assert got == [0, 4, 1]
+
+    def test_ivf_probes_prune_but_find_near(self, vecs):
+        # centroids = ids < 2; query = id 0; near vector 4 assigns to centroid 0
+        got = SIM.cosine_topk_ivf(vecs, k=2, n_centroids=2, nprobe=1, query_id=0).collect()
+        assert got[0]["vec_id"] == 4 and got[0]["sim"] == 1.0
+
+
+class TestTemporal:
+    def test_asof_join_semantics(self, spark):
+        trades = spark.createDataFrame(
+            [("A", 10, 1), ("A", 25, 2), ("B", 5, 3)], "sym string, ts long, tid long"
+        )
+        quotes = spark.createDataFrame(
+            [("A", 5, 100.0), ("A", 10, 101.0), ("A", 20, 102.0), ("B", 9, 50.0)],
+            "sym string, ts long, px double",
+        )
+        out = {
+            r["tid"]: (r["q_ts"], r["q_px"])
+            for r in TP.asof_join(
+                trades, quotes, on="sym", right_payload=("px",), prefix="q_"
+            ).collect()
+        }
+        assert out[1] == (10, 101.0)  # equal ts is inclusive
+        assert out[2] == (20, 102.0)  # latest at-or-before
+        assert out[3] == (None, None)  # no quote at-or-before ts=5
+
+    def test_interval_band_join(self, spark):
+        df = spark.createDataFrame([(1, 5.0), (2, 15.0), (3, 150.0)], "id long, v double")
+        out = TP.interval_band_join(
+            df, [("lo", 0, 10), ("hi", 10, 100)], value_col="v"
+        )
+        got = {r["id"]: r["band"] for r in out.collect()}
+        assert got == {1: "lo", 2: "hi"}  # 150 falls outside every band
