@@ -291,6 +291,24 @@ def _t2_t3(t1: DataFrame, cfg: MapConfiguration, epsg: str, zoom: int) -> DataFr
     )
 
 
+def materialize_pyramid(pyramid: dict[int, DataFrame], write) -> None:
+    """Run the pyramid's writes deepest-zoom-first with labeled jobs.
+
+    X7 (``TileMapBuilder.java:67,70``): each zoom's job carries a
+    ``setJobDescription`` for UI observability; O8 (``TileMapBuilder.java:69``):
+    z16 first — the slowest job starts while the cluster is fully free and
+    fails fast.
+    """
+    for zoom in sorted(pyramid, reverse=True):
+        df = pyramid[zoom]
+        sc = df.sparkSession.sparkContext
+        sc.setJobDescription(f"Processing zoom {zoom}")
+        try:
+            write(zoom, df)
+        finally:
+            sc.setJobDescription(None)
+
+
 def with_salt_column(df: DataFrame, key_col: str = "key") -> DataFrame:
     """Expose the salt prefix as its own column for the sink repartition
     (X2, SaltPrefixPartitioner.java:29-31 parses it back out of the key)."""

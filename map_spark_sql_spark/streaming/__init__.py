@@ -1,8 +1,9 @@
 from map_spark_sql_spark.streaming.events import (
+    custom_sessionize,
     read_event_stream,
     run_to_memory,
     session_windows,
     tumbling_counts,
 )
 
-__all__ = ["read_event_stream", "run_to_memory", "session_windows", "tumbling_counts"]
+__all__ = ["custom_sessionize", "read_event_stream", "run_to_memory", "session_windows", "tumbling_counts"]

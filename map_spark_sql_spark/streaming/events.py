@@ -102,13 +102,116 @@ def session_windows(
     )
 
 
-def run_to_memory(result: DataFrame, name: str, timeout_sec: int = 120) -> DataFrame:
+SESSION_STATE_SCHEMA = "start_us long, end_us long, n_events long, session_value double"
+SESSION_OUT_SCHEMA = (
+    "user_id long, session_start_us long, session_end_us long, "
+    "n_events long, session_value double, open boolean"
+)
+
+
+def custom_sessionize(
+    events: DataFrame, gap_minutes: int = 30, close_on_timeout: bool = False
+) -> DataFrame:
+    """Custom stateful sessionization via ``applyInPandasWithState`` — the
+    escape hatch for session semantics the built-in ``session_window`` can't
+    express (here the logic is deliberately the same gap rule so the batch
+    twin pins correctness; swap the fold for value-based or count-based
+    session closing and the plumbing stays identical).
+
+    Per user, events fold into (start, end, n, value) runs split on
+    inactivity > gap; closed sessions emit with ``open=false``, the trailing
+    run emits as an ``open=true`` snapshot and is carried in state across
+    micro-batches. State per key is one fixed-width tuple — bounded
+    regardless of event volume, the property that matters at scale.
+
+    ``close_on_timeout=True`` additionally closes idle state via
+    processing-time timeout once the stream goes quiet. It is off by default
+    because Spark 4.1's timeout-triggered extra micro-batch hits an internal
+    planner NPE (PythonSQLMetrics with a null plan session) under
+    availableNow on local mode; downstream consumers get the same
+    information from the ``open=true`` snapshots.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def sessionize(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, end, n, val = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": user_id,
+                        "session_start_us": start,
+                        "session_end_us": end,
+                        "n_events": n,
+                        "session_value": val,
+                        "open": False,
+                    }
+                ]
+            )
+            return
+
+        rows = pd.concat(list(pdf_iter)).sort_values("ts")
+        ts_us = (rows["ts"].astype("int64") // 1000).tolist()
+        values = rows["value"].tolist()
+
+        start = end = None
+        n, val = 0, 0.0
+        if state.exists:
+            start, end, n, val = state.get
+
+        out = []
+        for t, v in zip(ts_us, values):
+            if start is not None and t - end > gap_us:
+                out.append((user_id, start, end, n, val, False))
+                start, n, val = None, 0, 0.0
+            if start is None:
+                start = t
+            n += 1
+            val += float(v)
+            end = t
+        out.append((user_id, start, end, n, val, True))
+        state.update((start, end, n, val))
+        if close_on_timeout:
+            state.setTimeoutDuration(gap_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "user_id",
+                "session_start_us",
+                "session_end_us",
+                "n_events",
+                "session_value",
+                "open",
+            ],
+        )
+
+    return events.select("user_id", "ts", "value").groupBy("user_id").applyInPandasWithState(
+        sessionize,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if close_on_timeout
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+
+
+def run_to_memory(
+    result: DataFrame, name: str, timeout_sec: int = 120, output_mode: str = "complete"
+) -> DataFrame:
     """Run a streaming plan over the currently-available data (availableNow)
     into an in-memory table and return it as a batch DataFrame."""
     query = (
         result.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

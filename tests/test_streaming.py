@@ -34,3 +34,41 @@ def test_session_windows_runs(spark):
     r = rows[0]
     assert r.session_end >= r.session_start
     assert r.n_events >= 1
+
+
+def test_custom_sessionize_matches_builtin_session_window(spark):
+    """applyInPandasWithState custom sessionization must reproduce the
+    built-in session_window's (user, start, end, n) partition exactly, and
+    its value sums within float tolerance."""
+    from map_spark_sql_spark.streaming import custom_sessionize
+
+    stream = read_event_stream(spark, f"{SF_DIR}/events.parquet")
+    got = run_to_memory(
+        custom_sessionize(stream, gap_minutes=30), "t_custom_sessions", output_mode="update"
+    )
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("session_value"))
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            # built-in session_window end = last event + gap; normalize to last event
+            (F.unix_micros("w.end") - 30 * 60 * 1_000_000).alias("session_end_us"),
+            "n_events",
+            "session_value",
+        )
+    )
+    g = {
+        (r.user_id, r.session_start_us): (r.session_end_us, r.n_events, r.session_value)
+        for r in got.collect()
+    }
+    b = {
+        (r.user_id, r.session_start_us): (r.session_end_us, r.n_events, r.session_value)
+        for r in batch.collect()
+    }
+    assert set(g) == set(b) and len(g) > 0
+    for k, (end_g, n_g, v_g) in g.items():
+        end_b, n_b, v_b = b[k]
+        assert (end_g, n_g) == (end_b, n_b)
+        assert abs(v_g - v_b) < 1e-6
