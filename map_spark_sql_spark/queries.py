@@ -613,6 +613,71 @@ GROUP BY n_name
 )
 
 _shared_sql(
+    "tpch_q3_shipping_priority",
+    """
+SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY o_orderkey, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""",
+    "TPC-H Q3 shape: selective dimension filter + two joins + grouped top-10 "
+    "(TakeOrderedAndProject after partial agg).",
+)
+
+_shared_sql(
+    "tpch_q6_forecast_revenue",
+    """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    "TPC-H Q6 shape: pure scan-side conjunctive predicate -> single global "
+    "agg; the pushdown/codegen showcase (zero joins, zero wide shuffles).",
+)
+
+_shared_sql(
+    "tpch_q10_returned_items",
+    """
+SELECT c_custkey, n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+    "TPC-H Q10 shape: fact-fact join + dimension broadcasts + top-20.",
+)
+
+_shared_sql(
+    "tpch_q17_small_quantity",
+    """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly, count(*) AS n
+FROM lineitem l1
+JOIN part ON p_partkey = l_partkey
+WHERE p_size <= 5
+  AND l_quantity < (SELECT 0.5 * avg(l_quantity)
+                    FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+""",
+    "TPC-H Q17 shape: correlated scalar subquery (decorrelates to an "
+    "aggregate + join in both engines).",
+)
+
+_shared_sql(
     "join_semi_exists",
     """
 SELECT o_orderpriority, count(*) AS n

@@ -62,6 +62,41 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def read_source(
+    spark: SparkSession,
+    path: str,
+    format: str = "parquet",
+    schema: str | None = None,
+    **options: str,
+) -> DataFrame:
+    """Generic source scan (S1 family): parquet / csv / json / avro / orc /
+    text directory or glob.
+
+    The reference's single source is an Avro directory glob with inferred
+    schema (``MapBuilder.java:134-139``); this exposes the same adapter over
+    every built-in format. Avro needs the ``spark-avro`` module on the
+    classpath (bundled in some distributions, ``--packages`` otherwise) — the
+    error is rethrown with that hint. For schemaless text formats pass an
+    explicit ``schema`` at scale: inference reads the data twice.
+    """
+    reader = spark.read.format(format)
+    if schema is not None:
+        reader = reader.schema(schema)
+    if format == "csv" and "header" not in options:
+        options["header"] = "true"
+    if options:
+        reader = reader.options(**options)
+    try:
+        return reader.load(path)
+    except Exception as e:  # pragma: no cover - classpath-dependent
+        if format == "avro" and "AVRO" in str(e).upper():
+            raise RuntimeError(
+                "avro source requires the spark-avro module "
+                "(spark.jars.packages org.apache.spark:spark-avro_2.13:<spark version>)"
+            ) from e
+        raise
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in names}
 
