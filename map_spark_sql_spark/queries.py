@@ -468,6 +468,8 @@ def _t3_query(epsg: str, zoom: int):
 for _epsg, _zoom, _name in [
     ("EPSG:3857", 2, "tiles_mercator_z2"),
     ("EPSG:4326", 1, "tiles_wgs84_z1"),
+    ("EPSG:3575", 1, "tiles_arctic_z1"),
+    ("EPSG:3031", 1, "tiles_antarctic_z1"),
 ]:
     _fn, _orc = _t3_query(_epsg, _zoom)
     _fn.__doc__ = (
@@ -475,6 +477,94 @@ for _epsg, _zoom, _name in [
         f"{_epsg} z{_zoom} (TileMapBuilder.java:113-158)."
     )
     q(_name, _orc)(_fn)
+
+
+# --- full tiles-path nested output (A5+A6): per-tile feature blob ------------
+
+
+def _tiles_features_query(epsg: str, zoom: int):
+    xs, ys = PJ.global_pixel_xy_sql(epsg, zoom, TILE_SIZE, "lat", "lng")
+    s_tiles = TL.tile_addresses_sql(epsg, zoom, TILE_SIZE, BUFFER, "px", "py", "spark")
+    d_tiles = TL.tile_addresses_sql(epsg, zoom, TILE_SIZE, BUFFER, "px", "py", "duckdb")
+
+    def spark_fn(spark, sf_dir):
+        expl = _exploded_df(spark, sf_dir)
+        t1 = (
+            expl.withColumn("px", F.expr(xs))
+            .withColumn("py", F.expr(ys))
+            .filter("px IS NOT NULL")
+            .groupBy("mapKey", "px", "py", "borYear")
+            .agg(F.count(F.lit(1)).alias("occCount"))
+        )
+        t3 = t1.withColumn("t", F.explode(F.expr(s_tiles)))
+        feat = F.concat_ws(
+            ":",
+            F.col("t.pixelX").cast("string"),
+            F.col("t.pixelY").cast("string"),
+            F.col("borYear").cast("string"),
+            F.col("occCount").cast("string"),
+        )
+        return (
+            t3.withColumn("feat", feat)
+            .groupBy("mapKey", F.col("t.tileX").alias("x"), F.col("t.tileY").alias("y"))
+            .agg(F.array_join(F.array_sort(F.collect_list("feat")), "|").alias("tile"))
+        )
+
+    oracle = _oracle(
+        f"SELECT mapKey, x, y, string_agg(feat, '|' ORDER BY feat) AS tile FROM ("
+        f"  SELECT mapKey, u.tileX AS x, u.tileY AS y,"
+        f"         CAST(u.pixelX AS STRING) || ':' || CAST(u.pixelY AS STRING) || ':' ||"
+        f"         CAST(borYear AS STRING) || ':' || CAST(occCount AS STRING) AS feat"
+        f"  FROM ("
+        f"    SELECT mapKey, borYear, occCount, unnest({d_tiles}) AS u FROM ("
+        f"      SELECT mapKey, px, py, borYear, count(*) AS occCount FROM ("
+        f"        SELECT mapKey, borYear, {xs} AS px, {ys} AS py FROM expl"
+        f"      ) a WHERE px IS NOT NULL GROUP BY mapKey, px, py, borYear"
+        f"    ) b"
+        f"  ) c"
+        f") d GROUP BY mapKey, x, y"
+    )
+    return spark_fn, oracle
+
+
+_fn, _orc = _tiles_features_query("EPSG:3857", 1)
+_fn.__doc__ = (
+    "Full tiles-path nested output: per-tile pixel/feature lists (A5+A6, "
+    "TileMapBuilder.java:130-155), encoded as sorted '|'-joined blobs for "
+    "order-insensitive cross-engine hashing (SURVEY §7 caveat d)."
+)
+q("tiles_features_z1", _orc)(_fn)
+
+
+# --- JSON functions over the events.props column -----------------------------
+
+
+def _json_k(d: str) -> str:
+    if d == "spark":
+        return "CAST(get_json_object(props, '$.k') AS INTEGER)"
+    return "CAST(json_extract_string(props, '$.k') AS INTEGER)"
+
+
+@q(
+    "json_props_stats",
+    f"""
+SELECT event_type, count(*) AS n, sum({_json_k('duckdb')}) AS sum_k,
+       min({_json_k('duckdb')}) AS min_k, max({_json_k('duckdb')}) AS max_k
+FROM events GROUP BY event_type
+""",
+)
+def json_props_stats(spark, sf_dir):
+    """JSON extraction over a string payload column (absent in the reference
+    — SURVEY §2.6 'no JSON functions'; exposed because semi-structured
+    payload columns are routine at scale)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.expr(_json_k("spark"))
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
 
 
 # --- pyramid roll-up equivalence (SURVEY §4 optimization, oracle = recompute)
