@@ -30,7 +30,10 @@ HEADLINE = [
     "window_top_order_per_customer",
     # north-star ops
     "dedup_minhash_pairs",
+    "dedup_ngram_jaccard",
     "similarity_topk_bruteforce",
+    "similarity_topk_ivf",
+    "asof_purchase_last_view",
     "events_tumbling_5min",
 ]
 
@@ -50,7 +53,8 @@ def main() -> None:
     # one-time whole-stage-codegen JIT of those expression classes isn't
     # billed to the first timed query.
     QUERIES["mapkeys_threshold"](spark, sf_dir).count()
-    QUERIES["dedup_minhash_pairs"](spark, "/root/testdata/sf0.001").count()
+    for warm in ("dedup_minhash_pairs", "dedup_ngram_jaccard", "similarity_topk_ivf"):
+        QUERIES[warm](spark, "/root/testdata/sf0.001").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -20,6 +20,7 @@ from map_spark_sql_spark.operators.similarity import (
     cosine_topk_ivf,
     cosine_pairs_lsh,
 )
+from map_spark_sql_spark.operators.skew import salted_collect_list
 from map_spark_sql_spark.operators.temporal import asof_join, interval_band_join
 from map_spark_sql_spark.operators.text import (
     language_guess,
@@ -41,6 +42,7 @@ __all__ = [
     "cosine_topk_ivf",
     "cosine_pairs_lsh",
     "asof_join",
+    "salted_collect_list",
     "interval_band_join",
     "language_guess",
     "quality_stats",

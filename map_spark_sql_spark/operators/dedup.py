@@ -37,12 +37,16 @@ def words_sql(text: str, d: str) -> str:
     return f"{fn}({text}, ' ')"
 
 
-def shingles_sql(text: str, n: int, d: str) -> str:
-    """n-word shingles joined by spaces; 1-based element access in both
-    dialects; documents shorter than n words yield an empty shingle list
-    (Spark ``sequence(1, 0)`` would count *down*, so it needs an explicit
-    empty-guard; DuckDB ``range(1, 1)`` is already empty)."""
-    w = words_sql(text, d)
+def shingles_from_words_sql(w: str, n: int, d: str) -> str:
+    """n-word shingles from a *words array* expression; 1-based element
+    access in both dialects; documents shorter than n words yield an empty
+    shingle list (Spark ``sequence(1, 0)`` would count *down*, so it needs an
+    explicit empty-guard; DuckDB ``range(1, 1)`` is already empty).
+
+    IMPORTANT (hot-path): pass a staged *column* as ``w``, not an inline
+    ``split(...)`` — Catalyst does not common-subexpression-eliminate inside
+    higher-order-function lambdas, so an inlined split re-evaluates once per
+    ``element_at`` (≈ 3 × shingle-count times per document)."""
     if n == 1:
         return w
     if d == "spark":
@@ -54,6 +58,13 @@ def shingles_sql(text: str, n: int, d: str) -> str:
         )
     parts = " || ' ' || ".join(f"({w})[CAST(i AS INT) + {j}]" for j in range(n))
     return f"list_transform(range(1, greatest(len({w}) - {n - 2}, 1)), i -> {parts})"
+
+
+def shingles_sql(text: str, n: int, d: str) -> str:
+    """One-shot shingles from a text expression (inlines the words split —
+    fine for single-pass oracles, not for the Spark hot path; see
+    :func:`shingles_from_words_sql`)."""
+    return shingles_from_words_sql(words_sql(text, d), n, d)
 
 
 # MinHash permutation family: m_k = min over shingles of (a_k*h + b_k) mod P,
@@ -72,13 +83,19 @@ def _perm_coeffs(k: int) -> tuple[int, int]:
     return (ha % (MINHASH_P - 1)) | 1, hb % MINHASH_P
 
 
-def base_hashes_sql(text: str, n: int, d: str) -> str:
-    """One stable hash per shingle, pre-reduced mod P."""
-    sh = shingles_sql(text, n, d)
+def base_hashes_from_words_sql(w: str, n: int, d: str) -> str:
+    """One stable hash per shingle (from a staged words column), mod P."""
+    sh = shingles_from_words_sql(w, n, d)
     h = stable_hash_sql("s", d)
     if d == "spark":
         return f"transform({sh}, s -> {h} % {MINHASH_P})"
     return f"list_transform({sh}, s -> {h} % {MINHASH_P})"
+
+
+def base_hashes_sql(text: str, n: int, d: str) -> str:
+    """One stable hash per shingle, pre-reduced mod P (single-expression
+    form for oracles)."""
+    return base_hashes_from_words_sql(words_sql(text, d), n, d)
 
 
 def perm_minhash_sql(hashes_col: str, k: int, d: str) -> str:
@@ -185,7 +202,11 @@ def minhash_signatures(
     it. ``_widen`` round-robins up to default parallelism only when the scan
     is narrower — at real scale (thousands of input files) it's a no-op.
     """
-    base = _widen(df).withColumn("_h", F.expr(base_hashes_sql(text_col, shingle, "spark")))
+    base = (
+        _widen(df)
+        .withColumn("_w", F.expr(words_sql(text_col, "spark")))
+        .withColumn("_h", F.expr(base_hashes_from_words_sql("_w", shingle, "spark")))
+    )
     cols = [F.col(id_col)]
     for k in range(num_hashes):
         cols.append(F.expr(perm_minhash_sql("_h", k, "spark")).alias(f"m{k}"))
@@ -326,34 +347,49 @@ def ngram_jaccard_pairs(
     and the pair count aggregation keys on (a, b) — both well-distributed by
     construction (max_df bounds the per-key fan-out).
     """
-    from pyspark.sql import Window
-
-    arr = F.expr(base_hashes_sql(text_col, shingle, "spark"))
     sh = (
         _widen(df)
-        .select(F.col(id_col), F.array_distinct(arr).alias("hs"))
+        .withColumn("_w", F.expr(words_sql(text_col, "spark")))
+        .select(
+            F.col(id_col),
+            F.array_distinct(
+                F.expr(base_hashes_from_words_sql("_w", shingle, "spark"))
+            ).alias("hs"),
+        )
         .withColumn("sz", F.size("hs"))
-        .filter(F.col("sz") > 0)
-        .select(id_col, "sz", F.explode("hs").alias("h"))
-    )
-    sh = (
-        sh.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("h")))
-        .filter(F.col("df") <= max_df)
-        .drop("df")
+        # explode_outer + post-filter, NOT plain explode: for explode, the
+        # InferFiltersFromGenerate rule synthesizes `size(hs) > 0` below the
+        # Generate and predicate-pushdown drags it through the repartition
+        # into the parquet scan as a DataFilter — whose expression is the
+        # whole shingle-hash pipeline, evaluated a second time and
+        # single-threaded in the (one-file) scan task. explode_outer gets no
+        # inferred filter; empty shingle sets surface as one h=NULL row each
+        # and are dropped right here.
+        .select(id_col, "sz", F.explode_outer("hs").alias("h"))
+        .filter(F.col("h").isNotNull())
     )
     # posting list -> in-bucket ordered pair fan-out (same join-free shape as
-    # simhash_pairs); members sorted by (id, sz) struct so a < b holds.
+    # simhash_pairs); members sorted by (id, sz) struct so a < b holds. The
+    # max_df cap is the collected posting-list length — one groupBy carries
+    # both the cap and the fan-out (a separate document-frequency window pass
+    # would re-sort the whole posting table for the same information).
     buckets = (
         sh.groupBy("h")
         .agg(F.sort_array(F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("sz").alias("sz")))).alias("ms"))
-        .filter(F.size("ms") > 1)
+        .filter((F.size("ms") > 1) & (F.size("ms") <= max_df))
     )
     pairs = F.expr(
         "flatten(transform(ms, (a, i) -> "
         "transform(slice(ms, i + 2, size(ms) - i - 1), b -> struct(a.id AS a_id, a.sz AS a_sz, b.id AS b_id, b.sz AS b_sz))))"
     )
+    # The pair fan-out multiplies rows ~(bucket-1)/2-fold, so the stage must
+    # not inherit the *input's* AQE-coalesced partitioning (the bucket table
+    # is tiny by bytes — AQE would collapse it to one task and serialize the
+    # explosion). An explicit repartition-by-num is exempt from coalescing.
+    par = df.sparkSession.sparkContext.defaultParallelism
     shared = (
-        buckets.select(F.explode(pairs).alias("p"))
+        buckets.repartition(par, "h")
+        .select(F.explode(pairs).alias("p"))
         .groupBy("p.a_id", "p.a_sz", "p.b_id", "p.b_sz")
         .agg(F.count(F.lit(1)).alias("shared"))
     )

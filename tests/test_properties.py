@@ -1,0 +1,165 @@
+"""Property-based and invariant tests.
+
+Hypothesis drives the pure-Python binary codecs (no Spark in the loop, so the
+full example budget is cheap); the Spark-side invariants (projection bounds,
+pyramid halving, codec inverses, salted-collect equivalence) run as dense
+grids inside single Spark jobs.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from map_spark_sql_spark.plans.tiles import (
+    decode_point_features_py,
+    decode_tile_py,
+    encode_point_features_py,
+    encode_tile_py,
+)
+
+# --- pure-Python codec roundtrips (hypothesis) ------------------------------
+
+feature = st.fixed_dictionaries(
+    {
+        "lat": st.floats(-90, 90, allow_nan=False),
+        "lng": st.floats(-180, 180, allow_nan=False),
+        "borYear": st.integers(0, 2**31 - 1),
+        "occCount": st.integers(0, 2**62),
+    }
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(feature, max_size=20))
+def test_point_features_roundtrip(features):
+    rows = [
+        {"lat": f["lat"], "lng": f["lng"], "borYear": f["borYear"], "occCount": f["occCount"]}
+        for f in features
+    ]
+    back = decode_point_features_py(encode_point_features_py(rows))
+    assert len(back) == len(rows)
+    for a, b in zip(rows, back):
+        assert a["borYear"] == b["borYear"] and a["occCount"] == b["occCount"]
+        assert math.isclose(a["lat"], b["lat"]) and math.isclose(a["lng"], b["lng"])
+
+
+pixel = st.fixed_dictionaries(
+    {
+        "px": st.integers(0, 511),
+        "py": st.integers(0, 511),
+        "features": st.lists(
+            st.fixed_dictionaries(
+                {"borYear": st.integers(0, 2**31 - 1), "occCount": st.integers(0, 2**62)}
+            ),
+            max_size=8,
+        ),
+    }
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(pixel, max_size=10))
+def test_tile_roundtrip(pixels):
+    back = decode_tile_py(encode_tile_py(pixels))
+    assert back == [
+        {"px": p["px"], "py": p["py"], "features": [dict(f) for f in p["features"]]}
+        for p in pixels
+    ]
+
+
+# --- Spark-side invariants (dense grids, one job each) ----------------------
+
+
+def _latlng_grid(spark):
+    """Latitudes/longitudes including every boundary the projections care
+    about (web-mercator clip, poles, date line) plus a dense interior grid."""
+    lats = [-90.0, -89.9, -85.0511288, -85.05, -60.0, -1.0, 0.0, 1.0, 45.0, 85.05, 85.0511288, 89.9, 90.0]
+    lngs = [-180.0, -179.999, -90.0, -0.001, 0.0, 0.001, 90.0, 179.999, 180.0]
+    lats += [x / 3.0 for x in range(-255, 256, 15)]
+    lngs += [x / 3.0 for x in range(-537, 538, 30)]
+    rows = [(la, ln) for la in lats for ln in lngs]
+    return spark.createDataFrame(rows, "lat double, lng double")
+
+
+def test_projection_bounds_and_halving(spark):
+    """For every CRS and zoom: non-null pixels lie inside the world grid, and
+    pixel(z) == pixel(z+1) div 2 — the invariant the pyramid roll-up relies
+    on (SURVEY §4)."""
+    from map_spark_sql_spark.functions.projection import global_pixel_xy_sql
+
+    tile_size = 512
+    grid = _latlng_grid(spark)
+    checks = []
+    for epsg, width_tiles in [("EPSG:3857", 1), ("EPSG:4326", 2), ("EPSG:3575", 1), ("EPSG:3031", 1)]:
+        for z in range(0, 4):
+            xs, ys = global_pixel_xy_sql(epsg, z, tile_size, "lat", "lng")
+            xs1, ys1 = global_pixel_xy_sql(epsg, z + 1, tile_size, "lat", "lng")
+            w = width_tiles * tile_size * (2**z)
+            h = tile_size * (2**z)
+            tag = f"{epsg}@z{z}"
+            checks.append(
+                F.sum(
+                    F.when(
+                        F.expr(
+                            f"({xs}) IS NOT NULL AND ("
+                            f"({xs}) < 0 OR ({xs}) >= {w} OR ({ys}) < 0 OR ({ys}) >= {h}"
+                            f" OR ({xs}) != CAST(({xs1}) / 2 AS INT) * 1"
+                            f" OR CAST(({xs1}) / 2 AS INT) != ({xs})"
+                            f" OR CAST(({ys1}) / 2 AS INT) != ({ys})"
+                            f")",
+                        ),
+                        1,
+                    ).otherwise(0)
+                ).alias(tag.replace(":", "_").replace("@", "_"))
+            )
+    row = grid.select(*checks).first()
+    bad = {k: v for k, v in row.asDict().items() if v}
+    assert not bad, f"violations: {bad}"
+
+
+def test_boryear_codec_inverse_grid(spark):
+    """decode(encode(bor, year)) == (bor, year) over the full bor set and a
+    year sweep including NULL (EncodeBorYearUDF.java:58-71 inverse pair)."""
+    from map_spark_sql_spark.functions.encode import (
+        BOR_MAPPING,
+        decode_bor,
+        decode_year,
+        encode_bor_year,
+    )
+
+    rows = [
+        (b, y)
+        for b in BOR_MAPPING
+        for y in [None, 0, 1, 1600, 1999, 2000, 2026, 9999]
+    ]
+    df = spark.createDataFrame(rows, "bor string, year int")
+    out = (
+        df.withColumn("e", encode_bor_year(F.col("bor"), F.col("year")))
+        .withColumn("bor2", decode_bor(F.col("e")))
+        .withColumn("year2", decode_year(F.col("e")))
+    )
+    for r in out.collect():
+        assert r["bor2"] == r["bor"]
+        expect_year = r["year"] if r["year"] not in (None, 0) else None
+        assert r["year2"] == expect_year, r
+
+
+def test_salted_collect_list_equivalence(spark):
+    """salted_collect_list == plain collect_list as per-key multisets."""
+    from map_spark_sql_spark.operators.skew import salted_collect_list
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 7).alias("k"), (F.col("id") * 31 % 997).alias("v")
+    )
+    plain = {
+        r["k"]: sorted(r["items"])
+        for r in df.groupBy("k").agg(F.collect_list("v").alias("items")).collect()
+    }
+    salted = {
+        r["k"]: sorted(r["items"])
+        for r in salted_collect_list(df, ["k"], "v", buckets=8).collect()
+    }
+    assert salted == plain
