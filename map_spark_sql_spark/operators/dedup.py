@@ -150,17 +150,7 @@ def content_hash_sql(text: str, d: str) -> str:
 # ---------------------------------------------------------------------------
 
 
-def _widen(df: DataFrame) -> DataFrame:
-    """Repartition up to default parallelism iff the input is narrower.
-
-    CPU-heavy per-row passes (md5 shingling, simhash) are otherwise bound by
-    input file count; on a real cluster with many input splits this branch
-    never fires.
-    """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+from map_spark_sql_spark.sources.readers import widen as _widen
 
 
 def content_hash(text: Column | str) -> Column:

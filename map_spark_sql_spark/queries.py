@@ -101,8 +101,12 @@ _DIMS = [
 
 
 def occurrence_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Derived occurrence DataFrame (Spark side)."""
-    ev = load_table(spark, sf_dir, "events")
+    """Derived occurrence DataFrame (Spark side). Widened first: the single
+    testdata file would otherwise pin the derivation + key fan-out + partial
+    aggregation to one map task."""
+    from map_spark_sql_spark.sources.readers import widen
+
+    ev = widen(load_table(spark, sf_dir, "events"))
     fields = _occ_fields("spark")
     return ev.select(*[F.expr(sql).alias(name) for name, sql in fields.items()])
 

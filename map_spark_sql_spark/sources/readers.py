@@ -62,6 +62,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def widen(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to default parallelism iff the input is
+    narrower.
+
+    CPU-heavy per-row stages (key fan-out, shingle hashing, projections) are
+    otherwise bound by input file count — the driver testdata is one file per
+    table, i.e. ONE map task. On a real cluster with many splits this is a
+    no-op; the explicit number exempts it from AQE coalescing.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def read_source(
     spark: SparkSession,
     path: str,
