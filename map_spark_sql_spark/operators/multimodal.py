@@ -106,3 +106,68 @@ def featurize_media(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
             )
 
     return media.mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def resize_media(media: DataFrame, max_dim: int = 64) -> DataFrame:
+    """Resize stub over ``mapInPandas``: metadata is scaled exactly (the real
+    contract — aspect-preserving fit into ``max_dim``); the payload transform
+    is a deterministic stand-in (byte subsampling at the same ratio) where a
+    real build would call Pillow via :func:`decode_image`. The Spark-side
+    plumbing — schema, Arrow batching, payload-in/payload-out — is real."""
+
+    def shrink(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = []
+            for r in pdf.itertuples(index=False):
+                scale = min(1.0, max_dim / max(int(r.width), int(r.height), 1))
+                w2, h2 = max(1, int(r.width * scale)), max(1, int(r.height * scale))
+                step = max(1, int(1 / scale) if scale < 1 else 1)
+                payload = bytes(r.payload)[::step]
+                out_rows.append((r.media_id, r.kind, payload, w2, h2, len(payload)))
+            yield pd.DataFrame(
+                out_rows, columns=["media_id", "kind", "payload", "width", "height", "n_bytes"]
+            )
+
+    return media.mapInPandas(shrink, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame", BinaryType()),
+        StructField("frame_bytes", IntegerType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, frame_size: int = 256, every_nth: int = 4) -> DataFrame:
+    """Frame-sampling stub: treat the payload as a sequence of fixed-size
+    frames and emit every Nth — the 1->N fan-out shape of real video frame
+    extraction (one input row becomes many output rows inside one Arrow
+    batch; no shuffle). ffmpeg would slot into the chunking step."""
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                payload = bytes(r.payload)
+                n = len(payload) // frame_size + (1 if len(payload) % frame_size else 0)
+                for i in range(0, n, every_nth):
+                    chunk = payload[i * frame_size : (i + 1) * frame_size]
+                    rows.append((r.media_id, i, chunk, len(chunk)))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame", "frame_bytes"])
+
+    return media.mapInPandas(frames, schema=FRAME_SCHEMA)

@@ -344,6 +344,39 @@ def points_features(spark, sf_dir):
     )
 
 
+@q(
+    "points_features_salted",
+    _oracle(
+        "SELECT mapKey, string_agg(feat, '|' ORDER BY feat) AS features FROM ("
+        "  SELECT mapKey, CAST(floor(lat*1000) AS BIGINT) || ':' || CAST(floor(lng*1000) AS BIGINT)"
+        "         || ':' || CAST(borYear AS STRING) || ':' || CAST(count(*) AS STRING) AS feat"
+        "  FROM expl WHERE mapKey NOT IN (SELECT mapKey FROM large)"
+        "  GROUP BY mapKey, floor(lat*1000), floor(lng*1000), borYear"
+        ") GROUP BY mapKey"
+    ),
+)
+def points_features_salted(spark, sf_dir):
+    """A6 via the two-phase salted collect (operators/skew.py) — identical
+    output to points_features with the whale-key reducer bottleneck removed;
+    the oracle is the same SQL, so the driver gate pins the equivalence."""
+    from map_spark_sql_spark.operators.skew import salted_collect_list
+
+    counts = points_counts(spark, sf_dir)
+    feat = F.concat_ws(
+        ":",
+        F.col("latk").cast("string"),
+        F.col("lngk").cast("string"),
+        F.col("borYear").cast("string"),
+        F.col("occCount").cast("string"),
+    )
+    collected = salted_collect_list(
+        counts.withColumn("feat", feat), ["mapKey"], "feat", out_col="feats", buckets=8
+    )
+    return collected.select(
+        "mapKey", F.array_join(F.array_sort("feats"), "|").alias("features")
+    )
+
+
 # --- U5: salted keys --------------------------------------------------------
 
 

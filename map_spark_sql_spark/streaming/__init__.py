@@ -1,9 +1,10 @@
 from map_spark_sql_spark.streaming.events import (
     custom_sessionize,
+    purchase_view_join,
     read_event_stream,
     run_to_memory,
     session_windows,
     tumbling_counts,
 )
 
-__all__ = ["custom_sessionize", "read_event_stream", "run_to_memory", "session_windows", "tumbling_counts"]
+__all__ = ["custom_sessionize", "purchase_view_join", "read_event_stream", "run_to_memory", "session_windows", "tumbling_counts"]

@@ -203,6 +203,40 @@ def custom_sessionize(
     )
 
 
+def purchase_view_join(
+    events: DataFrame, window_minutes: int = 30, watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream interval join: each purchase joined to the same user's
+    views within the preceding ``window_minutes``.
+
+    Both sides carry watermarks and the join condition bounds event time on
+    both sides, so state eviction is well-defined (Spark drops view state
+    older than watermark + window). This is the streaming twin of the
+    as-of/interval join family in operators/temporal.py, restricted as
+    streaming requires: equality key + two-sided time bound.
+    """
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("p_ts"), "event_id")
+        .withWatermark("p_ts", watermark)
+    )
+    cond = F.expr(
+        f"user_id = v_user AND view_ts BETWEEN p_ts - INTERVAL {window_minutes} MINUTES AND p_ts"
+    )
+    return p.join(v, cond, "inner").select(
+        "event_id", "user_id", "p_ts", "view_id", "view_ts"
+    )
+
+
 def run_to_memory(
     result: DataFrame, name: str, timeout_sec: int = 120, output_mode: str = "complete"
 ) -> DataFrame:

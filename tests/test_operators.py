@@ -99,6 +99,39 @@ class TestSimilarity:
         assert got[0]["vec_id"] == 4 and got[0]["sim"] == 1.0
 
 
+class TestMultimodal:
+    @pytest.fixture(scope="class")
+    def media(self, spark):
+        from map_spark_sql_spark.operators.multimodal import media_from_documents
+        from map_spark_sql_spark.sources.readers import load_table
+
+        return media_from_documents(load_table(spark, "/root/testdata/sf0.001", "documents"))
+
+    def test_resize_fits_and_scales(self, media):
+        from map_spark_sql_spark.operators.multimodal import resize_media
+
+        out = resize_media(media, max_dim=64)
+        rows = out.collect()
+        assert len(rows) == media.count()
+        for r in rows[:50]:
+            assert 1 <= r.width <= 64 and 1 <= r.height <= 64
+            assert r.n_bytes == len(r.payload)
+
+    def test_sample_frames_fanout_and_determinism(self, media):
+        from map_spark_sql_spark.operators.multimodal import sample_frames
+
+        out = sample_frames(media, frame_size=64, every_nth=2)
+        rows = out.limit(500).collect()
+        assert rows, "frame fan-out produced no rows"
+        for r in rows:
+            assert r.frame_idx % 2 == 0
+            assert r.frame_bytes == len(r.frame) and r.frame_bytes <= 64
+        # deterministic: same plan, same output
+        a = sorted((r.media_id, r.frame_idx, bytes(r.frame)) for r in out.collect())
+        b = sorted((r.media_id, r.frame_idx, bytes(r.frame)) for r in out.collect())
+        assert a == b
+
+
 class TestTemporal:
     def test_asof_join_semantics(self, spark):
         trades = spark.createDataFrame(

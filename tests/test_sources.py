@@ -83,6 +83,21 @@ class TestSaltedSink:
         assert spark.read.parquet(tmp_out).count() == df.count()
 
 
+class TestPartitionPruning:
+    def test_partitioned_write_prunes_at_scan(self, spark, tmp_out):
+        """Hive-style partitioned layout + a partition-column predicate must
+        prune at planning time (PartitionFilters, not DataFilters) — the O5
+        input-subsetting analogue at scale."""
+        ev = load_table(spark, SF_DIR, "events")
+        ev.write.partitionBy("event_type").parquet(tmp_out)
+        back = spark.read.parquet(tmp_out).filter(F.col("event_type") == "purchase")
+        plan = back._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan
+        pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+        assert "event_type" in pf
+        assert back.count() == ev.filter("event_type = 'purchase'").count()
+
+
 class TestTableMaterialization:
     def test_save_as_table_roundtrip(self, spark):
         """S2 (MapBuilder.java:171-173): materialize -> re-scan by table name."""

@@ -36,6 +36,31 @@ def test_session_windows_runs(spark):
     assert r.n_events >= 1
 
 
+def test_purchase_view_join_matches_batch(spark):
+    """Stream-stream interval join == the equivalent batch join."""
+    from map_spark_sql_spark.streaming import purchase_view_join
+
+    stream = read_event_stream(spark, f"{SF_DIR}/events.parquet")
+    got = run_to_memory(purchase_view_join(stream), "t_pv_join", output_mode="append")
+
+    ev = load_table(spark, SF_DIR, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), "event_id"
+    )
+    batch = p.join(
+        v,
+        F.expr("user_id = v_user AND view_ts BETWEEN p_ts - INTERVAL 30 MINUTES AND p_ts"),
+    ).select("event_id", "user_id", "p_ts", "view_id", "view_ts")
+
+    g = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert g == b and len(g) > 0
+
+
 def test_custom_sessionize_matches_builtin_session_window(spark):
     """applyInPandasWithState custom sessionization must reproduce the
     built-in session_window's (user, start, end, n) partition exactly, and
