@@ -291,6 +291,64 @@ def _t2_t3(t1: DataFrame, cfg: MapConfiguration, epsg: str, zoom: int) -> DataFr
     )
 
 
+def materialize(df: DataFrame, path: str) -> DataFrame:
+    """O2 materialization barrier (``MapBuilder.java:129-133,171-173``):
+    write parquet and re-read, cutting lineage so multi-consumer subplans
+    (the ingest output feeds stats, the points path, and every
+    projection x zoom of the tiles path) are computed once, not once per
+    downstream action."""
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
+def run_pipeline(
+    occurrence: DataFrame,
+    cfg: MapConfiguration,
+    out_dir: str,
+    derive_lower_zooms: bool = True,
+) -> dict[str, str]:
+    """The complete reference job (``MapBuilder.run``, SURVEY §3.1), end to
+    end: ingest -> materialize -> stats -> route -> points (encode + salted
+    sorted write) and per-projection tile pyramids (encode + salted sorted
+    write per zoom). Returns the output layout.
+    """
+    from map_spark_sql_spark.plans.tiles import (
+        encode_point_features,
+        encode_tiles,
+        to_key_values,
+    )
+    from map_spark_sql_spark.sources.writers import write_salted_sorted
+
+    ing = materialize(ingest(occurrence, cfg), f"{out_dir}/ingested")
+    large = keys_exceeding_threshold(map_key_stats(ing), cfg)
+
+    points = points_path(route_points(ing, large), cfg)
+    kv = to_key_values(encode_point_features(points), "EPSG_4326", "features")
+    write_salted_sorted(
+        with_salt_column(kv),
+        f"{out_dir}/points",
+        num_partitions=cfg.key_salt_modulus,
+    )
+
+    routed = route_tiles(ing, large)
+    layout = {"ingested": f"{out_dir}/ingested", "points": f"{out_dir}/points"}
+    for epsg in cfg.projections:
+        pyramid = tile_pyramid(routed, cfg, epsg, derive_lower_zooms=derive_lower_zooms)
+        family = epsg.replace(":", "_")
+
+        def write_zoom(zoom: int, df: DataFrame, _family: str = family) -> None:
+            kv = to_key_values(encode_tiles(df), _family, "tile")
+            write_salted_sorted(
+                with_salt_column(kv),
+                f"{out_dir}/tiles/{_family}/z{zoom}",
+                num_partitions=cfg.key_salt_modulus,
+            )
+
+        materialize_pyramid(pyramid, write_zoom)
+        layout[f"tiles/{family}"] = f"{out_dir}/tiles/{family}"
+    return layout
+
+
 def materialize_pyramid(pyramid: dict[int, DataFrame], write) -> None:
     """Run the pyramid's writes deepest-zoom-first with labeled jobs.
 

@@ -952,6 +952,37 @@ GROUP BY n_name, kind
 )
 
 
+def _pctl(col: str, p: float, d: str) -> str:
+    if d == "spark":
+        return f"percentile({col}, {p})"
+    return f"quantile_cont({col}, {p})"
+
+
+@q(
+    "orders_price_percentiles",
+    f"""
+SELECT o_orderpriority,
+       round({_pctl('o_totalprice', 0.5, 'duckdb')}, 2) AS p50,
+       round({_pctl('o_totalprice', 0.9, 'duckdb')}, 2) AS p90,
+       round({_pctl('o_totalprice', 0.99, 'duckdb')}, 2) AS p99
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def orders_price_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (Spark `percentile` == DuckDB
+    `quantile_cont`); the ordered-aggregate family."""
+    _register_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+SELECT o_orderpriority,
+       round({_pctl('o_totalprice', 0.5, 'spark')}, 2) AS p50,
+       round({_pctl('o_totalprice', 0.9, 'spark')}, 2) AS p90,
+       round({_pctl('o_totalprice', 0.99, 'spark')}, 2) AS p99
+FROM orders GROUP BY o_orderpriority
+"""
+    )
+
+
 # --- as-of join (temporal.py): window formulation vs native DuckDB ASOF -----
 
 from map_spark_sql_spark.operators import temporal as TP

@@ -125,6 +125,35 @@ def test_binary_encoders_roundtrip(occurrence_df):
         assert decoded == want
 
 
+def test_run_pipeline_end_to_end(occurrence_df, spark, tmp_path):
+    """The whole reference job on sf0.001: ingest -> route -> points write +
+    2-zoom mercator pyramid writes; outputs re-readable with sink schema."""
+    from map_spark_sql_spark.config import MapConfiguration
+    from map_spark_sql_spark.plans.pipeline import run_pipeline
+
+    cfg = MapConfiguration(
+        tiles_threshold=3, max_zoom=1, key_salt_modulus=10,
+        projections=("EPSG:3857",),
+    )
+    out = str(tmp_path / "pipe")
+    layout = run_pipeline(occurrence_df, cfg, out)
+
+    pts = spark.read.parquet(layout["points"])
+    assert set(pts.columns) == {"key", "family", "qualifier", "value", "salt"}
+    assert pts.count() > 0
+    assert pts.filter("qualifier != 'features'").count() == 0
+
+    z0 = spark.read.parquet(f"{layout['tiles/EPSG_3857']}/z0")
+    z1 = spark.read.parquet(f"{layout['tiles/EPSG_3857']}/z1")
+    assert z0.count() > 0 and z1.count() > 0
+    assert z0.filter("family != 'EPSG_3857'").count() == 0
+    # tile binary payloads decode (X5 inverse)
+    from map_spark_sql_spark.plans.tiles import decode_tile_py
+
+    blob = z0.select("value").first()[0]
+    assert decode_tile_py(bytes(blob))
+
+
 def test_key_value_assembly(occurrence_df):
     ing = P.ingest(occurrence_df, CFG)
     large = P.keys_exceeding_threshold(P.map_key_stats(ing), CFG)

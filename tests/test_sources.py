@@ -32,6 +32,15 @@ class TestReadSource:
         # csv/json come back typeless-ish; key columns must survive by name
         assert set(c.lower() for c in back.columns) == set(c.lower() for c in src.columns)
 
+    def test_avro_gated_with_hint(self, spark, tmp_out):
+        """This container ships no spark-avro module; the adapter must fail
+        with the classpath hint rather than a raw datasource error."""
+        import pytest as _pytest
+
+        with _pytest.raises(Exception) as ei:
+            read_source(spark, tmp_out, "avro")
+        assert "spark-avro" in str(ei.value) or "AVRO" in str(ei.value).upper()
+
     def test_csv_explicit_schema(self, spark, tmp_out):
         src = load_table(spark, SF_DIR, "region")
         src.write.format("csv").option("header", "true").save(tmp_out)
