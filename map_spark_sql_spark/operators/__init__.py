@@ -20,6 +20,7 @@ from map_spark_sql_spark.operators.similarity import (
     cosine_topk_ivf,
     cosine_pairs_lsh,
 )
+from map_spark_sql_spark.operators.grouped import geomean_by, zscore_by
 from map_spark_sql_spark.operators.skew import salted_collect_list
 from map_spark_sql_spark.operators.temporal import asof_join, interval_band_join
 from map_spark_sql_spark.operators.text import (
@@ -43,6 +44,8 @@ __all__ = [
     "cosine_pairs_lsh",
     "asof_join",
     "salted_collect_list",
+    "geomean_by",
+    "zscore_by",
     "interval_band_join",
     "language_guess",
     "quality_stats",

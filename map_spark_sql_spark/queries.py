@@ -952,6 +952,30 @@ GROUP BY n_name, kind
 )
 
 
+from map_spark_sql_spark.operators import grouped as GR
+
+
+@q(
+    "udaf_geomean_order_price",
+    GR.geomean_by_oracle("orders", "o_orderpriority", "o_totalprice"),
+)
+def udaf_geomean_order_price(spark, sf_dir):
+    """GROUPED_AGG pandas UDF (custom aggregate surface) — geometric mean of
+    order totals per priority; oracle = exp(avg(ln(x)))."""
+    out = GR.geomean_by(load_table(spark, sf_dir, "orders"), "o_orderpriority", "o_totalprice")
+    return out.withColumn("geomean", F.round("geomean", 2))
+
+
+@q(
+    "grouped_map_zscore",
+    GR.zscore_by_oracle("events", "event_type", "value", "event_id"),
+)
+def grouped_map_zscore(spark, sf_dir):
+    """applyInPandas grouped-map surface — within-type z-scores per event;
+    oracle = the window-function formulation."""
+    return GR.zscore_by(load_table(spark, sf_dir, "events"), "event_type", "value", "event_id")
+
+
 def _pctl(col: str, p: float, d: str) -> str:
     if d == "spark":
         return f"percentile({col}, {p})"
