@@ -58,6 +58,24 @@ class TestDedup:
         assert (1, 2) in ids
 
 
+class TestPlanHygiene:
+    def test_no_hof_in_scan_filters_and_no_python_udf(self, docs):
+        """Regression guard for the InferFiltersFromGenerate pushdown
+        pathology (SCALE.md pitfalls): no scan DataFilter may contain a
+        higher-order function, and dedup plans stay JVM-only."""
+        import re
+
+        for build in (
+            lambda: DD.minhash_pairs(docs),
+            lambda: DD.ngram_jaccard_pairs(docs),
+            lambda: DD.simhash_pairs(docs),
+        ):
+            plan = build()._jdf.queryExecution().executedPlan().toString()
+            assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+            for flt in re.findall(r"DataFilters: \[([^\]]*)\]", plan):
+                assert "transform(" not in flt and "aggregate(" not in flt, flt
+
+
 class TestText:
     def test_rolling_fingerprint_order_sensitive(self, docs):
         fp = {r["doc_id"]: r["roll_fp"] for r in TX.rolling_fingerprint(docs).collect()}
