@@ -38,6 +38,35 @@ class MapConfiguration:
     # materialization write; None => leave it to AQE.
     ingest_partitions: int | None = None
 
+    @classmethod
+    def from_yaml(cls, path: str) -> "MapConfiguration":
+        """Load from the reference's YAML layout (``example.yml:14-31``):
+        top-level ``tilesThreshold``/``tileSize``/``tileBufferSize``/
+        ``maxZoom`` plus ``hbase.keySaltModulus``. Infra-only keys (HDFS
+        paths, hive DB, ZK lock config) are accepted and ignored — our sinks
+        are parquet directories passed to ``run_pipeline`` directly."""
+        import yaml
+
+        with open(path) as f:
+            doc = yaml.safe_load(f) or {}
+        kwargs = {}
+        for yml_key, field_name in [
+            ("tilesThreshold", "tiles_threshold"),
+            ("tileSize", "tile_size"),
+            ("tileBufferSize", "tile_buffer_size"),
+            ("maxZoom", "max_zoom"),
+        ]:
+            if yml_key in doc:
+                kwargs[field_name] = int(doc[yml_key])
+        if isinstance(doc.get("hbase"), dict) and "keySaltModulus" in doc["hbase"]:
+            kwargs["key_salt_modulus"] = int(doc["hbase"]["keySaltModulus"])
+        if "projections" in doc:
+            kwargs["projections"] = tuple(doc["projections"])
+        cfg = cls(**kwargs)
+        if cfg.max_zoom > 16:
+            raise ValueError("maxZoom must be 16 or less (TileXYUDF.java:65 int limit)")
+        return cfg
+
     @property
     def salt_width(self) -> int:
         """Digits in the zero-padded salt prefix: salt of modulus 100 -> '07'.

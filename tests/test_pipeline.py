@@ -125,6 +125,28 @@ def test_binary_encoders_roundtrip(occurrence_df):
         assert decoded == want
 
 
+def test_config_from_yaml(tmp_path):
+    """Parse the reference's YAML layout (example.yml keys); infra keys
+    ignored; zoom-16 int-addressing guard enforced."""
+    from map_spark_sql_spark.config import MapConfiguration
+
+    p = tmp_path / "cfg.yml"
+    p.write_text(
+        "appName: x\nsnapshotDirectory: hdfs://ignored\ntilesThreshold: 250000\n"
+        "tileSize: 512\ntileBufferSize: 64\nmaxZoom: 12\n"
+        "hbase:\n  keySaltModulus: 100\n  tableName: ignored\n"
+    )
+    cfg = MapConfiguration.from_yaml(str(p))
+    assert (cfg.tiles_threshold, cfg.max_zoom, cfg.key_salt_modulus) == (250000, 12, 100)
+    assert cfg.salt_width == 2
+
+    p.write_text("maxZoom: 17\n")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        MapConfiguration.from_yaml(str(p))
+
+
 def test_run_pipeline_end_to_end(occurrence_df, spark, tmp_path):
     """The whole reference job on sf0.001: ingest -> route -> points write +
     2-zoom mercator pyramid writes; outputs re-readable with sink schema."""

@@ -36,6 +36,35 @@ def test_session_windows_runs(spark):
     assert r.n_events >= 1
 
 
+def test_file_sink_with_checkpoint(spark, tmp_path):
+    """Production sink shape: writeStream to parquet with a checkpoint dir
+    (exactly-once file sink), availableNow bounded run."""
+    stream = read_event_stream(spark, f"{SF_DIR}/events.parquet")
+    agg = tumbling_counts(stream)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    back = spark.read.parquet(out)
+    # append mode emits only watermark-closed windows; the bounded stream
+    # closes all but the tail, so the sink holds a strict, non-empty subset
+    batch = sorted(map(tuple, (
+        load_table(spark, SF_DIR, "events")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    ).collect()))
+    got = sorted(map(tuple, back.collect()))
+    assert 0 < len(got) <= len(batch)
+    assert set(got) <= set(batch)
+
+
 def test_purchase_view_join_matches_batch(spark):
     """Stream-stream interval join == the equivalent batch join."""
     from map_spark_sql_spark.streaming import purchase_view_join
