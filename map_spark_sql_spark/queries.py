@@ -604,6 +604,51 @@ def json_props_stats(spark, sf_dir):
     )
 
 
+# --- Z-order sink clustering -------------------------------------------------
+
+from map_spark_sql_spark.functions.zorder import morton_sql as _morton_sql
+
+
+def _tiles_zorder_oracle() -> str:
+    xs, ys = PJ.global_pixel_xy_sql("EPSG:3857", 3, TILE_SIZE, "lat", "lng")
+    return _oracle(
+        f"SELECT x, y, {_morton_sql('x', 'y')} AS zkey, count(*) AS n, "
+        f"sum(occCount) AS occCount FROM ("
+        f"  SELECT CAST(floor(px / {TILE_SIZE}) AS INTEGER) AS x,"
+        f"         CAST(floor(py / {TILE_SIZE}) AS INTEGER) AS y, occCount FROM ("
+        f"    SELECT px, py, count(*) AS occCount FROM ("
+        f"      SELECT {xs} AS px, {ys} AS py FROM expl"
+        f"    ) a WHERE px IS NOT NULL GROUP BY px, py"
+        f"  ) b"
+        f") c GROUP BY x, y"
+    )
+
+
+@q("tiles_zorder_keys", _tiles_zorder_oracle())
+def tiles_zorder_keys(spark, sf_dir):
+    """Morton/Z-order tile keys (functions/zorder.py): the sink clustering
+    order that keeps map-adjacent tiles adjacent in key space. Aggregates
+    per-tile pixel counts at EPSG:3857 z3 and attaches the interleaved key;
+    the oracle evaluates the identical shift/mask expression in DuckDB."""
+    xs, ys = PJ.global_pixel_xy_sql("EPSG:3857", 3, TILE_SIZE, "lat", "lng")
+    expl = _exploded_df(spark, sf_dir)
+    px_counts = (
+        expl.withColumn("px", F.expr(xs))
+        .withColumn("py", F.expr(ys))
+        .filter("px IS NOT NULL")
+        .groupBy("px", "py")
+        .agg(F.count(F.lit(1)).alias("occCount"))
+    )
+    return (
+        px_counts.withColumn("x", F.floor(F.col("px") / TILE_SIZE).cast("int"))
+        .withColumn("y", F.floor(F.col("py") / TILE_SIZE).cast("int"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("occCount").alias("occCount"))
+        .withColumn("zkey", F.expr(_morton_sql("x", "y")))
+        .select("x", "y", "zkey", "n", "occCount")
+    )
+
+
 # --- pyramid roll-up equivalence (SURVEY §4 optimization, oracle = recompute)
 
 

@@ -24,7 +24,7 @@ def write_salted_sorted(
     df: DataFrame,
     path: str,
     salt_col: str = "salt",
-    key_col: str = "key",
+    key_col: str | tuple[str, ...] = "key",
     num_partitions: int | None = None,
     partition_by: tuple[str, ...] = (),
     mode: str = "overwrite",
@@ -33,12 +33,16 @@ def write_salted_sorted(
 
     ``num_partitions`` defaults to the salt cardinality the caller chose
     (the reference uses ``10^saltDigits`` partitions so each partition maps
-    1:1 onto an HBase region).
+    1:1 onto an HBase region). ``key_col`` may be a tuple for composite sink
+    orders — e.g. ``("mapKey", "zkey")`` with a Z-order key
+    (functions/zorder.py) clusters spatially-adjacent tiles into adjacent
+    file ranges, minimizing range reads for viewport scans.
     """
     parts = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    keys = [key_col] if isinstance(key_col, str) else list(key_col)
     out = (
         df.repartition(int(parts), F.col(salt_col))
-        .sortWithinPartitions(key_col)
+        .sortWithinPartitions(*keys)
         .write.mode(mode)
     )
     if partition_by:

@@ -147,6 +147,38 @@ def test_boryear_codec_inverse_grid(spark):
         assert r["year2"] == expect_year, r
 
 
+@settings(max_examples=300, deadline=None)
+@given(st.integers(0, 2**16 - 1), st.integers(0, 2**16 - 1))
+def test_morton_locality_property(x, y):
+    """Morton invariants (python twin): bijective bit interleave; moving one
+    step in x or y changes the key by a bounded-structure amount (the key's
+    even/odd bit planes are exactly x and y)."""
+    from map_spark_sql_spark.functions.zorder import morton_py
+
+    m = morton_py(x, y)
+    # de-interleave recovers inputs (bijectivity)
+    xr = sum(((m >> (2 * i)) & 1) << i for i in range(16))
+    yr = sum(((m >> (2 * i + 1)) & 1) << i for i in range(16))
+    assert (xr, yr) == (x, y)
+
+
+def test_morton_spark_duckdb_python_parity(spark):
+    """The SQL expression equals the python twin in BOTH engines."""
+    import duckdb
+
+    from map_spark_sql_spark.functions.zorder import morton_py, morton_sql
+
+    rows = [(x, y) for x in (0, 1, 2, 3, 255, 256, 65535) for y in (0, 1, 127, 65535)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    got_s = {(r.x, r.y): r.m for r in df.selectExpr("x", "y", f"{morton_sql('x', 'y')} AS m").collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(x int, y int)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    got_d = {(x, y): m for x, y, m in con.execute(f"SELECT x, y, {morton_sql('x', 'y')} FROM t").fetchall()}
+    for x, y in rows:
+        assert got_s[(x, y)] == got_d[(x, y)] == morton_py(x, y)
+
+
 def test_salted_collect_list_equivalence(spark):
     """salted_collect_list == plain collect_list as per-key multisets."""
     from map_spark_sql_spark.operators.skew import salted_collect_list
