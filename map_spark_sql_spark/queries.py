@@ -1086,6 +1086,47 @@ def asof_purchase_last_view(spark, sf_dir):
     )
 
 
+@q(
+    "events_sessions_batch",
+    """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+numbered AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM marked)
+SELECT user_id, CAST(min(epoch_us(ts)) AS BIGINT) AS session_start_us,
+       CAST(max(epoch_us(ts)) AS BIGINT) AS session_end_us,
+       count(*) AS n_events, round(sum(value), 2) AS session_value
+FROM numbered GROUP BY user_id, session_no
+""",
+)
+def events_sessions_batch(spark, sf_dir):
+    """Batch sessionization via the built-in session_window, oracle-pinned
+    against DuckDB's gap-islands formulation (lag -> cumulative sum -> group)
+    — two independent constructions of the same 30-minute-gap semantics.
+    Spark's session end (last + gap) is normalized to the last event."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            (F.unix_micros("w.end") - 30 * 60 * 1_000_000).alias("session_end_us"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
 def _events_bucket(d: str) -> str:
     return (
         "unix_timestamp(ts)" if d == "spark" else "CAST(floor(epoch(ts)) AS BIGINT)"

@@ -92,6 +92,39 @@ class TestSaltedSink:
         assert spark.read.parquet(tmp_out).count() == df.count()
 
 
+class TestBucketedJoin:
+    def test_bucketed_tables_join_without_shuffle(self, spark):
+        """bucketBy on the join key co-locates both sides: the join plans
+        with NO Exchange (SURVEY §2.3 / SCALE.md rule 3 — at 100 TB this is
+        how repeated fact-fact joins avoid re-shuffling terabytes)."""
+        o = load_table(spark, SF_DIR, "orders")
+        l = load_table(spark, SF_DIR, "lineitem")
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+        try:
+            o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("t_orders_b")
+            l.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("t_lineitem_b")
+            j = (
+                spark.table("t_orders_b")
+                .join(
+                    spark.table("t_lineitem_b").hint("merge"),
+                    F.col("o_orderkey") == F.col("l_orderkey"),
+                )
+                .groupBy("o_orderpriority")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            # no exchange BELOW the join (the groupBy above it still shuffles):
+            # both join inputs read pre-bucketed
+            below_join = plan.split("SortMergeJoin", 1)[1]
+            assert "Exchange hashpartitioning" not in below_join, plan[:2000]
+            assert j.count() > 0
+        finally:
+            spark.sql("DROP TABLE IF EXISTS t_orders_b")
+            spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
 class TestPartitionPruning:
     def test_partitioned_write_prunes_at_scan(self, spark, tmp_out):
         """Hive-style partitioned layout + a partition-column predicate must
