@@ -1021,6 +1021,101 @@ def grouped_map_zscore(spark, sf_dir):
     return GR.zscore_by(load_table(spark, sf_dir, "events"), "event_type", "value", "event_id")
 
 
+@q(
+    "pivot_status_by_priority",
+    """
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def pivot_status_by_priority(spark, sf_dir):
+    """groupBy().pivot() — wide-format counts per order status; the oracle is
+    the equivalent FILTERed aggregation."""
+    o = load_table(spark, sf_dir, "orders")
+    out = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0)
+    )
+    return out.select(
+        "o_orderpriority",
+        F.col("F").alias("n_f"),
+        F.col("O").alias("n_o"),
+        F.col("P").alias("n_p"),
+    )
+
+
+@q(
+    "unpivot_order_measures",
+    """
+SELECT o_orderpriority, measure, round(sum(val), 2) AS total FROM (
+  SELECT o_orderpriority, 'totalprice' AS measure, o_totalprice AS val FROM orders
+  UNION ALL
+  SELECT o_orderpriority, 'custkey', CAST(o_custkey AS DOUBLE) FROM orders
+) u GROUP BY o_orderpriority, measure
+""",
+)
+def unpivot_order_measures(spark, sf_dir):
+    """unpivot/melt (wide -> long); the oracle is the UNION ALL expansion."""
+    o = load_table(spark, sf_dir, "orders")
+    long = o.select(
+        "o_orderpriority",
+        F.col("o_totalprice").alias("totalprice"),
+        F.col("o_custkey").cast("double").alias("custkey"),
+    ).unpivot(
+        ["o_orderpriority"], ["totalprice", "custkey"], "measure", "val"
+    )
+    return long.groupBy("o_orderpriority", "measure").agg(
+        F.round(F.sum("val"), 2).alias("total")
+    )
+
+
+def _nullsafe(d: str) -> str:
+    return "<=>" if d == "spark" else "IS NOT DISTINCT FROM"
+
+
+@q(
+    "null_safe_taxon_match",
+    _oracle(
+        f"SELECT count(*) AS n_eq_nullsafe, "
+        f"count(CASE WHEN genusKey = taxonKey THEN 1 END) AS n_eq_plain "
+        f"FROM (SELECT genusKey, taxonKey FROM occ) t "
+        f"WHERE genusKey {_nullsafe('duckdb')} taxonKey"
+    ),
+)
+def null_safe_taxon_match(spark, sf_dir):
+    """Null-safe equality (<=> / IS NOT DISTINCT FROM): NULL<=>NULL matches,
+    unlike plain = (which the n_eq_plain count demonstrates)."""
+    occ = occurrence_df(spark, sf_dir)
+    return occ.filter(F.expr(f"genusKey {_nullsafe('spark')} taxonKey")).select(
+        F.count(F.lit(1)).alias("n_eq_nullsafe"),
+        F.count(F.when(F.col("genusKey") == F.col("taxonKey"), 1)).alias("n_eq_plain"),
+    )
+
+
+@q(
+    "events_daily_rollup",
+    """
+SELECT CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS day_us, event_type,
+       count(*) AS n, round(sum(value), 2) AS total
+FROM events GROUP BY day_us, event_type
+""",
+)
+def events_daily_rollup(spark, sf_dir):
+    """date_trunc calendar rollup (date/time function family), keyed by
+    epoch micros for engine-portable hashing."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("day_us", F.unix_micros(F.date_trunc("day", "ts")))
+        .groupBy("day_us", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )
+
+
 def _pctl(col: str, p: float, d: str) -> str:
     if d == "spark":
         return f"percentile({col}, {p})"
