@@ -209,7 +209,11 @@ def tiles_path(
 
 
 def tile_pyramid(
-    routed: DataFrame, cfg: MapConfiguration, epsg: str, derive_lower_zooms: bool = True
+    routed: DataFrame,
+    cfg: MapConfiguration,
+    epsg: str,
+    derive_lower_zooms: bool = True,
+    persist_t1: bool | None = None,
 ) -> dict[int, DataFrame]:
     """All zoom levels maxZoom..0 for one projection (TileMapBuilder.java:66-77).
 
@@ -220,7 +224,17 @@ def tile_pyramid(
     z is ``pixel(z+1) div 2`` — which scans ~1/17th of the data for the lower
     pyramid. Both modes produce identical t1 aggregates; tests assert the
     equivalence and the oracle pins the recompute semantics.
+
+    ``persist_t1`` (default: on when deriving) caches each level's t1
+    aggregate so the derivation chain doesn't lazily recompute all higher
+    zooms on every level's action — without it, deriving is *slower* than
+    recomputing, because level z's action replays z+1..maxZoom. This is the
+    in-memory form of the reference's O2 materialization barriers; swap the
+    persist for a parquet echo (``materialize``) when t1 exceeds cluster
+    cache.
     """
+    if persist_t1 is None:
+        persist_t1 = derive_lower_zooms
     if epsg == "EPSG:3031":
         routed = routed.filter(F.col("lat") <= 1)
     counts = routed.groupBy("mapKey", "lat", "lng", "borYear").agg(
@@ -251,6 +265,8 @@ def tile_pyramid(
                 .groupBy("mapKey", "xy", "borYear")
                 .agg(F.sum("occCount").alias("occCount"))
             )
+        if persist_t1:
+            t1 = t1.persist()
         out[zoom] = _t2_t3(t1, cfg, epsg, zoom)
     return out
 
