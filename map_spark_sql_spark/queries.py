@@ -1300,6 +1300,32 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 @q(
+    "dedup_embedding_cosine",
+    f"""
+WITH pairs AS ({SIM.cosine_pairs_lsh_oracle(bits=6, threshold=0.3)})
+SELECT p.a_id, p.b_id, p.sim, least(da.doc_id, db.doc_id) AS keeper
+FROM pairs p
+JOIN documents da ON da.doc_id = p.a_id
+JOIN documents db ON db.doc_id = p.b_id
+""",
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup over documents: LSH-bucketed candidate
+    pairs on the linked embedding vectors (vec_id = doc_id), exact cosine
+    re-rank, keeper = lower doc id. The semantic-dedup path of the dedup
+    family (vs the lexical MinHash/SimHash/n-gram operators)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = SIM.cosine_pairs_lsh(load_table(spark, sf_dir, "embeddings"), bits=6, threshold=0.3)
+    da = docs.select(F.col("doc_id").alias("a_id"))
+    db = docs.select(F.col("doc_id").alias("b_id"))
+    return (
+        pairs.join(da, "a_id")
+        .join(db, "b_id")
+        .select("a_id", "b_id", "sim", F.least("a_id", "b_id").alias("keeper"))
+    )
+
+
+@q(
     "text_quality_stats",
     "SELECT doc_id, "
     + ", ".join(

@@ -57,6 +57,20 @@ class TestDedup:
         ids = {(r["a_id"], r["b_id"]) for r in DD.simhash_pairs(docs).collect()}
         assert (1, 2) in ids
 
+    def test_dedup_embedding_cosine_semantic_pairs(self, spark):
+        # Semantic dedup: LSH buckets candidate pairs, exact cosine re-rank.
+        # Vectors 10/11 are near-parallel (cos ~0.995); 12 is orthogonal.
+        vecs = spark.createDataFrame(
+            [(10, [1.0, 0.0]), (11, [1.0, 0.1]), (12, [0.0, 1.0])],
+            "vec_id long, embedding array<double>",
+        )
+        pairs = {
+            (r["a_id"], r["b_id"]): r["sim"]
+            for r in SIM.cosine_pairs_lsh(vecs, dim=2, bits=2, threshold=0.9).collect()
+        }
+        assert (10, 11) in pairs and pairs[(10, 11)] > 0.99
+        assert all(12 not in p for p in pairs)
+
 
 class TestPlanHygiene:
     def test_no_hof_in_scan_filters_and_no_python_udf(self, docs):
