@@ -156,3 +156,63 @@ def token_counts_sql(text: str, d: str) -> dict[str, str]:
 def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     exprs = token_counts_sql(text_col, "spark")
     return df.select(F.col(id_col), *[F.expr(e).alias(n) for n, e in exprs.items()])
+
+
+def tfidf_top_terms(
+    df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-k terms per document by TF-IDF (smoothed idf = ln((N+1)/(df+1))).
+
+    Scale shape: one shuffle on (doc, term) for tf; the term document
+    frequency re-aggregates the *tf output* (no second corpus scan) on term;
+    N is a 1-row broadcast; the final per-doc top-k is a single window
+    shuffle on doc. Ties break on the term string so results are
+    deterministic for the oracle hash.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.expr(f"filter({_words(f'lower({text_col})', 'spark')}, t -> t <> '')")).alias(
+            "term"
+        ),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    scored = (
+        tf.join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log((F.col("n_docs") + 1) / (F.col("df") + 1)), 6),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "term", "tf", "df", "tfidf", "rnk")
+    )
+
+
+def tfidf_top_terms_oracle(k: int = 3, table: str = "documents") -> str:
+    words = _words("lower(text)", "duckdb")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter({words}, t -> t <> '')) AS term FROM {table}
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+docfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM {table}),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, docfreq.df,
+         round(tf.tf * ln((n.n_docs + 1.0) / (docfreq.df + 1.0)), 6) AS tfidf
+  FROM tf JOIN docfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rnk
+  FROM scored
+)
+SELECT doc_id, term, tf, df, tfidf, rnk FROM ranked WHERE rnk <= {k}
+"""

@@ -1116,6 +1116,74 @@ def events_daily_rollup(spark, sf_dir):
     )
 
 
+@q(
+    "events_latest_per_user",
+    """
+SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_type,
+       round(value, 2) AS value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) t WHERE rn = 1
+""",
+)
+def events_latest_per_user(spark, sf_dir):
+    """CDC/SCD1 compaction: latest record per key with a deterministic
+    (ts, event_id) tie-break — the standard upsert-log -> current-state
+    materialization. One window shuffle on the key; at scale this is the
+    compaction step of an incremental ingest (and the key partitioning is
+    reusable by the next stage's joins on user_id)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_type",
+            F.round("value", 2).alias("value"),
+        )
+    )
+
+
+@q(
+    "events_stratified_sample",
+    f"""
+SELECT event_type, event_id, user_id
+FROM (
+  SELECT event_type, event_id, user_id,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT),
+                    event_id
+         ) AS rn
+  FROM events
+) t WHERE rn <= 20
+""",
+)
+def events_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sample: 20 rows per class (event_type),
+    selected by md5-hash order so the sample is reproducible across runs,
+    partitionings, and engines (complements docs_hash_split). One window
+    shuffle on the stratum key; rank-k cutoff keeps it bounded per class."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hash_order = F.expr(
+        "CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+    )
+    w = Window.partitionBy("event_type").orderBy(hash_order, F.asc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("event_type", "event_id", "user_id")
+    )
+
+
 def _pctl(col: str, p: float, d: str) -> str:
     if d == "spark":
         return f"percentile({col}, {p})"
@@ -1249,6 +1317,37 @@ def events_tumbling_5min(spark, sf_dir):
     )
 
 
+@q(
+    "events_hopping_10m_5m",
+    f"""
+WITH hop AS (
+  SELECT event_type, value,
+         300 * CAST(floor({_events_bucket('duckdb')} / 300) AS BIGINT) - 300 * k AS window_start
+  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k)
+)
+SELECT event_type, window_start, count(*) AS n, round(sum(value), 2) AS total_value
+FROM hop GROUP BY event_type, window_start
+""",
+)
+def events_hopping_10m_5m(spark, sf_dir):
+    """Hopping (sliding) window aggregation: 10-minute windows every 5
+    minutes, so each event lands in exactly 2 windows — the batch twin of
+    streaming/events.py ``hopping_counts``. The oracle materializes the
+    overlap with an explicit k in {0,1} fan-out; Spark's F.window generator
+    produces the same window starts (epoch-aligned multiples of the slide)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            "event_type",
+            F.unix_timestamp("w.start").alias("window_start"),
+            "n",
+            "total_value",
+        )
+    )
+
+
 # ===========================================================================
 # North-star operators (SURVEY.md §2.8): dedup, similarity, text, multimodal
 # ===========================================================================
@@ -1348,6 +1447,31 @@ def text_token_counts(spark, sf_dir):
     """Token counting: whitespace tokens vs BPE-ish regex pre-tokens
     (letter runs / digit runs / punctuation marks) + distinct count."""
     return TX.token_counts(load_table(spark, sf_dir, "documents"))
+
+
+@q("text_tfidf_top_terms", TX.tfidf_top_terms_oracle(k=3))
+def text_tfidf_top_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document: tf shuffle on (doc, term), document
+    frequency re-aggregated from the tf output (single corpus scan), 1-row
+    broadcast N, one window shuffle for the per-doc top-k."""
+    return TX.tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=3)
+
+
+from map_spark_sql_spark.operators import sampling as SP
+
+
+@q(
+    "docs_hash_split",
+    f"SELECT doc_id, {SP.hash_bucket_sql('doc_id', 'duckdb')} AS bucket, "
+    f"{SP.split_label_sql('doc_id', 'duckdb')} AS split FROM documents",
+)
+def docs_hash_split(spark, sf_dir):
+    """Deterministic train/val/test split on an md5 content-hash bucket —
+    row-local (no shuffle), order- and partitioning-independent, and
+    engine-portable (md5 is bit-identical everywhere, unlike rand(seed))."""
+    return SP.hash_split(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "bucket", "split"
+    )
 
 
 @q(

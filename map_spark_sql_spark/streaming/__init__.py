@@ -1,5 +1,6 @@
 from map_spark_sql_spark.streaming.events import (
     custom_sessionize,
+    hopping_counts,
     purchase_view_join,
     read_event_stream,
     run_to_memory,
@@ -7,4 +8,12 @@ from map_spark_sql_spark.streaming.events import (
     tumbling_counts,
 )
 
-__all__ = ["custom_sessionize", "purchase_view_join", "read_event_stream", "run_to_memory", "session_windows", "tumbling_counts"]
+__all__ = [
+    "custom_sessionize",
+    "hopping_counts",
+    "purchase_view_join",
+    "read_event_stream",
+    "run_to_memory",
+    "session_windows",
+    "tumbling_counts",
+]

@@ -82,6 +82,29 @@ def tumbling_counts(
     )
 
 
+def hopping_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "20 minutes",
+) -> DataFrame:
+    """Watermarked hopping (sliding) window counts per event type: each event
+    lands in window/slide overlapping windows. Streaming twin of the batch
+    ``events_hopping_10m_5m`` query; the overlap factor multiplies state size,
+    so the watermark bounds it to (window/slide) x live-key cardinality."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
 def session_windows(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
 ) -> DataFrame:

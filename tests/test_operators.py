@@ -100,6 +100,39 @@ class TestText:
         fp = {r["doc_id"]: r["fingerprint"] for r in TX.token_fingerprint(docs).collect()}
         assert fp[1] == fp[4]
 
+    def test_tfidf_top_terms_values(self, spark):
+        import math
+
+        df = spark.createDataFrame(
+            [(1, "apple banana apple"), (2, "banana cherry"), (3, "cherry cherry date")],
+            "doc_id long, text string",
+        )
+        rows = {(r["doc_id"], r["term"]): r for r in TX.tfidf_top_terms(df, k=2).collect()}
+        # 'apple' appears in 1 doc, tf=2 in doc 1 -> 2 * ln(4/2)
+        r = rows[(1, "apple")]
+        assert r["tf"] == 2 and r["df"] == 1
+        assert r["tfidf"] == round(2 * math.log(4 / 2), 6)
+        assert r["rnk"] == 1
+        # 'banana' is in 2 docs -> ln(4/3), ranked below apple in doc 1
+        assert rows[(1, "banana")]["rnk"] == 2
+        assert all(r["rnk"] <= 2 for r in rows.values())
+
+    def test_hash_split_deterministic_and_row_local(self, spark):
+        from map_spark_sql_spark.operators import sampling as SP
+
+        df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+        a = {r["doc_id"]: (r["bucket"], r["split"]) for r in SP.hash_split(df).collect()}
+        # stable across runs and partitioning
+        b = {
+            r["doc_id"]: (r["bucket"], r["split"])
+            for r in SP.hash_split(df.repartition(7)).collect()
+        }
+        assert a == b
+        assert all(0 <= v[0] < 100 for v in a.values())
+        assert {v[1] for v in a.values()} == {"train", "val", "test"}
+        n_train = sum(1 for v in a.values() if v[1] == "train")
+        assert 120 < n_train < 200  # ~80% of 200, loose bound
+
     def test_token_counts(self, spark):
         df = spark.createDataFrame([(1, "Hello, world 42!")], "doc_id long, text string")
         row = TX.token_counts(df).first()

@@ -24,6 +24,25 @@ def test_tumbling_counts_matches_batch(spark):
     assert g == b and len(g) > 0
 
 
+def test_hopping_counts_matches_batch(spark):
+    from map_spark_sql_spark.streaming import hopping_counts
+
+    stream = read_event_stream(spark, f"{SF_DIR}/events.parquet")
+    got = run_to_memory(hopping_counts(stream), "t_hopping")
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+    g = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert g == b and len(g) > 0
+    # each event lands in exactly window/slide = 2 windows
+    n_events = load_table(spark, SF_DIR, "events").count()
+    assert sum(r[2] for r in g) == 2 * n_events
+
+
 def test_session_windows_runs(spark):
     from map_spark_sql_spark.streaming import session_windows
 
