@@ -850,6 +850,56 @@ WHERE p_size <= 5
 )
 
 _shared_sql(
+    "tpch_q12_shipmode_priority",
+    """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS low_line_count
+FROM orders
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_tax < l_discount
+GROUP BY l_returnflag
+""",
+    "TPC-H Q12 shape (testdata columns): fact-fact equi join with a "
+    "column-to-column scan-local predicate + conditional CASE aggregates.",
+)
+
+_shared_sql(
+    "tpch_q14_promo_revenue",
+    """
+SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                              THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue,
+       count(*) AS n
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+""",
+    "TPC-H Q14 shape: broadcastable part-dimension join + conditional ratio "
+    "aggregate (LIKE-prefix predicate inside the agg, not the scan).",
+)
+
+_shared_sql(
+    "tpch_q19_disjunctive_predicates",
+    """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, count(*) AS n
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_type = 'SMALL'  AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+   OR (p_type = 'MEDIUM' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+   OR (p_type = 'LARGE'  AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
+""",
+    "TPC-H Q19 shape: disjunction of conjunctive join+scan predicates — the "
+    "optimizer splits the OR into scan-side prefilters (common-factor "
+    "extraction) before the join.",
+)
+
+_shared_sql(
     "join_semi_exists",
     """
 SELECT o_orderpriority, count(*) AS n
