@@ -35,6 +35,10 @@ HEADLINE = [
     "similarity_topk_ivf",
     "asof_purchase_last_view",
     "events_tumbling_5min",
+    # training-data pipeline ops
+    "text_tfidf_top_terms",
+    "docs_hash_split",
+    "events_latest_per_user",
 ]
 
 
