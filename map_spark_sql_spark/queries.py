@@ -1508,6 +1508,17 @@ def text_tfidf_top_terms(spark, sf_dir):
 
 
 from map_spark_sql_spark.operators import sampling as SP
+from map_spark_sql_spark.operators import sketches as SK
+
+
+@q("events_sketch_stats")  # rows-only: sketch internals aren't engine-portable
+def events_sketch_stats(spark, sf_dir):
+    """HLL++ approx-distinct + GK approximate quantiles per event type —
+    fixed-size mergeable sketch state instead of a full distinct shuffle /
+    global sort (the only viable shape at 100 TB). Rows-only by contract;
+    the <= 3*rsd error bound vs the exact answer is pinned in
+    tests/test_operators.py::TestSketches."""
+    return SK.sketch_stats(load_table(spark, sf_dir, "events"))
 
 
 @q(

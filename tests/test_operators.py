@@ -197,6 +197,30 @@ class TestMultimodal:
         assert a == b
 
 
+class TestSketches:
+    def test_sketch_error_bounds(self, spark):
+        from map_spark_sql_spark.operators import sketches as SK
+        from map_spark_sql_spark.sources.readers import load_table
+
+        ev = load_table(spark, "/root/testdata/sf0.001", "events")
+        rows = SK.sketch_stats(ev, rsd=0.05).collect()
+        assert len(rows) > 0
+        for r in rows:
+            exact = r["n_distinct_exact"]
+            # HLL++ rsd=0.05 -> 3-sigma bound
+            assert abs(r["n_distinct_approx"] - exact) <= max(3, 0.15 * exact)
+            q50, q90, q99 = r["value_quantiles"]
+            assert q50 <= q90 <= q99
+
+    def test_quantile_sketch_near_exact(self, spark):
+        df = spark.range(10_001).select((F.col("id") / 1.0).alias("v"), F.lit("g").alias("g"))
+        row = df.groupBy("g").agg(
+            F.percentile_approx("v", [0.5], 10_000).alias("q"),
+            F.percentile("v", [0.5]).alias("q_exact"),
+        ).first()
+        assert abs(row["q"][0] - row["q_exact"][0]) <= 2.0  # accuracy=10k on 10k rows
+
+
 class TestTemporal:
     def test_asof_join_semantics(self, spark):
         trades = spark.createDataFrame(
