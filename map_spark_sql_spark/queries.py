@@ -1627,3 +1627,110 @@ def multimodal_featurize(spark, sf_dir):
     rows-only check by contract — the driver sees no oracle entry."""
     media = MM.media_from_documents(load_table(spark, sf_dir, "documents"))
     return MM.featurize_media(media)
+
+
+# ===========================================================================
+# MERGE INTO emulation (operators/merge.py) — incremental upsert primitive
+# ===========================================================================
+
+from map_spark_sql_spark.operators import merge as MG
+
+_MERGE_ORACLE = """
+WITH tgt AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal
+  FROM customer WHERE c_custkey % 4 <> 0
+),
+src AS (
+  SELECT o_custkey AS c_custkey,
+         SUM(o_totalprice) AS delta,
+         COUNT(*) AS cnt
+  FROM orders GROUP BY o_custkey
+),
+merged AS (
+  SELECT
+    COALESCE(t.c_custkey, s.c_custkey) AS c_custkey,
+    CASE WHEN t.c_custkey IS NULL THEN 'cdc-new' ELSE t.c_name END AS c_name,
+    CASE WHEN t.c_custkey IS NULL THEN NULL ELSE t.c_nationkey END AS c_nationkey,
+    CASE WHEN t.c_custkey IS NULL THEN s.delta
+         WHEN s.c_custkey IS NOT NULL THEN t.c_acctbal + s.delta
+         ELSE t.c_acctbal END AS c_acctbal,
+    (t.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL AND s.cnt >= 25) AS del
+  FROM tgt t FULL JOIN src s ON t.c_custkey = s.c_custkey
+)
+SELECT c_custkey, c_name, c_nationkey,
+       CAST(floor(c_acctbal * 100) AS BIGINT) AS acctbal_c
+FROM merged WHERE NOT del
+"""
+
+
+@q("merge_upsert_customers", _MERGE_ORACLE)
+def merge_upsert_customers(spark, sf_dir):
+    """Delta-style MERGE INTO as one full-outer shuffle join
+    (operators/merge.py): a stale customer snapshot (3/4 of customers)
+    merged with a CDC batch aggregated from orders. Exercises all three
+    clauses — WHEN MATCHED AND cnt>=25 DELETE, WHEN MATCHED UPDATE
+    (acctbal += delta), WHEN NOT MATCHED INSERT. At scale: source side is
+    the small CDC batch (broadcastable); no driver collect, no Python."""
+    tgt = load_table(spark, sf_dir, "customer").filter("c_custkey % 4 <> 0").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.sum("o_totalprice").alias("delta"), F.count(F.lit(1)).alias("cnt"))
+    )
+    out = MG.merge_into(
+        tgt,
+        src,
+        on=["c_custkey"],
+        update_set={"c_acctbal": F.col("t.c_acctbal") + F.col("s.delta")},
+        delete_condition=F.col("s.cnt") >= 25,
+        insert_values={
+            "c_custkey": F.col("s.c_custkey"),
+            "c_name": F.lit("cdc-new"),
+            "c_acctbal": F.col("s.delta"),
+        },
+    )
+    return out.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") * 100).cast("bigint").alias("acctbal_c"),
+    )
+
+
+_MERGE_PRUNED_ORACLE = """
+WITH tgt AS (
+  SELECT doc_id, lang, n_chars FROM documents
+),
+src AS (
+  SELECT doc_id, lang, n_chars + 1000 AS new_chars
+  FROM documents WHERE lang IN ('en', 'de') AND doc_id % 3 = 0
+)
+SELECT t.doc_id, t.lang,
+       CASE WHEN s.doc_id IS NOT NULL THEN s.new_chars ELSE t.n_chars END AS n_chars
+FROM tgt t LEFT JOIN src s ON t.doc_id = s.doc_id AND t.lang = s.lang
+"""
+
+
+@q("merge_pruned_partitions", _MERGE_PRUNED_ORACLE)
+def merge_pruned_partitions(spark, sf_dir):
+    """Partition-pruned MERGE (operators/merge.py prune_to_touched): the CDC
+    batch only touches lang in ('en','de'), so the snapshot splits into
+    touched/untouched by a broadcast semi/anti join on the partition column
+    and ONLY the touched slice pays the merge shuffle — the file-pruning
+    behavior of a real lakehouse MERGE, reproduced with stock operators."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    src = (
+        docs.filter(F.col("lang").isin("en", "de") & (F.col("doc_id") % 3 == 0))
+        .select("doc_id", "lang", (F.col("n_chars") + 1000).alias("new_chars"))
+    )
+    touched, untouched = MG.prune_to_touched(docs, src, ["lang"])
+    merged = MG.merge_into(
+        touched,
+        src,
+        on=["doc_id", "lang"],
+        update_set={"n_chars": F.col("s.new_chars")},
+        broadcast_source=True,
+    )
+    return merged.unionByName(untouched)

@@ -61,6 +61,15 @@ def get_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Runtime row-level filtering: inject a bloom filter built from the
+        # filtered dimension side into the fact scan of shuffle joins — the
+        # at-scale analogue of the reference's driver-collected key set
+        # (MapBuilder.java:199-205) without the driver round-trip. Default-on
+        # since Spark 3.4; pinned explicitly because the salted fact-dim
+        # joins rely on it. Do NOT also enable
+        # runtimeFilter.semiJoinReduction: on this Spark build it wedges the
+        # driver in a py4j reflection storm for ANY query (even range+count).
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         # Arrow for the pandas-UDF binary encoders (tile MVT/proto paths).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")

@@ -247,3 +247,88 @@ class TestTemporal:
         )
         got = {r["id"]: r["band"] for r in out.collect()}
         assert got == {1: "lo", 2: "hi"}  # 150 falls outside every band
+
+
+class TestMerge:
+    """Clause semantics of the MERGE INTO emulation (operators/merge.py)."""
+
+    @pytest.fixture(scope="class")
+    def tgt(self, spark):
+        return spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+            "k long, name string, bal double",
+        )
+
+    @pytest.fixture(scope="class")
+    def src(self, spark):
+        # k=1 matched (update), k=3 matched (delete via flag), k=9 unmatched
+        return spark.createDataFrame(
+            [(1, 5.0, False), (3, 0.0, True), (9, 7.0, False)],
+            "k long, delta double, purge boolean",
+        )
+
+    def test_full_upsert(self, spark, tgt, src):
+        from map_spark_sql_spark.operators.merge import merge_into
+
+        out = merge_into(
+            tgt,
+            src,
+            on=["k"],
+            update_set={"bal": F.col("t.bal") + F.col("s.delta")},
+            delete_condition=F.col("s.purge"),
+            insert_values={
+                "k": F.col("s.k"),
+                "name": F.lit("new"),
+                "bal": F.col("s.delta"),
+            },
+        )
+        got = {r["k"]: (r["name"], r["bal"]) for r in out.collect()}
+        assert got == {
+            1: ("a", 15.0),  # matched -> updated
+            2: ("b", 20.0),  # target-only -> untouched
+            9: ("new", 7.0),  # source-only -> inserted
+        }  # 3 deleted
+
+    def test_no_insert_clause_drops_source_only(self, spark, tgt, src):
+        from map_spark_sql_spark.operators.merge import merge_into
+
+        out = merge_into(
+            tgt, src, on=["k"], update_set={"bal": F.col("s.delta")}
+        )
+        assert sorted(r["k"] for r in out.collect()) == [1, 2, 3]
+
+    def test_update_condition_gates_update(self, spark, tgt, src):
+        from map_spark_sql_spark.operators.merge import merge_into
+
+        out = merge_into(
+            tgt,
+            src,
+            on=["k"],
+            update_set={"bal": F.lit(0.0)},
+            update_condition=F.col("s.delta") > 6.0,  # no matched row passes
+        )
+        got = {r["k"]: r["bal"] for r in out.collect()}
+        assert got == {1: 10.0, 2: 20.0, 3: 30.0}
+
+    def test_prune_to_touched_partition_equivalence(self, spark):
+        from map_spark_sql_spark.operators.merge import merge_into, prune_to_touched
+
+        tgt = spark.createDataFrame(
+            [(i, ["en", "de", "fr", "ja"][i % 4], float(i)) for i in range(20)],
+            "k long, lang string, v double",
+        )
+        src = spark.createDataFrame(
+            [(0, "en", 100.0), (1, "de", 200.0)], "k long, lang string, nv double"
+        )
+        touched, untouched = prune_to_touched(tgt, src, ["lang"])
+        assert touched.count() + untouched.count() == 20
+        assert set(r["lang"] for r in untouched.select("lang").distinct().collect()) == {
+            "fr", "ja"
+        }
+        pruned = merge_into(
+            touched, src, on=["k", "lang"], update_set={"v": F.col("s.nv")}
+        ).unionByName(untouched)
+        full = merge_into(
+            tgt, src, on=["k", "lang"], update_set={"v": F.col("s.nv")}
+        )
+        assert sorted(map(tuple, pruned.collect())) == sorted(map(tuple, full.collect()))
