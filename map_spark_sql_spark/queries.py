@@ -1734,3 +1734,132 @@ def merge_pruned_partitions(spark, sf_dir):
         broadcast_source=True,
     )
     return merged.unionByName(untouched)
+
+
+# ===========================================================================
+# TPC-H subquery-decorrelation shapes (Q13/Q15/Q16/Q18/Q21/Q22 adapted to the
+# testdata's columns) — these exercise Catalyst's RewriteSubquery /
+# RewriteCorrelatedScalarSubquery / RewritePredicateSubquery rules: each
+# correlated subquery must decorrelate into a join + aggregate, never a
+# per-row re-execution. SURVEY.md §2.3/§2.4 note the reference has no
+# subquery planner at all (it hand-writes the equivalent joins in Java);
+# here the declarative form IS the implementation.
+# ===========================================================================
+
+_shared_sql(
+    "tpch_q13_customer_distribution",
+    """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+    "TPC-H Q13 shape: left-outer join with a non-key join predicate, then a "
+    "double aggregation (count per customer, histogram of counts). The outer "
+    "join must preserve order-less customers as c_count=0.",
+)
+
+_shared_sql(
+    "tpch_q15_top_supplier",
+    """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+""",
+    "TPC-H Q15 shape: CTE reused twice — once as the join input, once under "
+    "an uncorrelated scalar subquery (max). Catalyst plans the scalar side "
+    "as a separate subquery stage broadcast into the filter.",
+)
+
+_shared_sql(
+    "tpch_q16_supplier_part_counts",
+    """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (1, 4, 9, 14, 19, 24)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+    "TPC-H Q16 shape: NOT IN over a filtered dimension (null-aware anti "
+    "join; the blacklist subquery broadcasts) + COUNT(DISTINCT) per group.",
+)
+
+_shared_sql(
+    "tpch_q18_large_volume_customers",
+    """
+SELECT c_name, c_custkey, o_orderkey,
+       round(o_totalprice, 2) AS totalprice,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+GROUP BY c_name, c_custkey, o_orderkey, o_totalprice
+ORDER BY totalprice DESC, o_orderkey
+LIMIT 50
+""",
+    "TPC-H Q18 shape: IN over an aggregated-HAVING subquery (plans as a "
+    "semi join against the pre-aggregated key set) feeding a 3-way join "
+    "and a top-k.",
+)
+
+_shared_sql(
+    "tpch_q21_waiting_supplier",
+    """
+SELECT s_suppkey, s_name, count(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > l1.l_shipdate)
+GROUP BY s_suppkey, s_name
+ORDER BY numwait DESC, s_suppkey
+LIMIT 20
+""",
+    "TPC-H Q21 shape (l_shipdate standing in for the missing receipt/commit "
+    "dates): correlated EXISTS + NOT EXISTS self-joins on the fact table — "
+    "the hardest decorrelation in the suite; both plan as semi/anti joins "
+    "on l_orderkey with the inequality as a post-join condition.",
+)
+
+_shared_sql(
+    "tpch_q22_global_sales_opportunity",
+    """
+SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+""",
+    "TPC-H Q22 shape (urgent-order anti join; every sf0.01 customer has "
+    "SOME order, so the classic no-orders predicate is narrowed to "
+    "no-URGENT-orders): uncorrelated scalar AVG subquery + correlated NOT "
+    "EXISTS anti join.",
+)
