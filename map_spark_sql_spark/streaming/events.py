@@ -45,10 +45,18 @@ EVENT_SCHEMA = StructType(
 )
 
 
-def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
+def read_event_stream(spark: SparkSession, path: str, nanos: bool = True) -> DataFrame:
     """File-source event stream. Streaming sources need an explicit schema
     (no inference), and the nanos-timestamp normalization of
-    sources/readers.py applies here too via the legacy flag + rebuild."""
+    sources/readers.py applies here too via the legacy flag + rebuild.
+    ``nanos=False`` reads Spark-written feeds (ordinary micros/INT96
+    timestamps) with the declared schema directly."""
+    if not nanos:
+        if os.path.isfile(path):
+            d = tempfile.mkdtemp(prefix="stream_src_")
+            os.symlink(path, os.path.join(d, os.path.basename(path)))
+            path = d
+        return spark.readStream.schema(EVENT_SCHEMA).parquet(path)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = StructType(
         [f if f.name != "ts" else StructField("ts", LongType()) for f in EVENT_SCHEMA]
@@ -275,3 +283,89 @@ def run_to_memory(
     query.awaitTermination(timeout_sec)
     spark = result.sparkSession
     return spark.table(name)
+
+
+def dedup_events(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming exact deduplication with bounded state.
+
+    ``dropDuplicatesWithinWatermark`` keeps one row per key and evicts key
+    state once the watermark passes the first-seen event time — the only
+    dedup that survives an unbounded stream (plain ``dropDuplicates`` on a
+    stream accumulates state forever). This is the streaming twin of
+    ``operators/dedup.exact_dedup``: an at-least-once ingest feed (Kafka
+    redelivery, backfill overlap) becomes exactly-once-per-key downstream,
+    provided true duplicates arrive within the watermark of each other —
+    the delivery-retry case by construction.
+    """
+    keys = keys or ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def upsert_to_snapshot(
+    stream: DataFrame,
+    spark: SparkSession,
+    snapshot_dir: str,
+    on: list[str],
+    order_col: str = "ts",
+) -> "object":
+    """CDC upsert sink: maintain a latest-row-per-key parquet snapshot from a
+    stream via ``foreachBatch`` + operators/merge.merge_into.
+
+    Each micro-batch is compacted to its newest row per key (two-level:
+    batch-local window first, so the merge source is at most one row per
+    key), then MERGEd into the current snapshot — matched keys update,
+    new keys insert. Plain parquet has no transaction log, so versions are
+    MVCC-by-directory: batch ``i`` reads ``v{i-1}`` and writes ``v{i}``
+    atomically-enough for a single writer, which is what Structured
+    Streaming's serialized foreachBatch guarantees. On a lakehouse table
+    (Delta/Iceberg) the body of ``_apply`` collapses to the native MERGE;
+    the streaming plumbing is identical.
+
+    Returns the started StreamingQuery (caller awaits termination).
+    """
+    import os
+
+    from pyspark.sql.window import Window
+
+    from map_spark_sql_spark.operators.merge import merge_into
+
+    cols = stream.columns
+
+    def _latest_per_key(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy(*on).orderBy(
+            F.col(order_col).desc(), *[F.col(c).desc() for c in df.columns if c not in on]
+        )
+        return (
+            df.withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") == 1)
+            .drop("__rn__")
+        )
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        src = _latest_per_key(batch)
+        prev = os.path.join(snapshot_dir, f"v{batch_id - 1}")
+        cur = os.path.join(snapshot_dir, f"v{batch_id}")
+        if os.path.isdir(prev):
+            tgt = spark.read.parquet(prev)
+            out = merge_into(
+                tgt,
+                src,
+                on=on,
+                update_set={c: F.col(f"s.{c}") for c in cols if c not in on},
+                insert_values={c: F.col(f"s.{c}") for c in cols},
+                broadcast_source=True,
+            )
+        else:
+            out = src
+        out.write.mode("overwrite").parquet(cur)
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", os.path.join(snapshot_dir, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )

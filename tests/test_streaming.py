@@ -145,3 +145,60 @@ def test_custom_sessionize_matches_builtin_session_window(spark):
         end_b, n_b, v_b = b[k]
         assert (end_g, n_g) == (end_b, n_b)
         assert abs(v_g - v_b) < 1e-6
+
+
+def test_dedup_events_drops_redelivered_rows(spark, tmp_path):
+    """A stream with injected duplicate deliveries dedups back to the
+    distinct-key row set (same multiset as batch dropDuplicates)."""
+    from map_spark_sql_spark.streaming import dedup_events
+
+    base = load_table(spark, SF_DIR, "events").limit(500)
+    # simulate at-least-once delivery: every 3rd event delivered twice
+    dup = base.filter(F.col("event_id") % 3 == 0)
+    src_dir = str(tmp_path / "dup_feed")
+    base.unionAll(dup).coalesce(1).write.parquet(src_dir)
+
+    stream = read_event_stream(spark, src_dir, nanos=False)
+    got = run_to_memory(dedup_events(stream), "t_dedup", output_mode="append")
+    assert got.count() == base.count()
+    assert got.select("event_id").distinct().count() == base.count()
+
+
+def test_upsert_to_snapshot_matches_latest_per_key(spark, tmp_path):
+    """The foreachBatch MERGE sink converges to the batch latest-per-user
+    compaction over the same files."""
+    from map_spark_sql_spark.streaming import upsert_to_snapshot
+    import os
+
+    events = load_table(spark, SF_DIR, "events").select(
+        "user_id", "ts", "event_type", "value", "event_id"
+    )
+    src_dir = str(tmp_path / "feed")
+    events.coalesce(1).write.parquet(src_dir)
+
+    snap_dir = str(tmp_path / "snapshot")
+    q = upsert_to_snapshot(
+        read_event_stream(spark, src_dir, nanos=False).select(
+            "user_id", "ts", "event_type", "value", "event_id"
+        ),
+        spark,
+        snap_dir,
+        on=["user_id"],
+    )
+    q.awaitTermination(120)
+
+    versions = sorted(d for d in os.listdir(snap_dir) if d.startswith("v"))
+    assert versions, "no snapshot version written"
+    snap = spark.read.parquet(os.path.join(snap_dir, versions[-1]))
+
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_type").desc(), F.col("value").desc(),
+        F.col("event_id").desc(),
+    )
+    batch = (
+        events.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+    )
+    assert sorted(map(tuple, snap.collect())) == sorted(map(tuple, batch.collect()))
+    assert snap.count() == events.select("user_id").distinct().count()
