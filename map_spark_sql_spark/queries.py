@@ -1047,6 +1047,224 @@ GROUP BY n_name, kind
 )
 
 
+_shared_sql(
+    "tpch_q7_volume_shipping",
+    """
+SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INTEGER) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+     OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+""",
+    "TPC-H Q7 shape: two aliases of the same dimension (self-join on nation) "
+    "with a symmetric disjunctive pair predicate + year extraction rollup.",
+)
+
+_shared_sql(
+    "tpch_q8_market_share",
+    """
+SELECT o_year,
+       round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+             / sum(volume), 6) AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n_name AS nation
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+) all_nations
+GROUP BY o_year
+""",
+    "TPC-H Q8 shape: conditional-share aggregate (one nation's fraction of a "
+    "region's revenue per year); CASE numerator over a common denominator.",
+)
+
+_shared_sql(
+    "tpch_q9_product_profit",
+    """
+SELECT nation, o_year,
+       CAST(round(sum(CAST(amount AS DECIMAL(18, 4))), 2) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.1
+           AS amount
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN part     ON p_partkey = l_partkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%widget%'
+) profit
+GROUP BY nation, o_year
+""",
+    "TPC-H Q9 shape (testdata columns: p_retailprice stands in for "
+    "ps_supplycost): five-way join with a LIKE-filtered part dimension and "
+    "profit expression rollup by nation x year.",
+)
+
+_shared_sql(
+    "tpch_q11_important_stock",
+    """
+WITH supplier_value AS (
+  SELECT l_suppkey, sum(l_extendedprice * l_quantity) AS sv
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+  GROUP BY l_suppkey
+)
+SELECT l_suppkey, round(sv, 2) AS supplier_value
+FROM supplier_value
+WHERE sv > (SELECT 0.04 * sum(sv) FROM supplier_value)
+ORDER BY supplier_value DESC, l_suppkey
+""",
+    "TPC-H Q11 shape: HAVING against an uncorrelated scalar aggregate over "
+    "the same grouped CTE (fraction-of-total threshold).",
+)
+
+_shared_sql(
+    "tpch_q2_min_cost_supplier",
+    """
+SELECT DISTINCT p_partkey, p_name, s_suppkey, s_name, round(s_acctbal, 2) AS acctbal
+FROM part
+JOIN lineitem ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE p_size = 15
+  AND s_acctbal = (SELECT min(s2.s_acctbal)
+                   FROM supplier s2
+                   JOIN lineitem l2 ON s2.s_suppkey = l2.l_suppkey
+                   WHERE l2.l_partkey = p_partkey)
+ORDER BY p_partkey, s_suppkey
+""",
+    "TPC-H Q2 shape (lineitem stands in for partsupp as the part-supplier "
+    "link): correlated scalar MIN subquery selecting the cheapest supplier "
+    "per part; decorrelates to an aggregate + self-join in both engines.",
+)
+
+_shared_sql(
+    "tpch_q20_part_promotion",
+    """
+SELECT s_suppkey, s_name, round(s_acctbal, 2) AS acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT ps.l_suppkey
+  FROM (SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+        FROM lineitem GROUP BY l_suppkey, l_partkey) ps
+  WHERE ps.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'blue%')
+    AND ps.qty > (SELECT 0.15 * sum(l2.l_quantity)
+                  FROM lineitem l2 WHERE l2.l_partkey = ps.l_partkey)
+)
+ORDER BY s_suppkey
+""",
+    "TPC-H Q20 shape: nested IN subqueries where the inner derived table "
+    "carries a correlated fraction-of-total scalar threshold.",
+)
+
+_shared_sql(
+    "window_ntile_quartiles",
+    """
+SELECT c_mktsegment, quartile, count(*) AS n,
+       round(min(c_acctbal), 2) AS min_bal, round(max(c_acctbal), 2) AS max_bal
+FROM (
+  SELECT c_mktsegment, c_acctbal,
+         ntile(4) OVER (PARTITION BY c_mktsegment
+                        ORDER BY c_acctbal, c_custkey) AS quartile
+  FROM customer
+) t
+GROUP BY c_mktsegment, quartile
+""",
+    "ntile() bucketing window: per-segment account-balance quartiles "
+    "(deterministic tie-break on the unique key).",
+)
+
+_shared_sql(
+    "window_rank_family_suppliers",
+    """
+SELECT s_nationkey, s_suppkey,
+       rank()       OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       round(percent_rank() OVER w, 6) AS prnk,
+       round(cume_dist()    OVER w, 6) AS cdist
+FROM supplier
+WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+""",
+    "rank / dense_rank / percent_rank / cume_dist over a named WINDOW clause.",
+)
+
+_shared_sql(
+    "window_lag_lead_price_delta",
+    """
+SELECT o_custkey, o_orderkey,
+       round(o_totalprice - (lag(o_totalprice)  OVER w), 2) AS delta_prev,
+       round((lead(o_totalprice) OVER w) - o_totalprice, 2) AS delta_next
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+    "lag/lead offset windows: per-customer order-to-order price deltas "
+    "(NULL at partition edges).",
+)
+
+_shared_sql(
+    "window_first_last_order",
+    """
+SELECT DISTINCT o_custkey,
+       first_value(o_orderkey) OVER w AS first_order,
+       last_value(o_orderkey)  OVER w AS last_order,
+       count(*) OVER (PARTITION BY o_custkey) AS n_orders
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+    "first_value/last_value with an explicit unbounded frame + unordered "
+    "count window, collapsed by DISTINCT to one row per customer.",
+)
+
+_shared_sql(
+    "scd2_purchase_value_history",
+    """
+SELECT user_id, value AS state_value, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       CASE WHEN lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            IS NULL THEN 1 ELSE 0 END AS is_current
+FROM events
+WHERE event_type = 'purchase'
+""",
+    "SCD2 interval build: each purchase event becomes a [valid_from, "
+    "valid_to) version row via lead(); open-ended current row flagged.",
+)
+
+_shared_sql(
+    "fuzzy_name_pairs_blocked",
+    """
+SELECT a.c_custkey AS left_key, b.c_custkey AS right_key,
+       levenshtein(a.c_name, b.c_name) AS dist
+FROM customer a
+JOIN customer b
+  ON substr(a.c_name, 1, 17) = substr(b.c_name, 1, 17)
+ AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+""",
+    "Blocked fuzzy entity-resolution self-join: equi-join on a blocking "
+    "prefix turns the quadratic levenshtein comparison into a per-block "
+    "hash join (the standard ER blocking strategy at scale).",
+)
+
+
 from map_spark_sql_spark.operators import grouped as GR
 
 
