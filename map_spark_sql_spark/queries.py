@@ -1666,6 +1666,46 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return DD.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
 
 
+from map_spark_sql_spark.operators import graph as G
+from map_spark_sql_spark.operators import timeseries as TS
+
+
+@q(
+    "dedup_connected_components",
+    G.connected_components_oracle(
+        pairs_sql=f"SELECT a_id, b_id FROM ({DD.ngram_jaccard_pairs_oracle()}) jp",
+        vertices_sql="SELECT doc_id FROM documents",
+        id_col="doc_id",
+    ),
+)
+def dedup_connected_components(spark, sf_dir):
+    """Near-dup pairs -> transitive dedup clusters: iterative min-label
+    propagation over the n-gram Jaccard pair graph; every document labeled
+    with its cluster's canonical (min) doc_id, singletons included. The
+    oracle computes the same closure with a recursive CTE (SURVEY §2.8 —
+    cluster assignment is the step that turns pair detection into an
+    actual dedup decision)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs).select("a_id", "b_id")
+    return G.connected_components(
+        pairs, vertices=docs.select("doc_id"), id_col="doc_id"
+    )
+
+
+@q(
+    "events_daily_resample_locf",
+    TS.resample_locf_oracle(
+        "events", "user_id", "ts", "value", "day", where="event_type = 'purchase'"
+    ),
+)
+def events_daily_resample_locf(spark, sf_dir):
+    """Fixed daily grid per user over the purchase stream with LOCF gap
+    fill — sequence()-generated grid, left join, ignore-nulls last()
+    window (SURVEY §2.8 time-series regularization)."""
+    ev = load_table(spark, sf_dir, "events").filter("event_type = 'purchase'")
+    return TS.resample_locf(ev, "user_id", "ts", "value", unit="day")
+
+
 @q(
     "dedup_embedding_cosine",
     f"""

@@ -332,3 +332,54 @@ class TestMerge:
             tgt, src, on=["k", "lang"], update_set={"v": F.col("s.nv")}
         )
         assert sorted(map(tuple, pruned.collect())) == sorted(map(tuple, full.collect()))
+
+
+class TestConnectedComponents:
+    def test_chain_and_triangle(self, spark):
+        from map_spark_sql_spark.operators.graph import connected_components
+
+        # chain 1-2-3-4 (diameter 3) + triangle 10-11-12 + singleton 99
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)],
+            "a_id long, b_id long",
+        )
+        verts = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 12, 99]], "id long")
+        got = {
+            r["id"]: r["cluster_id"]
+            for r in connected_components(edges, vertices=verts).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 99: 99}
+
+    def test_edge_orientation_irrelevant(self, spark):
+        from map_spark_sql_spark.operators.graph import connected_components
+
+        edges = spark.createDataFrame([(5, 2), (2, 9)], "a_id long, b_id long")
+        got = {
+            r["id"]: r["cluster_id"] for r in connected_components(edges).collect()
+        }
+        assert got == {2: 2, 5: 2, 9: 2}
+
+
+class TestResampleLocf:
+    def test_gap_fill_and_observed_flag(self, spark):
+        from map_spark_sql_spark.operators.timeseries import resample_locf
+
+        rows = [
+            (1, "2024-01-01 10:00:00", 2.0),
+            (1, "2024-01-01 11:00:00", 3.0),  # same bucket: sums to 5
+            (1, "2024-01-04 09:00:00", 7.0),  # 2-day gap
+            (2, "2024-01-02 00:00:00", 1.0),  # single-bucket key
+        ]
+        df = spark.createDataFrame(rows, "k long, ts_s string, v double").select(
+            "k", F.col("ts_s").cast("timestamp").alias("ts"), "v"
+        )
+        out = {
+            (r["k"], str(r["bucket"])[:10]): (r["v_filled"], r["observed"])
+            for r in resample_locf(df, "k", "ts", "v", unit="day").collect()
+        }
+        assert out[(1, "2024-01-01")] == (5.0, 1)
+        assert out[(1, "2024-01-02")] == (5.0, 0)  # carried forward
+        assert out[(1, "2024-01-03")] == (5.0, 0)
+        assert out[(1, "2024-01-04")] == (7.0, 1)
+        assert out[(2, "2024-01-02")] == (1.0, 1)
+        assert len(out) == 5  # dense grid, nothing outside each key's bounds
