@@ -1265,6 +1265,39 @@ WHERE levenshtein(a.c_name, b.c_name) <= 1
 )
 
 
+from map_spark_sql_spark.operators import runtime_filter as RTF
+
+
+@q(
+    "runtime_prefilter_building_revenue",
+    """
+SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderpriority
+""",
+)
+def runtime_prefilter_building_revenue(spark, sf_dir):
+    """Scan-level runtime prefilter: the filtered customer dim's key set is
+    collected (bounded, like the reference's driver-side threshold set,
+    MapBuilder.java:199-205) and injected as an IN-list scan predicate on
+    orders BEFORE the join — parquet dictionary/row-group pruning the
+    post-scan bloom filter rule can't give. Semantics identical to the
+    plain join (superset guarantee), which is the oracle."""
+    dim = load_table(spark, sf_dir, "customer").filter("c_mktsegment = 'BUILDING'")
+    fact = RTF.prefilter_inlist(
+        load_table(spark, sf_dir, "orders"), dim, "o_custkey", "c_custkey"
+    )
+    return (
+        fact.join(F.broadcast(dim), fact.o_custkey == dim.c_custkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
 from map_spark_sql_spark.operators import grouped as GR
 
 
