@@ -73,6 +73,11 @@ def get_session(
         # Arrow for the pandas-UDF binary encoders (tile MVT/proto paths).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # Deterministic timestamp semantics regardless of host TZ: testdata
+        # NTZ/nanos columns are normalized to session-TZ timestamps
+        # (sources/readers.py), and DuckDB oracles read the same values as
+        # naive UTC — both sides must render identical wall-clock instants.
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -50,7 +50,17 @@ def _nanos_timestamp_columns(path: str) -> list[str]:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one driver table, normalizing nano-timestamps to ``timestamp``."""
+    """Read one driver table, normalizing timestamps to session-TZ ``timestamp``.
+
+    Two physical variants appear in driver testdata depending on how it was
+    written: TIMESTAMP(NANOS) (rejected by the vectorized reader without the
+    nanosAsLong flag; rebuilt via ``timestamp_micros(ns div 1000)``) and
+    TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as TIMESTAMP_NTZ since
+    Spark 3.4's inferTimestampNTZ). Both are folded to plain ``timestamp`` so
+    every downstream plan — batch, streaming schema contracts, unix_micros
+    arithmetic — sees one type. The session TZ is UTC (session.py), so the
+    NTZ→LTZ cast is wall-clock-preserving and matches DuckDB's naive read.
+    """
     path = os.path.join(sf_dir, f"{name}.parquet")
     ns_cols = _nanos_timestamp_columns(path)
     if ns_cols:
@@ -59,6 +69,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for c in ns_cols:
         # integer `div` (not `/`): epoch-nanos exceed double's 2^53 exact range
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    for field in df.schema.fields:
+        if field.dataType.typeName() == "timestamp_ntz":
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 

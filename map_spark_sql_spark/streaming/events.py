@@ -45,22 +45,40 @@ EVENT_SCHEMA = StructType(
 )
 
 
-def read_event_stream(spark: SparkSession, path: str, nanos: bool = True) -> DataFrame:
+def _ts_is_nanos(path: str) -> bool:
+    """True when the parquet feed's ``ts`` column is timestamp[ns] (which the
+    Spark vectorized reader rejects without the nanosAsLong legacy flag).
+    Mirrors sources/readers.py's per-file detection so the stream reader
+    tracks whatever precision the ingest actually writes."""
+    import pyarrow.parquet as pq
+
+    probe = path
+    if os.path.isdir(path):
+        files = sorted(
+            f for f in os.listdir(path) if f.endswith(".parquet") and not f.startswith(".")
+        )
+        if not files:
+            return False
+        probe = os.path.join(path, files[0])
+    try:
+        schema = pq.read_schema(probe)
+    except Exception:
+        return False
+    for field in schema:
+        if field.name == "ts":
+            return str(field.type).startswith("timestamp[ns")
+    return False
+
+
+def read_event_stream(spark: SparkSession, path: str, nanos: bool | None = None) -> DataFrame:
     """File-source event stream. Streaming sources need an explicit schema
     (no inference), and the nanos-timestamp normalization of
     sources/readers.py applies here too via the legacy flag + rebuild.
-    ``nanos=False`` reads Spark-written feeds (ordinary micros/INT96
-    timestamps) with the declared schema directly."""
-    if not nanos:
-        if os.path.isfile(path):
-            d = tempfile.mkdtemp(prefix="stream_src_")
-            os.symlink(path, os.path.join(d, os.path.basename(path)))
-            path = d
-        return spark.readStream.schema(EVENT_SCHEMA).parquet(path)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = StructType(
-        [f if f.name != "ts" else StructField("ts", LongType()) for f in EVENT_SCHEMA]
-    )
+    ``nanos`` defaults to sniffing the feed's parquet footer; pass a bool to
+    pin the behavior (e.g. a directory whose first files aren't ns but later
+    ones are)."""
+    if nanos is None:
+        nanos = _ts_is_nanos(path)
     # The file stream source monitors a *directory*. Test fixtures are single
     # parquet files, so expose one through a temp-dir symlink; real deployments
     # point at an ingest directory (or Kafka) and take the direct branch.
@@ -68,6 +86,12 @@ def read_event_stream(spark: SparkSession, path: str, nanos: bool = True) -> Dat
         d = tempfile.mkdtemp(prefix="stream_src_")
         os.symlink(path, os.path.join(d, os.path.basename(path)))
         path = d
+    if not nanos:
+        return spark.readStream.schema(EVENT_SCHEMA).parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = StructType(
+        [f if f.name != "ts" else StructField("ts", LongType()) for f in EVENT_SCHEMA]
+    )
     stream = spark.readStream.schema(raw_schema).parquet(path)
     return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
