@@ -57,16 +57,27 @@ def main() -> None:
     # one-time whole-stage-codegen JIT of those expression classes isn't
     # billed to the first timed query.
     QUERIES["mapkeys_threshold"](spark, sf_dir).count()
-    for warm in ("dedup_minhash_pairs", "dedup_ngram_jaccard", "similarity_topk_ivf"):
+    for warm in (
+        "dedup_minhash_pairs",
+        "dedup_ngram_jaccard",
+        "similarity_topk_ivf",
+        # projection/tiling expression classes: their whole-stage-codegen JIT
+        # otherwise lands on the first timed t1_*/tiles_* run (~2x inflation)
+        "t1_mercator_z4",
+        "tiles_mercator_z2",
+    ):
         QUERIES[warm](spark, "/root/testdata/sf0.001").count()
 
-    # best-of-2 per query: steady-state throughput, not first-run scheduler
-    # noise (plan shapes are identical between runs; only JIT/IO caches warm)
+    # best-of-N per query (default 3): steady-state throughput, not first-run
+    # scheduler noise (plan shapes are identical between runs; only JIT/IO
+    # caches warm). N=1 proved too noisy to distinguish regression from
+    # variance (r1 vs r2 showed a 2.4x swing on identical code).
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         best = float("inf")
-        for _ in range(2):
+        for _ in range(reps):
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
