@@ -1915,8 +1915,10 @@ def multimodal_metadata(spark, sf_dir):
 
 @q("multimodal_featurize")  # rows-only: mapInPandas is not SQL-expressible
 def multimodal_featurize(spark, sf_dir):
-    """Arrow-batched feature extraction over binary payloads (stub decoder);
-    rows-only check by contract — the driver sees no oracle entry."""
+    """Arrow-batched feature extraction over binary payloads. Every payload
+    is REALLY decoded (SPM1 header parse + length + CRC32 validation raise
+    on corruption, so this run doubles as an integrity scan); rows-only
+    check by contract — the driver sees no oracle entry."""
     media = MM.media_from_documents(load_table(spark, sf_dir, "documents"))
     return MM.featurize_media(media)
 

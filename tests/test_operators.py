@@ -172,15 +172,66 @@ class TestMultimodal:
 
         return media_from_documents(load_table(spark, "/root/testdata/sf0.001", "documents"))
 
+    def test_payload_roundtrip_decodes(self, media):
+        """SPM1 containers built with native Spark expressions decode (and
+        CRC-validate) in Python, and the decoded header matches the metadata
+        columns; the body is exactly the source utf-8 text."""
+        from map_spark_sql_spark.operators.multimodal import HEADER_LEN, decode_media
+
+        rows = media.limit(100).collect()
+        assert rows
+        for r in rows:
+            m = decode_media(r.payload)
+            assert m["kind"] == r.kind
+            assert m["width"] == r.width and m["height"] == r.height
+            assert len(m["body"]) == r.n_bytes == len(r.payload) - HEADER_LEN
+
+    def test_decode_rejects_corruption(self, media):
+        import pytest as _pytest
+
+        from map_spark_sql_spark.operators.multimodal import decode_media
+
+        payload = bytes(media.limit(1).collect()[0].payload)
+        with _pytest.raises(ValueError):
+            decode_media(b"XXXX" + payload[4:])  # bad magic
+        with _pytest.raises(ValueError):
+            decode_media(payload[:-1])  # truncated body -> length mismatch
+        corrupt = payload[:-1] + bytes([payload[-1] ^ 0xFF])
+        with _pytest.raises(ValueError):
+            decode_media(corrupt)  # flipped byte -> CRC mismatch
+
+    def test_featurize_decodes_all(self, media):
+        from map_spark_sql_spark.operators.multimodal import featurize_media
+
+        out = featurize_media(media)
+        rows = out.collect()
+        assert len(rows) == media.count()
+        by_id = {r.media_id: r for r in media.collect()}
+        for r in rows[:100]:
+            src = by_id[r.media_id]
+            assert (r.kind, r.width, r.height, r.n_bytes) == (
+                src.kind,
+                src.width,
+                src.height,
+                src.n_bytes,
+            )
+
     def test_resize_fits_and_scales(self, media):
-        from map_spark_sql_spark.operators.multimodal import resize_media
+        from map_spark_sql_spark.operators.multimodal import (
+            HEADER_LEN,
+            decode_media,
+            resize_media,
+        )
 
         out = resize_media(media, max_dim=64)
         rows = out.collect()
         assert len(rows) == media.count()
         for r in rows[:50]:
             assert 1 <= r.width <= 64 and 1 <= r.height <= 64
-            assert r.n_bytes == len(r.payload)
+            assert r.n_bytes == len(r.payload) - HEADER_LEN
+            # resized payloads are themselves valid SPM1 containers
+            m = decode_media(r.payload)
+            assert (m["width"], m["height"]) == (r.width, r.height)
 
     def test_sample_frames_fanout_and_determinism(self, media):
         from map_spark_sql_spark.operators.multimodal import sample_frames
