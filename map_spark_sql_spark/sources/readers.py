@@ -102,10 +102,14 @@ def read_source(
 
     The reference's single source is an Avro directory glob with inferred
     schema (``MapBuilder.java:134-139``); this exposes the same adapter over
-    every built-in format. Avro needs the ``spark-avro`` module on the
-    classpath (bundled in some distributions, ``--packages`` otherwise) — the
-    error is rethrown with that hint. For schemaless text formats pass an
-    explicit ``schema`` at scale: inference reads the data twice.
+    every built-in format. Avro prefers the ``spark-avro`` DataSource module
+    (vectorized, pushdown-capable — the 100 TB path); when that module is
+    absent from the classpath this falls back to the legacy
+    ``avro-mapred`` InputFormat (always bundled with Spark) via
+    :func:`read_avro_legacy`, which still reads real OCF files/globs but
+    row-converts on the JVM side — fine for fixtures and small side inputs,
+    not for the 100 TB scan. For schemaless text formats pass an explicit
+    ``schema`` at scale: inference reads the data twice.
     """
     reader = spark.read.format(format)
     if schema is not None:
@@ -117,12 +121,45 @@ def read_source(
     try:
         return reader.load(path)
     except Exception as e:  # pragma: no cover - classpath-dependent
-        if format == "avro" and "AVRO" in str(e).upper():
-            raise RuntimeError(
-                "avro source requires the spark-avro module "
-                "(spark.jars.packages org.apache.spark:spark-avro_2.13:<spark version>)"
-            ) from e
+        missing_source = (
+            "DATA_SOURCE_NOT_FOUND" in str(e).upper() or "FAILED TO FIND" in str(e).upper()
+        )
+        if format == "avro" and missing_source:
+            try:
+                return read_avro_legacy(spark, path, schema)
+            except Exception as e2:
+                raise RuntimeError(
+                    "avro source requires the spark-avro module "
+                    "(spark.jars.packages org.apache.spark:spark-avro_2.13:<spark version>) "
+                    "or, for the legacy InputFormat fallback, a jar providing "
+                    "org.apache.spark.examples.pythonconverters.AvroWrapperToJavaConverter "
+                    "on spark.jars"
+                ) from e2
         raise
+
+
+def read_avro_legacy(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    """Avro OCF scan via the legacy ``avro-mapred`` InputFormat (the pre-
+    DataSource public API, cf. Spark's own ``examples/avro_inputformat.py``).
+
+    Needs the ``AvroWrapperToJavaConverter`` python-converter class on the
+    driver classpath (shipped in ``spark-examples``); records arrive as
+    generic dicts and are re-assembled into a DataFrame, so there is no
+    predicate/column pushdown — use the spark-avro module for big scans.
+    """
+    rdd = spark.sparkContext.newAPIHadoopFile(
+        path,
+        "org.apache.avro.mapreduce.AvroKeyInputFormat",
+        "org.apache.avro.mapred.AvroKey",
+        "org.apache.hadoop.io.NullWritable",
+        keyConverter="org.apache.spark.examples.pythonconverters.AvroWrapperToJavaConverter",
+    )
+    records = rdd.keys()
+    if schema is not None:
+        return spark.createDataFrame(records, schema)
+    from pyspark.sql import Row
+
+    return spark.createDataFrame(records.map(lambda d: Row(**d)))
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES) -> dict[str, DataFrame]:

@@ -33,13 +33,93 @@ class TestReadSource:
         assert set(c.lower() for c in back.columns) == set(c.lower() for c in src.columns)
 
     def test_avro_gated_with_hint(self, spark, tmp_out):
-        """This container ships no spark-avro module; the adapter must fail
-        with the classpath hint rather than a raw datasource error."""
+        """Without spark-avro OR the legacy-fallback converter on the session
+        classpath, the adapter must fail with the classpath hint rather than
+        a raw datasource error. (tmp_out doesn't exist, so even a present
+        datasource would error differently.)"""
         import pytest as _pytest
 
         with _pytest.raises(Exception) as ei:
             read_source(spark, tmp_out, "avro")
         assert "spark-avro" in str(ei.value) or "AVRO" in str(ei.value).upper()
+
+    def test_avro_end_to_end(self, tmp_path):
+        """S1 (MapBuilder.java:134-139): a REAL 100-row .avro OCF fixture,
+        written by our pure-Python writer, read back through Spark's JVM avro
+        path with schema inference, and compared against a parquet twin.
+
+        The spark-avro DataSource module is not in this image, so
+        read_source's legacy avro-mapred fallback carries the read; that
+        needs the AvroWrapperToJavaConverter class at session construction
+        (driver classpath), hence a subprocess session with spark.jars
+        rather than the shared fixture session.
+        """
+        import glob as _glob
+        import subprocess
+        import sys
+        import textwrap
+
+        from map_spark_sql_spark.sources.avro_ocf import write_ocf
+
+        jars = _glob.glob("/opt/spark-*/examples/jars/spark-examples_*.jar")
+        if not jars:
+            pytest.skip("no spark-examples jar (AvroWrapperToJavaConverter) available")
+
+        rows = [
+            {
+                "id": i,
+                "name": f"rec-{i}",
+                "score": i / 7.0,
+                "flag": i % 3 == 0,
+                "tag": None if i % 5 == 0 else f"t{i % 4}",
+            }
+            for i in range(100)
+        ]
+        fields = [
+            ("id", "long"),
+            ("name", "string"),
+            ("score", "double"),
+            ("flag", "boolean"),
+            ("tag", ["null", "string"]),
+        ]
+        avro_path = str(tmp_path / "fixture.avro")
+        write_ocf(avro_path, "Rec", fields, rows)
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        parquet_path = str(tmp_path / "fixture.parquet")
+        pq.write_table(pa.Table.from_pylist(rows), parquet_path)
+
+        script = textwrap.dedent(
+            f"""
+            import sys
+            sys.path.insert(0, {repr(str(tmp_path.parent))})
+            sys.path.insert(0, "/root/repo")
+            from pyspark.sql import SparkSession
+            from map_spark_sql_spark.sources.readers import read_source
+
+            spark = (SparkSession.builder.master("local[2]").appName("avro-e2e")
+                     .config("spark.jars", {repr(jars[0])})
+                     .config("spark.ui.enabled", "false")
+                     .getOrCreate())
+            av = read_source(spark, {repr(avro_path)}, "avro")
+            pq_df = read_source(spark, {repr(parquet_path)}, "parquet")
+            cols = sorted(av.columns)
+            assert cols == sorted(pq_df.columns), (cols, pq_df.columns)
+            a = sorted(tuple(r[c] for c in cols) for r in av.collect())
+            b = sorted(tuple(r[c] for c in cols) for r in pq_df.collect())
+            assert len(a) == 100, len(a)
+            assert a == b, (a[:3], b[:3])
+            print("AVRO-E2E-OK")
+            spark.stop()
+            """
+        )
+        proc = subprocess.run(
+            [sys.executable, "-c", script], capture_output=True, text=True, timeout=300
+        )
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        assert "AVRO-E2E-OK" in proc.stdout
 
     def test_csv_explicit_schema(self, spark, tmp_out):
         src = load_table(spark, SF_DIR, "region")
