@@ -286,11 +286,111 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     )
 
 
+def _simhash_band_bounds(bits: int, n_bands: int) -> list[tuple[int, int]]:
+    """(low_bit, width) per band, distributing ``bits`` as evenly as possible
+    (no zero-width band, which would degenerate into an all-pairs bucket)."""
+    if n_bands > bits:
+        raise ValueError(f"need n_bands <= bits, got {n_bands} bands over {bits} bits")
+    base, extra = divmod(bits, n_bands)
+    out, lo = [], 0
+    for j in range(n_bands):
+        width = base + (1 if j < extra else 0)
+        out.append((lo, width))
+        lo += width
+    return out
+
+
+def simhash_banded_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 24,
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs with SimHash hamming distance <= ``max_hamming``.
+
+    Pigeonhole banding: split the ``bits``-bit signature into
+    ``max_hamming + 1`` bands — any pair within the hamming budget agrees
+    EXACTLY on at least one band, so banding loses no true pairs (unlike
+    probabilistic MinHash banding, this is a complete candidate generator).
+    Candidates come from a single explode keyed by (band_id, band_value) and
+    an in-bucket pair fan-out (the join-free one-shuffle shape of
+    :func:`simhash_pairs`); the exact hamming distance is then verified
+    in-expression with ``bit_count(a_sig ^ b_sig)`` and pairs found via
+    multiple bands are de-duplicated.
+
+    100 TB shape: the signature pass (the md5-heavy part) runs once; the
+    wide shuffle keys on (band_id, band_value) — ``max_bucket`` caps the
+    quadratic in-bucket fan-out where a band value degenerates (near-empty
+    docs all hash to similar signatures), trading recall on pathological
+    buckets for a bounded stage, same contract as MinHash's guard.
+    """
+    s = simhash(df, text_col, id_col, bits)
+    n_bands = max_hamming + 1
+    band_structs = [
+        f"struct({j} AS band_id, "
+        f"CAST(floor(simhash / {1 << lo}) AS BIGINT) % {1 << width} AS band_val)"
+        for j, (lo, width) in enumerate(_simhash_band_bounds(bits, n_bands))
+    ]
+    bands = s.select(
+        id_col,
+        "simhash",
+        F.explode(F.expr("array(" + ", ".join(band_structs) + ")")).alias("bd"),
+    ).select(id_col, "simhash", "bd.band_id", "bd.band_val")
+    buckets = (
+        bands.groupBy("band_id", "band_val")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sig")))
+            ).alias("ms")
+        )
+        .filter((F.size("ms") > 1) & (F.size("ms") <= max_bucket))
+    )
+    pairs = F.expr(
+        "flatten(transform(ms, (a, i) -> transform(slice(ms, i + 2, size(ms) - i - 1), "
+        "b -> struct(a.id AS a_id, b.id AS b_id, a.sig AS a_sig, b.sig AS b_sig))))"
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.*")
+        .withColumn("hamming", F.expr("bit_count(a_sig ^ b_sig)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+        .distinct()
+    )
+
+
+def simhash_banded_pairs_oracle(
+    table: str = "documents",
+    text: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 24,
+    max_hamming: int = 3,
+) -> str:
+    sh = simhash_from_hashes_sql("_th", bits, "duckdb")
+    bands = " UNION ALL ".join(
+        f"SELECT {id_col}, simhash, {j} AS band_id, "
+        f"CAST(floor(simhash / {1 << lo}) AS BIGINT) % {1 << width} AS band_val FROM s"
+        for j, (lo, width) in enumerate(_simhash_band_bounds(bits, max_hamming + 1))
+    )
+    return (
+        f"WITH th AS (SELECT {id_col}, {token_hashes_sql(text, 'duckdb')} AS _th FROM {table}), "
+        f"s AS (SELECT {id_col}, {sh} AS simhash FROM th), "
+        f"bands AS ({bands}) "
+        f"SELECT DISTINCT a.{id_col} AS a_id, b.{id_col} AS b_id, "
+        f"CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming "
+        f"FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val "
+        f"AND a.{id_col} < b.{id_col} "
+        f"WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"
+    )
+
+
 def simhash_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 24
 ) -> DataFrame:
     """Documents with identical SimHash signatures (hamming distance 0);
-    banded near-matching (hamming <= k) is a follow-on.
+    for hamming <= k near-matching see :func:`simhash_banded_pairs`.
 
     Shaped as groupBy(simhash) -> in-bucket pair fan-out rather than a
     self-join: the signature pass (the md5-heavy part) runs once, there is

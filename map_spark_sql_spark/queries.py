@@ -1693,6 +1693,14 @@ def dedup_simhash_pairs(spark, sf_dir):
     return DD.simhash_pairs(load_table(spark, sf_dir, "documents"))
 
 
+@q("dedup_simhash_banded", DD.simhash_banded_pairs_oracle(max_hamming=3))
+def dedup_simhash_banded(spark, sf_dir):
+    """SimHash near-dup pairs with hamming distance <= 3 via pigeonhole
+    banding (complete candidate generation) + in-expression bit_count
+    verification."""
+    return DD.simhash_banded_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
+
+
 @q("dedup_ngram_jaccard", DD.ngram_jaccard_pairs_oracle())
 def dedup_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram Jaccard pairs via inverted index + frequent-shingle
@@ -2197,6 +2205,7 @@ _WINDOW_ORDER = [
     "dedup_fingerprint_clusters",
     "dedup_minhash_pairs",
     "dedup_simhash_pairs",
+    "dedup_simhash_banded",
     "dedup_ngram_jaccard",
     "dedup_connected_components",
     "dedup_embedding_cosine",

@@ -57,6 +57,36 @@ class TestDedup:
         ids = {(r["a_id"], r["b_id"]) for r in DD.simhash_pairs(docs).collect()}
         assert (1, 2) in ids
 
+    def test_simhash_banded_complete_vs_bruteforce(self, spark):
+        """Pigeonhole banding must find EVERY pair within the hamming budget
+        (it is a complete candidate generator, not probabilistic) and report
+        exact bit_count distances."""
+        from map_spark_sql_spark.sources.readers import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(120)
+        k = 3
+        got = {
+            (r["a_id"], r["b_id"]): r["hamming"]
+            for r in DD.simhash_banded_pairs(docs, max_hamming=k).collect()
+        }
+        sigs = {r["doc_id"]: r["simhash"] for r in DD.simhash(docs).collect()}
+        ids = sorted(sigs)
+        expected = {
+            (a, b): (sigs[a] ^ sigs[b]).bit_count()
+            for i, a in enumerate(ids)
+            for b in ids[i + 1 :]
+            if (sigs[a] ^ sigs[b]).bit_count() <= k
+        }
+        assert got == expected
+        assert all(h <= k for h in got.values())
+
+    def test_simhash_banded_k0_matches_exact_pairs(self, docs):
+        banded = {
+            (r["a_id"], r["b_id"]) for r in DD.simhash_banded_pairs(docs, max_hamming=0).collect()
+        }
+        exact = {(r["a_id"], r["b_id"]) for r in DD.simhash_pairs(docs).collect()}
+        assert banded == exact
+
     def test_dedup_embedding_cosine_semantic_pairs(self, spark):
         # Semantic dedup: LSH buckets candidate pairs, exact cosine re-rank.
         # Vectors 10/11 are near-parallel (cos ~0.995); 12 is orthogonal.
