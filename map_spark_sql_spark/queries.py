@@ -1734,6 +1734,19 @@ def dedup_connected_components(spark, sf_dir):
     )
 
 
+from map_spark_sql_spark.plans.curation import curate_corpus, curate_corpus_oracle
+
+
+@q("corpus_curation", curate_corpus_oracle())
+def corpus_curation(spark, sf_dir):
+    """Flagship end-to-end training-data funnel (plans/curation.py):
+    quality gate -> exact dedup -> MinHash near-dup clustering -> keeper
+    selection -> deterministic split, composed from the per-stage operators
+    the way MapBuilder.java:55-127 composes its map pipeline. The oracle
+    chains the same per-stage SQL twins."""
+    return curate_corpus(load_table(spark, sf_dir, "documents"))
+
+
 @q(
     "events_daily_resample_locf",
     TS.resample_locf_oracle(
@@ -2230,9 +2243,9 @@ _WINDOW_ORDER = [
     "events_stratified_sample",
     "events_sketch_stats",      # rows-only by contract (sketch state)
     # relational breadth representatives
+    "corpus_curation",          # flagship end-to-end curation funnel
     "window_top_order_per_customer",
     "tpch_q12_shipmode_priority",  # red in r1/r2 (HUGEINT artifact), now fixed
-    "tpch_q1_pricing_summary",
 ]
 
 

@@ -441,6 +441,48 @@ class TestConnectedComponents:
         assert got == {2: 2, 5: 2, 9: 2}
 
 
+class TestCuration:
+    def test_funnel_semantics(self, spark):
+        """Micro-corpus with one of each funnel case: quality-dropped rows
+        (too short / no resolvable language), an exact-dup pair, a near-dup
+        pair, and an independent survivor."""
+        from map_spark_sql_spark.plans.curation import curate_corpus
+
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog and it was very good"),
+            (2, "the quick brown fox jumps over the lazy dog and it was very good"),  # exact dup
+            (3, "the quick brown fox leaps over the lazy dog and it was very good"),  # near dup
+            (4, "short"),  # dropped: under token floor
+            (5, "zzz qqq xxx vvv kkk mmm ppp rrr ttt www"),  # dropped: lang 'und'
+            (6, "it is a completely different document and the content is about engines"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in curate_corpus(docs, jaccard_threshold=0.3).collect()}
+
+        # keepers: 1 (absorbing 2 exactly and 3 as near-dup) and 6
+        assert set(out) == {1, 6}
+        assert out[1]["exact_copies"] == 2
+        assert out[1]["cluster_size"] == 2  # {1, 3} post-exact-dedup
+        assert out[6]["exact_copies"] == 1 and out[6]["cluster_size"] == 1
+        assert all(r["split"] in ("train", "val", "test") for r in out.values())
+
+    def test_split_deterministic_and_stable_under_growth(self, spark):
+        """md5-bucket split: same doc -> same label regardless of corpus."""
+        from map_spark_sql_spark.plans.curation import curate_corpus
+        from map_spark_sql_spark.sources.readers import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        full = {r["doc_id"]: r["split"] for r in curate_corpus(docs).collect()}
+        half = {
+            r["doc_id"]: r["split"]
+            for r in curate_corpus(docs.filter("doc_id % 2 = 0")).collect()
+        }
+        assert half  # the subset keeps someone
+        for doc_id, split in half.items():
+            if doc_id in full:
+                assert split == full[doc_id]
+
+
 class TestResampleLocf:
     def test_gap_fill_and_observed_flag(self, spark):
         from map_spark_sql_spark.operators.timeseries import resample_locf
