@@ -1,0 +1,146 @@
+"""Sequence packing: assign documents to fixed-size training sequences.
+
+LLM pretraining consumes a corpus as concat-and-chunk: documents are laid
+end-to-end in a deterministic order and the token stream is cut into
+fixed-length sequences; a document can straddle a cut. The operator maps
+every document to the chunk(s) it lands in:
+
+    (doc_id, n_tokens, chunk_id, tok_offset, take)
+
+``tok_offset`` = the document's token position within ``chunk_id``; ``take`` =
+how many of its tokens land there. A document longer than the residual
+space of its first chunk emits one row per touched chunk; Σ take = the
+document's token count, and every chunk except the last is exactly full.
+
+100 TB shape — the global prefix sum is the crux. A plain
+``sum() OVER (ORDER BY id)`` window has no PARTITION BY, which Spark plans
+as a SINGLE-partition window — a non-starter at scale. Instead the
+classic two-phase distributed scan:
+
+1. range-repartition by the ordering key (so partition p holds a
+   contiguous id range), cumsum WITHIN each partition (parallel windows),
+2. aggregate one partial sum per partition (num_partitions rows — a
+   bounded driver collect, same contract as the reference's S11 bounded
+   stats collect), broadcast the exclusive per-partition offsets back, and
+   add.
+
+The chunk fan-out is then row-local arithmetic + ``sequence`` explode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from map_spark_sql_spark.operators.text import token_counts_sql
+
+DEFAULT_CHUNK = 512
+
+
+def _ws_token_count_sql(text: str, d: str) -> str:
+    """Whitespace token count — the packing currency (cheap, dialect-shared)."""
+    return token_counts_sql(text, d)["n_ws_tokens"]
+
+
+def pack_sequences(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = DEFAULT_CHUNK,
+) -> DataFrame:
+    """Concat-and-chunk packing over ``id_col`` order (deterministic)."""
+    counted = docs.select(
+        F.col(id_col),
+        F.expr(_ws_token_count_sql(text_col, "spark")).cast("long").alias("n_tokens"),
+    )
+
+    # phase 1: contiguous ranges per partition + within-partition cumsum.
+    # repartitionByRange keys partitions to sorted id ranges, so partition-
+    # local order + partition offsets reconstruct the global order.
+    parted = counted.repartitionByRange(F.col(id_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("_pid").orderBy(id_col)
+    local = parted.withColumn("_local_end", F.sum("n_tokens").over(w))
+
+    # phase 2: one row per partition -> exclusive prefix offsets (bounded
+    # driver collect, |rows| = shuffle partition count)
+    partials = {
+        r["_pid"]: r["_sum"]
+        for r in local.groupBy("_pid").agg(F.max("_local_end").alias("_sum")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(partials):
+        offsets[pid] = acc
+        acc += partials[pid]
+    offset_col = F.coalesce(
+        *[
+            F.when(F.col("_pid") == pid, F.lit(off))
+            for pid, off in sorted(offsets.items())
+        ],
+        F.lit(0),
+    ) if offsets else F.lit(0)
+
+    spans = local.select(
+        id_col,
+        "n_tokens",
+        (F.col("_local_end") - F.col("n_tokens") + offset_col).alias("_start"),
+    )
+
+    # row-local chunk fan-out: doc spans tokens [_start, _start + n_tokens)
+    first = F.floor(F.col("_start") / chunk_tokens)
+    last = F.floor((F.col("_start") + F.col("n_tokens") - 1) / chunk_tokens)
+    exploded = spans.filter(F.col("n_tokens") > 0).select(
+        id_col,
+        "n_tokens",
+        "_start",
+        F.explode(F.sequence(first, last)).alias("chunk_id"),
+    )
+    chunk_lo = F.col("chunk_id") * chunk_tokens
+    chunk_hi = chunk_lo + chunk_tokens
+    take = F.least(F.col("_start") + F.col("n_tokens"), chunk_hi) - F.greatest(
+        F.col("_start"), chunk_lo
+    )
+    return exploded.select(
+        id_col,
+        "n_tokens",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        (F.greatest(F.col("_start"), chunk_lo) - chunk_lo).cast("long").alias("tok_offset"),
+        take.cast("long").alias("take"),
+    )
+
+
+def pack_sequences_oracle(
+    table: str = "documents",
+    text: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = DEFAULT_CHUNK,
+) -> str:
+    """DuckDB twin: plain global cumsum window (single-node, so the
+    distributed-scan decomposition is unnecessary) + generate_series chunk
+    fan-out."""
+    n = _ws_token_count_sql(text, "duckdb")
+    return f"""
+WITH counted AS (
+  SELECT {id_col}, CAST({n} AS BIGINT) AS n_tokens FROM {table}
+),
+spans AS (
+  SELECT {id_col}, n_tokens,
+         sum(n_tokens) OVER (ORDER BY {id_col}) - n_tokens AS _start
+  FROM counted
+),
+exploded AS (
+  SELECT {id_col}, n_tokens, _start,
+         unnest(generate_series(
+           CAST(floor(_start / {chunk_tokens}) AS BIGINT),
+           CAST(floor((_start + n_tokens - 1) / {chunk_tokens}) AS BIGINT)
+         )) AS chunk_id
+  FROM spans WHERE n_tokens > 0
+)
+SELECT {id_col}, n_tokens, chunk_id,
+       CAST(greatest(_start, chunk_id * {chunk_tokens})
+            - chunk_id * {chunk_tokens} AS BIGINT) AS tok_offset,
+       CAST(least(_start + n_tokens, chunk_id * {chunk_tokens} + {chunk_tokens})
+            - greatest(_start, chunk_id * {chunk_tokens}) AS BIGINT) AS take
+FROM exploded
+"""

@@ -216,3 +216,43 @@ ranked AS (
 )
 SELECT doc_id, term, tf, df, tfidf, rnk FROM ranked WHERE rnk <= {k}
 """
+
+
+# --- PII redaction -----------------------------------------------------------
+
+# Dialect-shared patterns (Java regex and RE2 agree on this subset). Ordered:
+# emails first so their digits can't be half-eaten by the phone pattern.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+[0-9][0-9 \-]{6,}[0-9]", "<PHONE>"),
+)
+
+
+def redact_pii_sql(text: str, d: str) -> dict[str, str]:
+    """Column -> expression map: per-kind match counts + the fully redacted
+    text. Counting runs on the PRE-redaction text per kind-order semantics;
+    replacement applies the patterns in the same order."""
+    out: dict[str, str] = {}
+    redacted = text
+    for kind, raw_pat, repl in PII_PATTERNS:
+        # Spark SQL string literals consume backslash escapes ('\b' ->
+        # backspace); DuckDB literals don't. Double them for Spark only.
+        pat = raw_pat.replace("\\", "\\\\") if d == "spark" else raw_pat
+        if d == "spark":
+            out[f"n_{kind}"] = f"CAST(regexp_count({redacted}, '{pat}') AS INTEGER)"
+            redacted = f"regexp_replace({redacted}, '{pat}', '{repl}')"
+        else:
+            out[f"n_{kind}"] = f"CAST(len(regexp_extract_all({redacted}, '{pat}')) AS INTEGER)"
+            redacted = f"regexp_replace({redacted}, '{pat}', '{repl}', 'g')"
+    out["redacted"] = redacted
+    return out
+
+
+def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Scrub emails / IPv4 addresses / international phone numbers from a
+    text column — the standard pre-training privacy pass. Row-local (no
+    shuffle); patterns are the conservative dialect-shared subset, a real
+    deployment would extend PII_PATTERNS per policy."""
+    exprs = redact_pii_sql(text_col, "spark")
+    return df.select(F.col(id_col), *[F.expr(e).alias(n) for n, e in exprs.items()])

@@ -1848,6 +1848,57 @@ def docs_hash_split(spark, sf_dir):
     )
 
 
+from map_spark_sql_spark.operators.packing import pack_sequences, pack_sequences_oracle
+
+
+@q("docs_pack_sequences", pack_sequences_oracle(chunk_tokens=256))
+def docs_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing (operators/packing.py): map each
+    document to the fixed-size training sequence(s) its tokens land in,
+    using the two-phase distributed prefix sum instead of Spark's
+    single-partition global window. Oracle is a plain cumsum window —
+    single-node DuckDB doesn't need the decomposition."""
+    return pack_sequences(load_table(spark, sf_dir, "documents"), chunk_tokens=256)
+
+
+def _pii_enriched(d: str) -> str:
+    """Dialect-shared derivation appending deterministic synthetic PII to a
+    subset of docs (the corpus itself is PII-free, which would make the
+    redaction gate vacuous)."""
+    s = "STRING"
+    return (
+        "SELECT doc_id, text"
+        " || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS " + s + ") || '@example.com' ELSE '' END"
+        " || CASE WHEN doc_id % 5 = 0 THEN ' from 192.168.' || CAST(doc_id % 256 AS " + s + ") || '.7' ELSE '' END"
+        " || CASE WHEN doc_id % 7 = 0 THEN ' call +1 555 01' || CAST(doc_id % 90 + 10 AS " + s + ") ELSE '' END"
+        " AS text FROM documents"
+    )
+
+
+@q(
+    "text_redact_pii",
+    f"SELECT doc_id, {TX.redact_pii_sql('text', 'duckdb')['n_email']} AS n_email, "
+    f"{TX.redact_pii_sql('text', 'duckdb')['n_ipv4']} AS n_ipv4, "
+    f"{TX.redact_pii_sql('text', 'duckdb')['n_phone']} AS n_phone, "
+    f"md5({TX.redact_pii_sql('text', 'duckdb')['redacted']}) AS redacted_md5 "
+    f"FROM ({_pii_enriched('duckdb')}) t",
+)
+def text_redact_pii(spark, sf_dir):
+    """PII scrubbing (emails / IPv4 / phone numbers) over a deterministic
+    PII-enriched derivation of the corpus — the pre-training privacy pass;
+    row-local, no shuffle. Output carries per-kind match counts and the md5
+    of the redacted text (portable value hashing without shipping the full
+    redacted corpus through the comparator)."""
+    docs = load_table(spark, sf_dir, "documents")
+    enriched = docs.sparkSession.sql(
+        _pii_enriched("spark").replace("FROM documents", "FROM {d}"), d=docs
+    )
+    red = TX.redact_pii(enriched)
+    return red.select(
+        "doc_id", "n_email", "n_ipv4", "n_phone", F.md5("redacted").alias("redacted_md5")
+    )
+
+
 @q(
     "text_rolling_fingerprint",
     f"SELECT {TX.rolling_fingerprint_sql('text', 'duckdb')} AS roll_fp, "
@@ -2231,6 +2282,7 @@ _WINDOW_ORDER = [
     "text_rolling_fingerprint",
     "text_language_confusion",
     "docs_hash_split",
+    "docs_pack_sequences",
     "multimodal_metadata",
     "multimodal_featurize",     # rows-only by contract (binary features)
     "merge_upsert_customers",
@@ -2241,7 +2293,6 @@ _WINDOW_ORDER = [
     "events_daily_resample_locf",
     "events_latest_per_user",
     "events_stratified_sample",
-    "events_sketch_stats",      # rows-only by contract (sketch state)
     # relational breadth representatives
     "corpus_curation",          # flagship end-to-end curation funnel
     "window_top_order_per_customer",

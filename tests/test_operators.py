@@ -483,6 +483,63 @@ class TestCuration:
                 assert split == full[doc_id]
 
 
+class TestRedaction:
+    def test_redacts_and_counts(self, spark):
+        from map_spark_sql_spark.operators.text import redact_pii
+
+        rows = [
+            (1, "mail a.b-c+1@sub.example.org and x@y.io today"),
+            (2, "server 10.0.0.1 talked to 192.168.1.255"),
+            (3, "call +45 1234-5678 now"),
+            (4, "no pii here, just 3.14 and v1.2.3.4.5 fragments"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r for r in redact_pii(docs).collect()}
+        assert (out[1].n_email, out[1].redacted) == (2, "mail <EMAIL> and <EMAIL> today")
+        assert (out[2].n_ipv4, out[2].redacted) == (2, "server <IP> talked to <IP>")
+        assert (out[3].n_phone, out[3].redacted) == (1, "call <PHONE> now")
+        assert out[4].n_email == out[4].n_phone == 0
+        assert "3.14" in out[4].redacted  # decimals survive
+
+
+class TestPacking:
+    def test_concat_and_chunk_invariants(self, spark):
+        """Every chunk except the last is exactly full; per-doc takes sum to
+        its token count; a doc longer than a chunk straddles (multi-row)."""
+        from map_spark_sql_spark.operators.packing import pack_sequences
+
+        rows = [(i, " ".join(["tok"] * n)) for i, n in [(1, 3), (2, 10), (3, 1), (4, 7), (5, 12)]]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = pack_sequences(docs, chunk_tokens=8).collect()
+
+        by_doc, by_chunk = {}, {}
+        for r in out:
+            by_doc[r.doc_id] = by_doc.get(r.doc_id, 0) + r.take
+            by_chunk[r.chunk_id] = by_chunk.get(r.chunk_id, 0) + r.take
+            assert 0 <= r.tok_offset < 8 and 1 <= r.take <= 8
+        assert by_doc == {1: 3, 2: 10, 3: 1, 4: 7, 5: 12}  # sum = 33 tokens
+        last = max(by_chunk)
+        assert all(v == 8 for c, v in by_chunk.items() if c != last)
+        assert by_chunk[last] == 33 - 8 * last
+        # doc 2 (10 tokens, starting at offset 3) straddles chunks 0 and 1
+        assert len([r for r in out if r.doc_id == 2]) == 2
+
+    def test_partitioning_invariance(self, spark):
+        """The two-phase distributed prefix sum must give the same packing
+        regardless of input partitioning (the whole point of phase 2)."""
+        from map_spark_sql_spark.operators.packing import pack_sequences
+        from map_spark_sql_spark.sources.readers import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        key = lambda out: sorted(
+            (r.doc_id, r.chunk_id, r.tok_offset, r.take) for r in out.collect()
+        )
+        base = key(pack_sequences(docs, chunk_tokens=128))
+        assert base
+        for n in (1, 7):
+            assert key(pack_sequences(docs.repartition(n), chunk_tokens=128)) == base
+
+
 class TestResampleLocf:
     def test_gap_fill_and_observed_flag(self, spark):
         from map_spark_sql_spark.operators.timeseries import resample_locf
