@@ -101,6 +101,118 @@ def cosine_cols_sql(a: str, b: str, d: str) -> str:
     return f"({dot_cols_sql(a, b, d)} / ({norm_sql(a, d)} * {norm_sql(b, d)}))"
 
 
+# --- k-means coarse quantizer (Lloyd's algorithm as DataFrame ops) -----------
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Cosine k-means: seed with the first ``k`` vectors by id, then
+    ``n_iter`` Lloyd rounds of (assign to nearest centroid, recompute
+    element-wise means). Fully deterministic: fixed seed, all tie-breaks on
+    the lower centroid id, and centroids QUANTIZED to ``round_digits``
+    decimals after every mean step — that last part is what makes the fit
+    reproducible across engines (mean summation order differs between
+    executors/engines by ~1e-15; rounding collapses the drift so a DuckDB
+    twin computes bit-identical centroids).
+
+    Scale shape per round: the assignment is a broadcast cross join against
+    ``k`` rows (map-side) + one per-vector window; the mean recomputation
+    explodes to (rows x dim) and aggregates on (cid, pos) — a single wide
+    shuffle keyed well below skew territory. ``n_iter`` is a small constant;
+    each round's centroid table (k x dim doubles) passes through the driver
+    like any broadcast dimension.
+    """
+    from pyspark.sql import Window
+
+    cent = df.filter(F.col(id_col) < k).select(
+        F.col(id_col).alias("cid"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("cvec"),
+    )
+    ccos = F.expr(cosine_cols_sql(vec_col, "cvec", "spark"))
+    for _ in range(n_iter):
+        assign = (
+            df.crossJoin(F.broadcast(cent))
+            .withColumn("ccos", ccos)
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.col("cid"))
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select(id_col, "cid", vec_col)
+        )
+        means = (
+            assign.select("cid", F.posexplode(vec_col).alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.round(F.avg(F.col("val").cast("double")), round_digits).alias("val"))
+            .groupBy("cid")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, val))), s -> s.val)"
+                ).alias("nvec")
+            )
+        )
+        # a centroid that lost every member keeps its previous position
+        cent = (
+            cent.join(means, "cid", "left")
+            .select("cid", F.coalesce("nvec", "cvec").alias("cvec"))
+            .localCheckpoint()  # cut the per-iteration lineage growth
+        )
+    return cent
+
+
+def kmeans_cent_sql(
+    table: str,
+    k: int = 8,
+    n_iter: int = 2,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> str:
+    """DuckDB twin of :func:`kmeans_fit`: the Lloyd rounds unrolled as a CTE
+    chain, producing relation ``(cid, cvec)``. Iterative algorithms aren't
+    generally SQL-expressible, but a FIXED iteration count is — which is
+    exactly what the quantized fit needs for oracle parity."""
+    d = "duckdb"
+    ccos = cosine_cols_sql(f"e.{vec_col}", "c.cvec", d)
+    ctes = [
+        f"positions AS (SELECT unnest(generate_series(1, {dim})) AS pos)",
+        f"cent0 AS (SELECT {id_col} AS cid, "
+        f"list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS cvec "
+        f"FROM {table} WHERE {id_col} < {k})",
+    ]
+    for i in range(n_iter):
+        ctes.append(
+            f"a{i} AS (SELECT e.{id_col}, c.cid, row_number() OVER ("
+            f"PARTITION BY e.{id_col} ORDER BY {ccos} DESC, c.cid) AS rn "
+            f"FROM {table} e CROSS JOIN cent{i} c)"
+        )
+        ctes.append(f"asg{i} AS (SELECT {id_col}, cid FROM a{i} WHERE rn = 1)")
+        ctes.append(
+            f"m{i} AS (SELECT a.cid, p.pos, "
+            f"round(avg(CAST(e.{vec_col}[p.pos] AS DOUBLE)), {round_digits}) AS val "
+            f"FROM asg{i} a JOIN {table} e USING ({id_col}) CROSS JOIN positions p "
+            f"GROUP BY a.cid, p.pos)"
+        )
+        ctes.append(
+            f"n{i} AS (SELECT cid, list(val ORDER BY pos) AS nvec FROM m{i} GROUP BY cid)"
+        )
+        ctes.append(
+            f"cent{i + 1} AS (SELECT c.cid, coalesce(n.nvec, c.cvec) AS cvec "
+            f"FROM cent{i} c LEFT JOIN n{i} n USING (cid))"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT cid, cvec FROM cent{n_iter}"
+
+
 # --- IVF (inverted-file index with coarse quantizer) -------------------------
 
 
@@ -112,13 +224,15 @@ def cosine_topk_ivf(
     query_id: int = 0,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: assign every vector to its nearest coarse
     centroid, probe only the ``nprobe`` centroids closest to the query, and
     re-rank candidates exactly.
 
     The coarse quantizer is deterministic — the first ``n_centroids`` vectors
-    by id (a k-means fit would drop in behind the same ``cent`` relation).
+    by id, or a caller-supplied ``centroids`` relation ``(cid, cvec)`` such
+    as a :func:`kmeans_fit` result.
     Scale shape: assignment is a broadcast cross join against ``n_centroids``
     rows (map-side, no shuffle of the big table); the probe filter keeps
     ~nprobe/n_centroids of the corpus before the exact re-rank, which is the
@@ -128,9 +242,12 @@ def cosine_topk_ivf(
     """
     from pyspark.sql import Window
 
-    cent = df.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
-    )
+    if centroids is not None:
+        cent = centroids.select("cid", "cvec")
+    else:
+        cent = df.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+        )
     ccos = F.expr(cosine_cols_sql(vec_col, "cvec", "spark"))
     assign = (
         df.crossJoin(F.broadcast(cent))
@@ -173,15 +290,23 @@ def cosine_topk_ivf_oracle(
     table: str = "embeddings",
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    cent_sql: str | None = None,
 ) -> str:
     """DuckDB twin of :func:`cosine_topk_ivf` — identical assignment, probe,
-    and tie-break logic as chained CTEs."""
+    and tie-break logic as chained CTEs. ``cent_sql`` overrides the
+    first-k-by-id quantizer with any (cid, cvec) query, e.g.
+    :func:`kmeans_cent_sql`."""
     d = "duckdb"
     ccos = cosine_cols_sql(vec_col, "cvec", d)
     qcos_c = cosine_cols_sql("cvec", "qe", d)
     sim = cosine_cols_sql(vec_col, "qe", d)
+    cent_body = (
+        cent_sql
+        if cent_sql is not None
+        else f"SELECT {id_col} AS cid, {vec_col} AS cvec FROM {table} WHERE {id_col} < {n_centroids}"
+    )
     return f"""
-WITH cent AS (SELECT {id_col} AS cid, {vec_col} AS cvec FROM {table} WHERE {id_col} < {n_centroids}),
+WITH cent AS (SELECT * FROM ({cent_body}) cb),
 assign0 AS (
   SELECT e.{id_col}, c.cid,
          row_number() OVER (PARTITION BY e.{id_col} ORDER BY {ccos} DESC, c.cid) AS rn

@@ -1967,6 +1967,21 @@ def similarity_topk_ivf(spark, sf_dir):
     return SIM.cosine_topk_ivf(load_table(spark, sf_dir, "embeddings"))
 
 
+@q(
+    "similarity_topk_ivf_trained",
+    SIM.cosine_topk_ivf_oracle(cent_sql=SIM.kmeans_cent_sql("embeddings", k=8, n_iter=2)),
+)
+def similarity_topk_ivf_trained(spark, sf_dir):
+    """IVF with a TRAINED coarse quantizer: two quantized Lloyd rounds of
+    cosine k-means (operators/similarity.py kmeans_fit — per-iteration
+    centroid rounding makes the fit bit-reproducible across engines), then
+    the same probe + exact re-rank. The oracle unrolls the fixed iteration
+    count as a CTE chain — iterative training expressed in both engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = SIM.kmeans_fit(emb, k=8, n_iter=2)
+    return SIM.cosine_topk_ivf(emb, centroids=cent)
+
+
 @q("similarity_pairs_lsh", SIM.cosine_pairs_lsh_oracle(bits=6, threshold=0.3))
 def similarity_pairs_lsh(spark, sf_dir):
     """LSH-bucketed near-neighbor pairs + exact re-rank (the 100 TB path)."""

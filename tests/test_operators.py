@@ -193,6 +193,37 @@ class TestSimilarity:
         got = SIM.cosine_topk_ivf(vecs, k=2, n_centroids=2, nprobe=1, query_id=0).collect()
         assert got[0]["vec_id"] == 4 and got[0]["sim"] == 1.0
 
+    def test_kmeans_converges_on_separated_clusters(self, spark):
+        # two tight direction-clusters; after 2 rounds each centroid must
+        # point into its own cluster (cosine >= 0.99 to every member)
+        rows = [(i, [1.0, 0.01 * i]) for i in range(3)] + [
+            (i, [0.01 * (i - 3), 1.0]) for i in range(3, 6)
+        ]
+        vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        cent = {r["cid"]: r["cvec"] for r in SIM.kmeans_fit(vecs, k=2, n_iter=2, dim=2).collect()}
+        assert set(cent) == {0, 1}
+
+        def cos(a, b):
+            dot = sum(x * y for x, y in zip(a, b))
+            na = sum(x * x for x in a) ** 0.5
+            nb = sum(x * x for x in b) ** 0.5
+            return dot / (na * nb)
+
+        # centroid 0 ~ x-direction cluster, centroid 1 ~ y-direction cluster
+        assert cos(cent[0], [1.0, 0.0]) > 0.99
+        assert cos(cent[1], [0.0, 1.0]) > 0.99
+
+    def test_kmeans_empty_cluster_keeps_previous_centroid(self, spark):
+        # seeds 0 and 1 are identical directions -> every vector prefers the
+        # lower cid on ties, so centroid 1 loses all members and must keep
+        # its seed position instead of vanishing or going NULL
+        rows = [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [2.0, 0.0]), (3, [3.0, 0.0])]
+        vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        cent = {r["cid"]: r["cvec"] for r in SIM.kmeans_fit(vecs, k=2, n_iter=2, dim=2).collect()}
+        assert set(cent) == {0, 1}
+        assert cent[1] == [1.0, 0.0]  # untouched seed
+        assert all(v is not None for v in cent[0])
+
 
 class TestMultimodal:
     @pytest.fixture(scope="class")
