@@ -496,6 +496,80 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+def contamination(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    shingle: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing at least
+    one distinct ``shingle``-gram with any document of an evaluation set.
+
+    Returns one row per CONTAMINATED train doc:
+    ``(doc_id, n_shared_shingles, n_eval_docs)`` — distinct overlapping
+    shingle hashes, and how many eval docs they touch.
+
+    100 TB shape: both sides reduce to (id, distinct shingle hash) posting
+    rows; the eval side is a benchmark suite (thousands of docs, not TB), so
+    it broadcasts and the train side never shuffles its corpus — the only
+    wide exchange is the per-doc aggregation of matches, whose input is just
+    the contaminated rows. Set ``broadcast_eval=False`` when decontaminating
+    against something big enough to need a shuffle join on the shingle hash.
+    """
+
+    def explode_shingles(df: DataFrame, out_id: str) -> DataFrame:
+        return (
+            _widen(df)
+            .withColumn("_w", F.expr(words_sql(text_col, "spark")))
+            .select(
+                F.col(id_col).alias(out_id),
+                F.explode(
+                    F.array_distinct(
+                        F.expr(base_hashes_from_words_sql("_w", shingle, "spark"))
+                    )
+                ).alias("h"),
+            )
+        )
+
+    tr = explode_shingles(train, "doc_id")
+    ev = explode_shingles(eval_docs, "eval_id")
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    return (
+        tr.join(ev, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("h").alias("n_shared_shingles"),
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+        )
+    )
+
+
+def contamination_oracle(
+    train_sql: str,
+    eval_sql: str,
+    shingle: int = 5,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin over two relation-producing SQL strings (each must yield
+    ``({id_col}, {text})``)."""
+    hashes = base_hashes_sql(text, shingle, "duckdb")
+    return f"""
+WITH tr AS (
+  SELECT {id_col} AS doc_id, unnest(list_distinct({hashes})) AS h
+  FROM ({train_sql}) t),
+ev AS (
+  SELECT {id_col} AS eval_id, unnest(list_distinct({hashes})) AS h
+  FROM ({eval_sql}) e)
+SELECT doc_id, count(DISTINCT h) AS n_shared_shingles,
+       count(DISTINCT eval_id) AS n_eval_docs
+FROM tr JOIN ev USING (h) GROUP BY doc_id
+"""
+
+
 def ngram_jaccard_pairs_oracle(
     table: str = "documents",
     text: str = "text",

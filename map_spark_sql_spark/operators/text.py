@@ -256,3 +256,35 @@ def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     deployment would extend PII_PATTERNS per policy."""
     exprs = redact_pii_sql(text_col, "spark")
     return df.select(F.col(id_col), *[F.expr(e).alias(n) for n, e in exprs.items()])
+
+
+# --- intra-document repetition ----------------------------------------------
+
+
+def repetition_stats_sql(text: str, d: str, n: int = 3) -> dict[str, str]:
+    """Repeated-n-gram stats: how much of a document is internal duplication
+    (boilerplate, decoding loops). rep_pm = per-mille of shingle positions
+    occupied by a shingle already seen in the document."""
+    from map_spark_sql_spark.operators.dedup import shingles_sql
+
+    sh = shingles_sql(text, n, d)
+    if d == "spark":
+        total, uniq = f"size({sh})", f"size(array_distinct({sh}))"
+    else:
+        total, uniq = f"len({sh})", f"len(list_distinct({sh}))"
+    return {
+        "n_shingles": f"CAST({total} AS INTEGER)",
+        "n_distinct": f"CAST({uniq} AS INTEGER)",
+        "rep_pm": (
+            f"CAST(floor(1000.0 * ({total} - {uniq}) / greatest({total}, 1)) AS INTEGER)"
+        ),
+    }
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Row-local (no shuffle) repetition scoring; a quality gate commonly
+    thresholds rep_pm before anything expensive runs."""
+    exprs = repetition_stats_sql(text_col, "spark", n)
+    return df.select(F.col(id_col), *[F.expr(e).alias(name) for name, e in exprs.items()])

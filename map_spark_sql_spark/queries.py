@@ -1734,6 +1734,38 @@ def dedup_connected_components(spark, sf_dir):
     )
 
 
+@q(
+    "docs_decontaminate",
+    DD.contamination_oracle(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 7",
+        "SELECT doc_id, text FROM documents WHERE doc_id % 10 = 7",
+    ),
+)
+def docs_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: training docs sharing any distinct 5-gram
+    with the (deterministically derived) eval split. The eval side
+    broadcasts — a benchmark suite is small — so the training corpus never
+    shuffles for the match, only the per-doc aggregation of hits does."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.contamination(
+        docs.filter("doc_id % 10 <> 7"), docs.filter("doc_id % 10 = 7")
+    )
+
+
+@q(
+    "text_repetition_stats",
+    f"SELECT doc_id, "
+    + ", ".join(
+        f"{v} AS {k}" for k, v in TX.repetition_stats_sql("text", "duckdb").items()
+    )
+    + " FROM documents",
+)
+def text_repetition_stats(spark, sf_dir):
+    """Intra-document repetition scoring (repeated 3-gram per-mille) — the
+    boilerplate/loop-output gate of a quality pipeline; row-local."""
+    return TX.repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
 from map_spark_sql_spark.plans.curation import curate_corpus, curate_corpus_oracle
 
 

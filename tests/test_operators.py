@@ -514,6 +514,41 @@ class TestCuration:
                 assert split == full[doc_id]
 
 
+class TestDecontamination:
+    def test_flags_exact_ngram_overlap_only(self, spark):
+        from map_spark_sql_spark.operators.dedup import contamination
+
+        train = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon zeta"),  # contains eval 5-gram
+                (2, "alpha beta gamma one two three"),  # only a 3-gram overlap
+                (3, "totally unrelated words in this document"),
+            ],
+            "doc_id long, text string",
+        )
+        eval_docs = spark.createDataFrame(
+            [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+        )
+        got = {r.doc_id: r for r in contamination(train, eval_docs, shingle=5).collect()}
+        assert set(got) == {1}
+        assert got[1].n_shared_shingles == 1 and got[1].n_eval_docs == 1
+
+    def test_repetition_scores_boilerplate(self, spark):
+        from map_spark_sql_spark.operators.text import repetition_stats
+
+        docs = spark.createDataFrame(
+            [
+                (1, "spam spam spam spam spam spam"),  # all shingles identical
+                (2, "one two three four five six"),  # all distinct
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in repetition_stats(docs, n=3).collect()}
+        assert out[1].n_shingles == 4 and out[1].n_distinct == 1
+        assert out[1].rep_pm == 750  # 3 of 4 positions repeat
+        assert out[2].rep_pm == 0
+
+
 class TestRedaction:
     def test_redacts_and_counts(self, spark):
         from map_spark_sql_spark.operators.text import redact_pii
