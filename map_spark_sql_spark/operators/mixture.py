@@ -1,0 +1,171 @@
+"""Data-mixture sampling and document chunking for training-corpus prep.
+
+``mixture_sample``: hit a per-source token budget (the "data mixture" step
+of pretraining — 30% web, 20% code, ... of an N-token run) by computing
+each source's deterministic acceptance ratio from its actual token mass and
+keeping documents via the md5-bucket rule. Everything is declarative: the
+per-source totals are a tiny aggregate joined back broadcast-style, and the
+accept/reject decision is row-local — no RNG, no driver loop, stable under
+re-runs and corpus growth (the same properties as ``sampling.hash_split``).
+
+``chunk_documents``: sliding-window chunking with overlap (RAG/context-
+window prep): each document fans out row-locally into word-slice windows —
+``substr``-free (token-aligned), one explode, no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from map_spark_sql_spark.operators.text import token_counts_sql
+
+
+def _bucket_pm_sql(id_expr: str, d: str) -> str:
+    """Deterministic 0..999 per-mille bucket from the id's md5 (the
+    sampling.hash_bucket_sql shape at per-mille resolution)."""
+    if d == "spark":
+        return (
+            f"CAST(conv(substring(md5(CAST({id_expr} AS STRING)), 1, 8), 16, 10) "
+            f"AS BIGINT) % 1000"
+        )
+    return (
+        f"CAST(('0x' || substr(md5(CAST({id_expr} AS VARCHAR)), 1, 8)) AS BIGINT) % 1000"
+    )
+
+
+def _weights_rel_sql(weights: dict[str, float], d: str) -> str:
+    rows = ", ".join(f"('{s}', CAST({float(w)!r} AS DOUBLE))" for s, w in sorted(weights.items()))
+    return f"SELECT * FROM (VALUES {rows}) AS w(source, weight)"
+
+
+def mixture_sample(
+    docs: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Keep a deterministic per-source document sample sized to
+    ``floor(token_budget * weight)`` tokens per source.
+
+    accept-ratio per-mille = min(1000, floor(1000 * target / actual_tokens));
+    a document survives iff its md5 bucket falls under its source's ratio.
+    Sources absent from ``weights`` are dropped (weight 0). The expected
+    kept token mass per source is target (subject to per-mille rounding and
+    doc-size granularity — exact budgets need the packing operator
+    downstream). Output: ``(doc_id, source, n_tokens)`` kept rows.
+    """
+    n_tok = F.expr(token_counts_sql(text_col, "spark")["n_ws_tokens"]).cast("long")
+    counted = docs.select(
+        F.col(id_col), F.col(source_col).alias("source"), n_tok.alias("n_tokens")
+    )
+    w_rows = [(s, float(w)) for s, w in sorted(weights.items())]
+    w_df = docs.sparkSession.createDataFrame(w_rows, "source string, weight double")
+    ratios = (
+        counted.groupBy("source")
+        .agg(F.sum("n_tokens").alias("actual"))
+        .join(w_df, "source")
+        .select(
+            "source",
+            F.least(
+                F.lit(1000),
+                F.floor(1000.0 * F.floor(F.lit(token_budget) * F.col("weight")) / F.col("actual")),
+            ).alias("ratio_pm"),
+        )
+    )
+    bucket = F.expr(_bucket_pm_sql(id_col, "spark"))
+    return (
+        counted.join(F.broadcast(ratios), "source")
+        .filter(bucket < F.col("ratio_pm"))
+        .select(id_col, "source", "n_tokens")
+    )
+
+
+def mixture_sample_oracle(
+    weights: dict[str, float],
+    token_budget: int,
+    table: str = "documents",
+    text: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> str:
+    n = token_counts_sql(text, "duckdb")["n_ws_tokens"]
+    return f"""
+WITH counted AS (
+  SELECT {id_col}, {source_col} AS source, CAST({n} AS BIGINT) AS n_tokens FROM {table}
+),
+w AS ({_weights_rel_sql(weights, "duckdb")}),
+ratios AS (
+  SELECT c.source,
+         least(1000, CAST(floor(1000.0 * floor({token_budget} * w.weight) / sum(c.n_tokens)) AS BIGINT)) AS ratio_pm
+  FROM counted c JOIN w ON c.source = w.source GROUP BY c.source, w.weight
+)
+SELECT c.{id_col}, c.source, c.n_tokens
+FROM counted c JOIN ratios r ON c.source = r.source
+WHERE {_bucket_pm_sql(f"c.{id_col}", "duckdb")} < r.ratio_pm
+"""
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window chunking: window starts every ``chunk_tokens -
+    overlap`` tokens; each window re-joins its word slice. Row-local 1->N
+    explode, no shuffle; short docs yield exactly one chunk. Output:
+    ``(doc_id, chunk_idx, chunk_text, n_chunk_tokens)``."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    words = f"split({text_col}, ' ')"
+    n = f"size({words})"
+    # number of windows: ceil(max(n - overlap, 1) / stride)
+    n_chunks = f"greatest(1, CAST(ceil((CAST({n} AS DOUBLE) - {overlap}) / {stride}) AS INT))"
+    return (
+        docs.select(
+            F.col(id_col),
+            F.expr(words).alias("_w"),
+            F.explode(F.expr(f"sequence(0, {n_chunks} - 1)")).alias("chunk_idx"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.expr(
+                f"array_join(slice(_w, chunk_idx * {stride} + 1, {chunk_tokens}), ' ')"
+            ).alias("chunk_text"),
+            F.expr(f"size(slice(_w, chunk_idx * {stride} + 1, {chunk_tokens}))").alias(
+                "n_chunk_tokens"
+            ),
+        )
+    )
+
+
+def chunk_documents_oracle(
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    table: str = "documents",
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    stride = chunk_tokens - overlap
+    words = f"string_split({text}, ' ')"
+    return f"""
+WITH w AS (SELECT {id_col}, {words} AS _w FROM {table}),
+n AS (
+  SELECT {id_col}, _w,
+         greatest(1, CAST(ceil((CAST(len(_w) AS DOUBLE) - {overlap}) / {stride}) AS INT)) AS n_chunks
+  FROM w
+),
+e AS (
+  SELECT {id_col}, _w, unnest(generate_series(0, n_chunks - 1)) AS chunk_idx FROM n
+)
+SELECT {id_col}, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       array_to_string(list_slice(_w, chunk_idx * {stride} + 1, chunk_idx * {stride} + {chunk_tokens}), ' ') AS chunk_text,
+       CAST(len(list_slice(_w, chunk_idx * {stride} + 1, chunk_idx * {stride} + {chunk_tokens})) AS INTEGER) AS n_chunk_tokens
+FROM e
+"""

@@ -1766,6 +1766,32 @@ def text_repetition_stats(spark, sf_dir):
     return TX.repetition_stats(load_table(spark, sf_dir, "documents"))
 
 
+from map_spark_sql_spark.operators import mixture as MX
+
+_MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+_MIX_BUDGET = 2000
+
+
+@q("docs_mixture_sample", MX.mixture_sample_oracle(_MIX_WEIGHTS, _MIX_BUDGET))
+def docs_mixture_sample(spark, sf_dir):
+    """Data-mixture sampling: deterministic per-source acceptance sized to a
+    token budget x weight (sources outside the mixture drop out); md5-bucket
+    accept rule — no RNG, stable under corpus growth, shuffle only for the
+    tiny per-source totals."""
+    return MX.mixture_sample(
+        load_table(spark, sf_dir, "documents"), _MIX_WEIGHTS, _MIX_BUDGET
+    )
+
+
+@q("docs_chunk_sliding", MX.chunk_documents_oracle(chunk_tokens=32, overlap=8))
+def docs_chunk_sliding(spark, sf_dir):
+    """Sliding-window document chunking with overlap (RAG/context prep):
+    row-local 1->N word-slice fan-out, no shuffle."""
+    return MX.chunk_documents(
+        load_table(spark, sf_dir, "documents"), chunk_tokens=32, overlap=8
+    )
+
+
 from map_spark_sql_spark.plans.curation import curate_corpus, curate_corpus_oracle
 
 

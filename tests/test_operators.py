@@ -549,6 +549,55 @@ class TestDecontamination:
         assert out[2].rep_pm == 0
 
 
+class TestMixture:
+    def test_weights_scale_kept_tokens(self, spark):
+        from map_spark_sql_spark.operators.mixture import mixture_sample
+
+        rows = [(i, " ".join(["w"] * 20), f"src{i % 2}") for i in range(200)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        # each source has 100 docs x 20 tokens = 2000; budget 1000 split 80/20
+        out = mixture_sample(docs, {"src0": 0.8, "src1": 0.2}, 1000).collect()
+        kept = {"src0": 0, "src1": 0}
+        for r in out:
+            kept[r.source] += r.n_tokens
+        # expected ~800 vs ~200 (md5 buckets are uniform-ish; wide tolerance)
+        assert 500 <= kept["src0"] <= 1100
+        assert 50 <= kept["src1"] <= 450
+        assert kept["src0"] > kept["src1"] * 2
+
+    def test_unweighted_sources_drop(self, spark):
+        from map_spark_sql_spark.operators.mixture import mixture_sample
+
+        docs = spark.createDataFrame(
+            [(1, "a b c", "keep"), (2, "d e f", "drop")],
+            "doc_id long, text string, source string",
+        )
+        out = mixture_sample(docs, {"keep": 1.0}, 10_000).collect()
+        assert {r.source for r in out} == {"keep"}
+
+    def test_chunking_overlap_and_coverage(self, spark):
+        from map_spark_sql_spark.operators.mixture import chunk_documents
+
+        words = [f"w{i}" for i in range(10)]
+        docs = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+        out = sorted(chunk_documents(docs, chunk_tokens=4, overlap=2).collect(),
+                     key=lambda r: r.chunk_idx)
+        # stride 2 over 10 words -> ceil((10-2)/2) = 4 chunks
+        assert [r.chunk_text.split() for r in out] == [
+            words[0:4], words[2:6], words[4:8], words[6:10],
+        ]
+        # consecutive chunks share exactly `overlap` words
+        for a, b in zip(out, out[1:]):
+            assert a.chunk_text.split()[-2:] == b.chunk_text.split()[:2]
+
+    def test_chunking_short_doc_single_chunk(self, spark):
+        from map_spark_sql_spark.operators.mixture import chunk_documents
+
+        docs = spark.createDataFrame([(1, "just three words")], "doc_id long, text string")
+        out = chunk_documents(docs, chunk_tokens=64, overlap=16).collect()
+        assert len(out) == 1 and out[0].chunk_text == "just three words"
+
+
 class TestRedaction:
     def test_redacts_and_counts(self, spark):
         from map_spark_sql_spark.operators.text import redact_pii
