@@ -367,7 +367,12 @@ def simhash_banded_pairs_oracle(
     id_col: str = "doc_id",
     bits: int = 24,
     max_hamming: int = 3,
+    max_bucket: int = 1000,
 ) -> str:
+    """Mirrors :func:`simhash_banded_pairs` including the ``max_bucket``
+    degenerate-bucket guard (same HAVING shape as the MinHash oracle) —
+    without it the two sides diverge as soon as a band value concentrates
+    more than ``max_bucket`` docs (observed at sf0.1)."""
     sh = simhash_from_hashes_sql("_th", bits, "duckdb")
     bands = " UNION ALL ".join(
         f"SELECT {id_col}, simhash, {j} AS band_id, "
@@ -377,7 +382,10 @@ def simhash_banded_pairs_oracle(
     return (
         f"WITH th AS (SELECT {id_col}, {token_hashes_sql(text, 'duckdb')} AS _th FROM {table}), "
         f"s AS (SELECT {id_col}, {sh} AS simhash FROM th), "
-        f"bands AS ({bands}) "
+        f"bands_all AS ({bands}), "
+        f"keep AS (SELECT band_id, band_val FROM bands_all GROUP BY band_id, band_val "
+        f"HAVING count(*) <= {max_bucket}), "
+        f"bands AS (SELECT b.* FROM bands_all b JOIN keep k USING (band_id, band_val)) "
         f"SELECT DISTINCT a.{id_col} AS a_id, b.{id_col} AS b_id, "
         f"CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming "
         f"FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val "
