@@ -109,6 +109,30 @@ def curate_corpus(
     )
 
 
+def export_curated(
+    docs: DataFrame,
+    curated: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the funnel output as the training-ready corpus: keeper
+    rows re-joined to their text, written as parquet partitioned by
+    ``split`` (so a trainer's ``split=train`` read is partition-pruned and
+    never touches val/test files — the same list-a-directory contract as
+    the reference's S2/S3 table materializations, ``MapBuilder.java:171-173``).
+
+    The join keys on {id} with the (small) keeper side broadcast; the only
+    wide operation is the write itself.
+    """
+    keep = curated.select(id_col, "exact_copies", "cluster_size", "split")
+    out = docs.join(F.broadcast(keep), id_col).select(
+        id_col, text_col, "exact_copies", "cluster_size", "split"
+    )
+    out.write.mode(mode).partitionBy("split").parquet(path)
+
+
 def curate_corpus_oracle(
     table: str = "documents",
     text: str = "text",

@@ -497,6 +497,25 @@ class TestCuration:
         assert out[6]["exact_copies"] == 1 and out[6]["cluster_size"] == 1
         assert all(r["split"] in ("train", "val", "test") for r in out.values())
 
+    def test_export_partitioned_by_split(self, spark, tmp_path):
+        """Exported corpus is parquet partitioned by split; a split=train
+        read is partition-pruned and returns exactly the train keepers."""
+        from map_spark_sql_spark.plans.curation import curate_corpus, export_curated
+        from map_spark_sql_spark.sources.readers import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        curated = curate_corpus(docs)
+        out = str(tmp_path / "corpus")
+        export_curated(docs, curated, out)
+
+        back = spark.read.parquet(out)
+        expected = {(r.doc_id, r.split) for r in curated.collect()}
+        assert {(r.doc_id, r.split) for r in back.collect()} == expected
+        train = spark.read.parquet(out).filter("split = 'train'")
+        assert train.count() == len([1 for _, s in expected if s == "train"])
+        plan = train._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [isnotnull(split" in plan  # pruned, not scanned
+
     def test_split_deterministic_and_stable_under_growth(self, spark):
         """md5-bucket split: same doc -> same label regardless of corpus."""
         from map_spark_sql_spark.plans.curation import curate_corpus
