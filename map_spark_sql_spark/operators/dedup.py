@@ -504,6 +504,57 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+def incremental_dedup(
+    new_docs: DataFrame,
+    known: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_col: str = "content_md5",
+) -> DataFrame:
+    """Batch-over-batch dedup: keep only NEW content — rows of ``new_docs``
+    whose digest appears neither in the ``known`` digest set (anti join) nor
+    earlier within the batch itself (min-id per digest).
+
+    This is the steady-state ingestion shape: the corpus's digest set is a
+    compact table (one md5 per distinct content, not the corpus itself) that
+    each incoming batch anti-joins against. At 100 TB the digest table is
+    ~3% the corpus bytes; the anti join shuffles only the BATCH unless the
+    digest side is small enough for AQE to broadcast it. Returns the
+    surviving rows with their digest attached (the rows to append to both
+    the corpus and the digest set).
+    """
+    hashed = new_docs.withColumn(hash_col, content_hash(text_col))
+    fresh = hashed.join(known.select(hash_col), hash_col, "left_anti")
+    in_batch_first = fresh.groupBy(hash_col).agg(F.min(id_col).alias(id_col))
+    return fresh.join(in_batch_first, [hash_col, id_col]).select(
+        id_col, hash_col, *[c for c in new_docs.columns if c != id_col]
+    )
+
+
+def incremental_dedup_oracle(
+    new_sql: str,
+    known_sql: str,
+    text: str = "text",
+    id_col: str = "doc_id",
+    hash_col: str = "content_md5",
+) -> str:
+    """DuckDB twin; ``new_sql`` yields the batch, ``known_sql`` yields a
+    relation with a ``{hash_col}`` column."""
+    h = content_hash_sql(text, "duckdb")
+    return f"""
+WITH hashed AS (SELECT *, {h} AS {hash_col} FROM ({new_sql}) nb),
+fresh AS (
+  SELECT * FROM hashed
+  WHERE {hash_col} NOT IN (SELECT {hash_col} FROM ({known_sql}) kn)
+),
+first_in_batch AS (
+  SELECT {hash_col}, min({id_col}) AS {id_col} FROM fresh GROUP BY {hash_col}
+)
+SELECT f.* FROM fresh f JOIN first_in_batch fb
+  ON f.{hash_col} = fb.{hash_col} AND f.{id_col} = fb.{id_col}
+"""
+
+
 def contamination(
     train: DataFrame,
     eval_docs: DataFrame,

@@ -1766,6 +1766,51 @@ def text_repetition_stats(spark, sf_dir):
     return TX.repetition_stats(load_table(spark, sf_dir, "documents"))
 
 
+_INCR_BATCH = (
+    # incoming batch (doc_id >= 250) with injected duplicates: ids ending
+    # 0/5 copy a KNOWN doc's text (dropped by the anti join); id pairs
+    # ending 8/9 copy the same base text (in-batch dup, min id kept)
+    "SELECT n.doc_id, "
+    "CASE WHEN n.doc_id % 5 = 0 THEN k.text "
+    "     WHEN n.doc_id % 10 IN (8, 9) THEN p.text "
+    "     ELSE n.text END AS text, "
+    "n.lang, n.source, n.n_chars "
+    "FROM documents n "
+    "LEFT JOIN documents k ON k.doc_id = n.doc_id - 250 "
+    "LEFT JOIN documents p ON p.doc_id = n.doc_id - (n.doc_id % 10) + 8 "
+    "WHERE n.doc_id >= 250"
+)
+_KNOWN_DIGESTS = (
+    "SELECT DISTINCT {h} AS content_md5 FROM documents WHERE doc_id < 250"
+)
+
+
+@q(
+    "dedup_incremental",
+    DD.incremental_dedup_oracle(
+        _INCR_BATCH,
+        _KNOWN_DIGESTS.format(h=DD.content_hash_sql("text", "duckdb")),
+    ),
+)
+def dedup_incremental(spark, sf_dir):
+    """Batch-over-corpus dedup: anti-join the incoming batch against the
+    standing digest set, then min-id within the batch — the steady-state
+    ingestion shape (the corpus never re-shuffles; only its compact digest
+    table participates). Batch derivation injects known-set and in-batch
+    duplicates so the gate is non-vacuous."""
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.sparkSession.sql(
+        _INCR_BATCH.replace("documents n", "{d} n")
+        .replace("documents k", "{d} k")
+        .replace("documents p", "{d} p"),
+        d=docs,
+    )
+    known = docs.filter("doc_id < 250").select(
+        DD.content_hash("text").alias("content_md5")
+    ).distinct()
+    return DD.incremental_dedup(batch, known)
+
+
 from map_spark_sql_spark.operators import mixture as MX
 
 _MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}

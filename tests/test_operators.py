@@ -32,6 +32,22 @@ class TestDedup:
         assert out[1] == 2  # docs 1 and 2 collapse
         assert sum(out.values()) == 5
 
+    def test_incremental_dedup_anti_joins_known_and_batch(self, spark):
+        new = spark.createDataFrame(
+            [
+                (10, "already known content"),
+                (11, "genuinely new content"),
+                (12, "repeated inside the batch"),
+                (13, "repeated inside the batch"),
+            ],
+            "doc_id long, text string",
+        )
+        known = DD.exact_dedup(
+            spark.createDataFrame([(1, "already known content")], "doc_id long, text string")
+        ).select("content_md5")
+        got = {r.doc_id for r in DD.incremental_dedup(new, known).collect()}
+        assert got == {11, 12}  # 10 known, 13 loses the in-batch tie
+
     def test_minhash_identical_docs_estimate_1(self, docs):
         pairs = {
             (r["a_id"], r["b_id"]): r["est_jaccard"]
