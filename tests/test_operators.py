@@ -674,6 +674,34 @@ class TestPacking:
         # doc 2 (10 tokens, starting at offset 3) straddles chunks 0 and 1
         assert len([r for r in out if r.doc_id == 2]) == 2
 
+    def test_matches_python_mirror_on_random_corpus(self, spark):
+        """Seeded random doc lengths: the distributed implementation must
+        equal a sequential concat-and-chunk walk exactly."""
+        import random
+
+        from map_spark_sql_spark.operators.packing import pack_sequences
+
+        rng = random.Random(42)
+        lengths = [rng.randint(0, 25) for _ in range(80)]
+        rows = [(i, " ".join(["t"] * n)) for i, n in enumerate(lengths)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = sorted(
+            (r.doc_id, r.chunk_id, r.tok_offset, r.take)
+            for r in pack_sequences(docs, chunk_tokens=16).collect()
+        )
+
+        expected, start = [], 0
+        for i, n in enumerate(lengths):
+            # split(' ') on an empty string yields one empty token
+            n = max(n, 1)
+            for c in range(start // 16, (start + n - 1) // 16 + 1):
+                lo, hi = c * 16, c * 16 + 16
+                expected.append(
+                    (i, c, max(start, lo) - lo, min(start + n, hi) - max(start, lo))
+                )
+            start += n
+        assert got == sorted(expected)
+
     def test_partitioning_invariance(self, spark):
         """The two-phase distributed prefix sum must give the same packing
         regardless of input partitioning (the whole point of phase 2)."""

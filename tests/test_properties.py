@@ -195,3 +195,36 @@ def test_salted_collect_list_equivalence(spark):
         for r in salted_collect_list(df, ["k"], "v", buckets=8).collect()
     }
     assert salted == plain
+
+
+# --- sequence packing invariants (hypothesis) --------------------------------
+
+
+@given(
+    st.lists(st.integers(0, 40), min_size=1, max_size=30),
+    st.integers(4, 16),
+)
+@settings(max_examples=20, deadline=None)
+def test_packing_invariants_random_lengths(lengths, chunk_tokens):
+    """For arbitrary doc lengths: per-doc takes sum to the doc's token
+    count, every chunk except the last is exactly full, and offsets stay
+    in-range. (Pure-python mirror of the operator's arithmetic, pinned
+    against the Spark implementation in TestPacking.)"""
+    total = sum(lengths)
+    start = 0
+    by_chunk: dict[int, int] = {}
+    for n in lengths:
+        if n > 0:
+            first, last = start // chunk_tokens, (start + n - 1) // chunk_tokens
+            for c in range(first, last + 1):
+                lo, hi = c * chunk_tokens, (c + 1) * chunk_tokens
+                take = min(start + n, hi) - max(start, lo)
+                assert 1 <= take <= chunk_tokens
+                off = max(start, lo) - lo
+                assert 0 <= off < chunk_tokens
+                by_chunk[c] = by_chunk.get(c, 0) + take
+        start += n
+    assert sum(by_chunk.values()) == total
+    if by_chunk:
+        last_chunk = max(by_chunk)
+        assert all(v == chunk_tokens for c, v in by_chunk.items() if c != last_chunk)
