@@ -1,3 +1,8 @@
+from map_spark_sql_spark.streaming.documents import (
+    ingest_documents,
+    read_corpus,
+    read_document_stream,
+)
 from map_spark_sql_spark.streaming.events import (
     custom_sessionize,
     dedup_events,
@@ -14,7 +19,10 @@ __all__ = [
     "custom_sessionize",
     "dedup_events",
     "hopping_counts",
+    "ingest_documents",
     "purchase_view_join",
+    "read_corpus",
+    "read_document_stream",
     "read_event_stream",
     "run_to_memory",
     "session_windows",

@@ -1,0 +1,121 @@
+"""Streaming corpus ingestion: the curation funnel's front half, incremental.
+
+A document feed (object-store drops standing in for Kafka, as in
+streaming/events.py) flows through the same operators the batch funnel
+uses — quality gate, then batch-over-corpus dedup — continuously:
+
+    readStream -> quality predicate (stateless, scan-local)
+      -> foreachBatch:
+           incremental_dedup(batch, standing digest table)
+           append survivors to the corpus dir
+           append their digests to the digest dir
+
+Cross-BATCH duplicates are handled by the digest table, not stream state:
+``dropDuplicatesWithinWatermark`` (events.dedup_events) bounds its state by
+TIME, which is right for delivery retries but wrong for corpus dedup —
+a document recrawled a month later must still dedup against the standing
+corpus. The digest table is that unbounded-but-compact state (one md5 per
+distinct content), exactly the batch operator's contract, reused verbatim
+because foreachBatch hands us plain DataFrames.
+
+At scale the corpus/digest dirs are lakehouse tables and the two appends
+become one transaction; the plumbing here is plain parquet + the
+single-writer guarantee of Structured Streaming's serialized foreachBatch.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from map_spark_sql_spark.operators.dedup import incremental_dedup
+from map_spark_sql_spark.plans.curation import _quality_predicate
+
+DOCUMENT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+def read_document_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source document stream. ``max_files_per_trigger=1`` makes each
+    dropped file its own micro-batch — how the cross-batch dedup tests force
+    redelivery across batches."""
+    reader = spark.readStream.schema(DOCUMENT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def ingest_documents(
+    stream: DataFrame,
+    spark: SparkSession,
+    out_dir: str,
+    min_tokens: int = 5,
+) -> "object":
+    """Start the ingestion query. Layout under ``out_dir``:
+
+    - ``corpus/``  — accepted documents (+ ``content_md5``), append-only
+    - ``digests/`` — one ``content_md5`` per distinct accepted content
+    - ``_checkpoint/`` — stream progress
+
+    Returns the started StreamingQuery (caller awaits termination).
+    """
+    corpus_dir = os.path.join(out_dir, "corpus")
+    digest_dir = os.path.join(out_dir, "digests")
+
+    gated = stream.filter(F.expr(_quality_predicate("text", "spark", min_tokens)))
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        if os.path.isdir(digest_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(digest_dir)
+        ):
+            known = spark.read.parquet(digest_dir).select("content_md5")
+        else:
+            known = spark.createDataFrame([], "content_md5 string")
+        kept = incremental_dedup(batch, known)
+        # Survivors then their digests: if the writer dies between the two
+        # appends, re-processing re-admits (not loses) rows — the corpus
+        # read dedups on content_md5, so replay is safe.
+        kept.persist()
+        try:
+            kept.write.mode("append").parquet(corpus_dir)
+            kept.select("content_md5").write.mode("append").parquet(digest_dir)
+        finally:
+            kept.unpersist()
+
+    return (
+        gated.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_corpus(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Read the accepted corpus, collapsing any crash-replay re-admissions
+    (see ``_apply``): one row per content digest, min doc_id wins."""
+    from pyspark.sql.window import Window
+
+    df = spark.read.parquet(os.path.join(out_dir, "corpus"))
+    w = Window.partitionBy("content_md5").orderBy("doc_id")
+    return (
+        df.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__")
+    )

@@ -202,3 +202,51 @@ def test_upsert_to_snapshot_matches_latest_per_key(spark, tmp_path):
     )
     assert sorted(map(tuple, snap.collect())) == sorted(map(tuple, batch.collect()))
     assert snap.count() == events.select("user_id").distinct().count()
+
+
+def test_streaming_ingest_dedups_across_batches(spark, tmp_path):
+    """Streaming corpus ingestion: file 2 re-delivers half of file 1 (the
+    recrawl/redelivery case) plus new docs with an in-batch duplicate; the
+    standing digest table must drop every cross-batch copy, and the result
+    must equal the batch funnel front-half over the concatenated feed."""
+    import time
+
+    from map_spark_sql_spark.operators.dedup import content_hash, exact_dedup
+    from map_spark_sql_spark.plans.curation import _quality_predicate
+    from map_spark_sql_spark.streaming.documents import (
+        ingest_documents,
+        read_corpus,
+        read_document_stream,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").limit(60)
+    base = docs.filter("doc_id < 40")
+    redelivered = docs.filter("doc_id < 20")  # exact copies of batch 1 rows
+    fresh = docs.filter("doc_id >= 40")
+    dup_in_batch = docs.filter("doc_id = 40").withColumn(  # same text, new id
+        "doc_id", F.col("doc_id") + 1000
+    )
+
+    src = str(tmp_path / "feed")
+    base.coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)  # distinct mtime -> file-source batch order is stable
+    fresh.unionByName(redelivered).unionByName(dup_in_batch).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    out = str(tmp_path / "ingested")
+    q = ingest_documents(
+        read_document_stream(spark, src, max_files_per_trigger=1), spark, out
+    )
+    q.awaitTermination(120)
+
+    got = {(r.doc_id, r.content_md5) for r in read_corpus(spark, out).collect()}
+
+    feed = base.unionByName(fresh).unionByName(redelivered).unionByName(dup_in_batch)
+    gated = feed.filter(F.expr(_quality_predicate("text", "spark", 5)))
+    expected = {
+        (r.keeper, r.content_md5) for r in exact_dedup(gated).collect()
+    }
+    assert got == expected and len(got) > 0
+    # the re-delivered and in-batch-duplicate rows are really gone
+    assert not any(d >= 1000 for d, _ in got)
