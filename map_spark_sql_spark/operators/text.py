@@ -171,6 +171,9 @@ def tfidf_top_terms(
     """
     from pyspark.sql import Window
 
+    # measured (sf0.1, local[32]): widening the scan before tokenizing is a
+    # net LOSS here — the round-robin exchange of the text column costs more
+    # than the parallel explode saves; the (doc, term) shuffle dominates
     toks = df.select(
         F.col(id_col),
         F.explode(F.expr(f"filter({_words(f'lower({text_col})', 'spark')}, t -> t <> '')")).alias(
