@@ -261,6 +261,55 @@ def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     return df.select(F.col(id_col), *[F.expr(e).alias(n) for n, e in exprs.items()])
 
 
+# --- vocabulary building -----------------------------------------------------
+
+
+def build_vocab(
+    df: DataFrame,
+    min_count: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus vocabulary: one row per surviving term with its corpus
+    frequency and a dense contiguous id assigned by (count DESC, term) —
+    the deterministic ordering every tokenizer build needs (ties on count
+    MUST break on the term string or two builds of the same corpus disagree).
+
+    Scale shape: one (term) shuffle for the counts; the id assignment is a
+    global row_number, acceptable because a vocabulary is bounded (term
+    count after ``min_count`` pruning is millions, not corpus-sized) — the
+    single-partition window runs on the *aggregated* relation only.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.explode(
+            F.expr(f"filter({_words(f'lower({text_col})', 'spark')}, t -> t <> '')")
+        ).alias("term")
+    )
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n")).filter(
+        F.col("n") >= min_count
+    )
+    w = Window.orderBy(F.desc("n"), F.col("term"))
+    return counts.withColumn("term_id", F.row_number().over(w) - 1).select(
+        "term_id", "term", "n"
+    )
+
+
+def build_vocab_oracle(min_count: int = 2, table: str = "documents", text: str = "text") -> str:
+    words = _words(f"lower({text})", "duckdb")
+    return f"""
+WITH toks AS (
+  SELECT unnest(list_filter({words}, t -> t <> '')) AS term FROM {table}
+),
+counts AS (
+  SELECT term, count(*) AS n FROM toks GROUP BY term HAVING count(*) >= {min_count}
+)
+SELECT CAST(row_number() OVER (ORDER BY n DESC, term) - 1 AS INTEGER) AS term_id,
+       term, n
+FROM counts
+"""
+
+
 # --- intra-document repetition ----------------------------------------------
 
 

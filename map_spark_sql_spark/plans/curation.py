@@ -109,6 +109,41 @@ def curate_corpus(
     )
 
 
+def curation_report(docs: DataFrame, curated: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Corpus-health rollup of the funnel output: keeper counts, content
+    mass, and absorbed-duplicate totals per (source, split) with ROLLUP
+    subtotals — the dashboard query a curation run ships with. One broadcast
+    join (keeper side is the small one) + one grouping-sets aggregate."""
+    joined = docs.join(F.broadcast(curated), id_col)
+    return joined.rollup("source", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+        F.sum("exact_copies").alias("n_absorbed"),
+        F.sum("cluster_size").alias("n_clustered"),
+    )
+
+
+def curation_report_oracle(
+    table: str = "documents",
+    text: str = "text",
+    id_col: str = "doc_id",
+    **funnel_kwargs,
+) -> str:
+    inner = curate_corpus_oracle(table=table, text=text, id_col=id_col, **funnel_kwargs)
+    return f"""
+WITH curated AS (SELECT * FROM ({inner}) c),
+joined AS (
+  SELECT d.source, curated.split, d.n_chars, curated.exact_copies, curated.cluster_size
+  FROM {table} d JOIN curated ON d.{id_col} = curated.{id_col}
+)
+SELECT source, split, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       CAST(sum(exact_copies) AS BIGINT) AS n_absorbed,
+       CAST(sum(cluster_size) AS BIGINT) AS n_clustered
+FROM joined GROUP BY ROLLUP (source, split)
+"""
+
+
 def export_curated(
     docs: DataFrame,
     curated: DataFrame,

@@ -1811,6 +1811,15 @@ def dedup_incremental(spark, sf_dir):
     return DD.incremental_dedup(batch, known)
 
 
+@q("text_vocab_build", TX.build_vocab_oracle(min_count=2))
+def text_vocab_build(spark, sf_dir):
+    """Tokenizer vocabulary build: per-term corpus frequency with min_count
+    pruning and dense ids by (count DESC, term) — the deterministic tie-break
+    every reproducible vocab needs. The global id window runs on the
+    aggregated (bounded) term table only."""
+    return TX.build_vocab(load_table(spark, sf_dir, "documents"), min_count=2)
+
+
 from map_spark_sql_spark.operators import mixture as MX
 
 _MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
@@ -1848,6 +1857,17 @@ def corpus_curation(spark, sf_dir):
     the way MapBuilder.java:55-127 composes its map pipeline. The oracle
     chains the same per-stage SQL twins."""
     return curate_corpus(load_table(spark, sf_dir, "documents"))
+
+
+from map_spark_sql_spark.plans.curation import curation_report, curation_report_oracle
+
+
+@q("corpus_curation_report", curation_report_oracle())
+def corpus_curation_report(spark, sf_dir):
+    """Corpus-health dashboard: ROLLUP of the funnel output per (source,
+    split) — keeper counts, content mass, absorbed dupes, cluster mass."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation_report(docs, curate_corpus(docs))
 
 
 @q(

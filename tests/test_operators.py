@@ -633,6 +633,33 @@ class TestMixture:
         assert len(out) == 1 and out[0].chunk_text == "just three words"
 
 
+class TestVocabAndReport:
+    def test_vocab_deterministic_ids_and_pruning(self, spark):
+        from map_spark_sql_spark.operators.text import build_vocab
+
+        docs = spark.createDataFrame(
+            [(1, "b b b a a c z z"), (2, "a z")],
+            "doc_id long, text string",
+        )
+        out = {r.term: (r.term_id, r.n) for r in build_vocab(docs, min_count=2).collect()}
+        # c appears once -> pruned; ties (a, b, z all n=3) break alphabetically
+        assert "c" not in out
+        assert out == {"a": (0, 3), "b": (1, 3), "z": (2, 3)}
+
+    def test_report_totals_match_funnel(self, spark):
+        from map_spark_sql_spark.plans.curation import curate_corpus, curation_report
+        from map_spark_sql_spark.sources.readers import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        curated = curate_corpus(docs)
+        rows = curation_report(docs, curated).collect()
+        grand = [r for r in rows if r.source is None and r.split is None]
+        assert len(grand) == 1
+        assert grand[0].n_docs == curated.count()
+        per_source = sum(r.n_docs for r in rows if r.source is not None and r.split is None)
+        assert per_source == grand[0].n_docs
+
+
 class TestRedaction:
     def test_redacts_and_counts(self, spark):
         from map_spark_sql_spark.operators.text import redact_pii
