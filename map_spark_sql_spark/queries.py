@@ -2390,8 +2390,10 @@ _WINDOW_ORDER = [
     "route_points_anti",        # J2
     "points_counts",            # A2
     "points_features",          # A6 collect_list
-    "points_features_salted",   # X2 skew-salted twin (pinned equal)
     "points_salted_keys",       # U5
+    "text_redact_pii",          # privacy pass (displaces the pinned-equal
+                                # skew twin points_features_salted: driver-
+                                # green r1+r2 and still checked locally)
     "t1_mercator_z4",           # U3+A4
     "t1_antarctic_z1",          # U3 polar CRS representative
     "antarctic_subset",         # P5+S4
