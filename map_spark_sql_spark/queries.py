@@ -1811,6 +1811,36 @@ def dedup_incremental(spark, sf_dir):
     return DD.incremental_dedup(batch, known)
 
 
+def _quality_gate_sql(d: str) -> str:
+    """Per-source adaptive quality gate: keep docs at or above their own
+    source's p25 token count — thresholds that track each source's
+    distribution instead of one global constant. Dialect-shared except the
+    percentile function name."""
+    n = TX.token_counts_sql("text", d)["n_ws_tokens"]
+    return f"""
+WITH counted AS (
+  SELECT doc_id, source, CAST({n} AS INTEGER) AS n_tokens FROM documents
+),
+cut AS (
+  SELECT source, round({_pctl('n_tokens', 0.25, d)}, 2) AS p25
+  FROM counted GROUP BY source
+)
+SELECT c.doc_id, c.source, c.n_tokens, cut.p25
+FROM counted c JOIN cut ON c.source = cut.source
+WHERE c.n_tokens >= cut.p25
+"""
+
+
+@q("text_quality_gate_p25", _quality_gate_sql("duckdb"))
+def text_quality_gate_p25(spark, sf_dir):
+    """Per-source p25 token-count gate (exact interpolated percentile on
+    both engines). Scale shape: the per-source cut table is tiny and
+    broadcasts; the corpus scans once for counting and once for the gated
+    output — or fuses into one pass when `counted` is materialized."""
+    _register_views(spark, sf_dir)
+    return spark.sql(_quality_gate_sql("spark"))
+
+
 @q("text_vocab_build", TX.build_vocab_oracle(min_count=2))
 def text_vocab_build(spark, sf_dir):
     """Tokenizer vocabulary build: per-term corpus frequency with min_count
