@@ -408,3 +408,164 @@ cand AS (SELECT a.{id_col} AS a_id, b.{id_col} AS b_id,
 SELECT a_id, b_id, round({dot} / ({na} * {nb}), 6) AS sim
 FROM cand WHERE round({dot} / ({na} * {nb}), 6) >= {threshold}
 """
+
+
+# --- embedding centroids / nearest-centroid labeling -------------------------
+
+
+def embedding_centroids(
+    df: DataFrame,
+    by: str = "label",
+    dim: int = 64,
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Element-wise mean embedding per group (class prototype / mean
+    pooling): posexplode -> per-(group, pos) average -> rebuild, the same
+    one-wide-shuffle shape as the k-means mean step. Components are rounded
+    for cross-engine reproducibility (see kmeans_fit). Returns
+    ``(by, cvec)``."""
+    return (
+        df.select(F.col(by), F.posexplode(vec_col).alias("pos", "val"))
+        .groupBy(by, "pos")
+        .agg(F.round(F.avg(F.col("val").cast("double")), round_digits).alias("val"))
+        .groupBy(by)
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, val))), s -> s.val)"
+            ).alias("cvec")
+        )
+    )
+
+
+def embedding_centroids_sql(
+    by: str = "label",
+    dim: int = 64,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> str:
+    """DuckDB twin of :func:`embedding_centroids` (relation: (by, cvec))."""
+    return f"""
+WITH positions AS (SELECT unnest(generate_series(1, {dim})) AS pos),
+m AS (
+  SELECT e.{by}, p.pos,
+         round(avg(CAST(e.{vec_col}[p.pos] AS DOUBLE)), {round_digits}) AS val
+  FROM {table} e CROSS JOIN positions p GROUP BY e.{by}, p.pos
+)
+SELECT {by}, list(val ORDER BY pos) AS cvec FROM m GROUP BY {by}
+"""
+
+
+def nearest_centroid_confusion(
+    df: DataFrame,
+    by: str = "label",
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-quality eval: assign every vector to its nearest class
+    centroid by cosine and cross-tabulate true vs assigned label. A sharp
+    diagonal means the embedding space separates the classes. Broadcast
+    centroid table; ties on the lower label."""
+    from pyspark.sql import Window
+
+    cent = embedding_centroids(df, by, dim, vec_col).select(
+        F.col(by).alias("assigned"), "cvec"
+    )
+    ccos = F.expr(cosine_cols_sql(vec_col, "cvec", "spark"))
+    best = (
+        df.crossJoin(F.broadcast(cent))
+        .withColumn("ccos", ccos)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.col("assigned"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        best.groupBy(F.col(by).alias("true_label"), "assigned")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def nearest_centroid_confusion_oracle(
+    by: str = "label",
+    dim: int = 64,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    cent = embedding_centroids_sql(by, dim, table, vec_col)
+    ccos = cosine_cols_sql(f"e.{vec_col}", "c.cvec", "duckdb")
+    return f"""
+WITH cent AS (SELECT {by} AS assigned, cvec FROM ({cent}) cc),
+best0 AS (
+  SELECT e.{id_col}, e.{by} AS true_label, c.assigned,
+         row_number() OVER (PARTITION BY e.{id_col} ORDER BY {ccos} DESC, c.assigned) AS rn
+  FROM {table} e CROSS JOIN cent c
+)
+SELECT true_label, assigned, count(*) AS n
+FROM best0 WHERE rn = 1 GROUP BY true_label, assigned
+"""
+
+
+def knn_graph(
+    df: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    bits: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate kNN graph: LSH-bucketed candidate pairs (both
+    directions), then per-vector top-k by exact cosine — the input graph
+    for graph-based dedup/clustering. A vector only sees candidates sharing
+    its hyperplane bucket, so recall follows the LSH contract; the per-
+    vector top-k is one window shuffle over the candidate set (far smaller
+    than N^2). Ties on (sim, neighbor id) for determinism."""
+    from pyspark.sql import Window
+
+    pairs = cosine_pairs_lsh(
+        df, dim=dim, bits=bits, threshold=-1.0, vec_col=vec_col, id_col=id_col
+    )
+    sym = pairs.select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst"), "sim"
+    ).unionByName(
+        pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"), "sim")
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("sim"), F.col("dst"))
+    return (
+        sym.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src", "dst", "sim", "rank")
+    )
+
+
+def knn_graph_oracle(
+    k: int = 5,
+    dim: int = 64,
+    bits: int = 6,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    pairs = cosine_pairs_lsh_oracle(
+        dim=dim, bits=bits, threshold=-1.0, table=table, vec_col=vec_col, id_col=id_col
+    )
+    return f"""
+WITH pairs AS (SELECT * FROM ({pairs}) p),
+sym AS (
+  SELECT a_id AS src, b_id AS dst, sim FROM pairs
+  UNION ALL
+  SELECT b_id AS src, a_id AS dst, sim FROM pairs
+),
+ranked AS (
+  SELECT src, dst, sim,
+         row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rank
+  FROM sym
+)
+SELECT src, dst, sim, CAST(rank AS INTEGER) AS rank FROM ranked WHERE rank <= {k}
+"""

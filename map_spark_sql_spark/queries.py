@@ -2141,6 +2141,22 @@ def similarity_pairs_lsh(spark, sf_dir):
     return SIM.cosine_pairs_lsh(load_table(spark, sf_dir, "embeddings"), bits=6, threshold=0.3)
 
 
+@q("similarity_centroid_confusion", SIM.nearest_centroid_confusion_oracle())
+def similarity_centroid_confusion(spark, sf_dir):
+    """Embedding-quality eval: per-label mean-pooled centroids (quantized
+    like kmeans_fit for cross-engine parity), nearest-centroid assignment,
+    true-vs-assigned confusion counts. Broadcast centroid table."""
+    return SIM.nearest_centroid_confusion(load_table(spark, sf_dir, "embeddings"))
+
+
+@q("similarity_knn_graph", SIM.knn_graph_oracle(k=5, bits=6))
+def similarity_knn_graph(spark, sf_dir):
+    """Approximate kNN graph: LSH-bucketed candidates symmetrized, per-
+    vector top-5 by exact cosine via one window shuffle — the input graph
+    for graph-based dedup/clustering."""
+    return SIM.knn_graph(load_table(spark, sf_dir, "embeddings"), k=5, bits=6)
+
+
 @q(
     "multimodal_metadata",
     "SELECT doc_id AS media_id, "

@@ -209,6 +209,35 @@ class TestSimilarity:
         got = SIM.cosine_topk_ivf(vecs, k=2, n_centroids=2, nprobe=1, query_id=0).collect()
         assert got[0]["vec_id"] == 4 and got[0]["sim"] == 1.0
 
+    def test_centroid_confusion_separates_clean_labels(self, spark):
+        # two tight direction-classes -> perfect diagonal
+        rows = [(i, [1.0, 0.001 * i], "x") for i in range(4)] + [
+            (i, [0.001 * i, 1.0], "y") for i in range(4, 8)
+        ]
+        vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+        got = {
+            (r.true_label, r.assigned): r.n
+            for r in SIM.nearest_centroid_confusion(vecs, dim=2).collect()
+        }
+        assert got == {("x", "x"): 4, ("y", "y"): 4}
+
+    def test_knn_graph_degree_and_symmetric_candidates(self, spark):
+        from map_spark_sql_spark.sources.readers import load_table
+
+        vecs = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(60)
+        out = SIM.knn_graph(vecs, k=3).collect()
+        assert out
+        by_src = {}
+        for r in out:
+            by_src.setdefault(r.src, []).append(r)
+            assert r.src != r.dst
+        for src, rows in by_src.items():
+            assert len(rows) <= 3
+            ranks = sorted(r.rank for r in rows)
+            assert ranks == list(range(1, len(rows) + 1))
+            sims = [r.sim for r in sorted(rows, key=lambda x: x.rank)]
+            assert sims == sorted(sims, reverse=True)
+
     def test_kmeans_converges_on_separated_clusters(self, spark):
         # two tight direction-clusters; after 2 rounds each centroid must
         # point into its own cluster (cosine >= 0.99 to every member)
