@@ -2149,6 +2149,29 @@ def similarity_centroid_confusion(spark, sf_dir):
     return SIM.nearest_centroid_confusion(load_table(spark, sf_dir, "embeddings"))
 
 
+@q(
+    "similarity_semantic_clusters",
+    G.connected_components_oracle(
+        pairs_sql=(
+            f"SELECT src AS a_id, dst AS b_id FROM ({SIM.knn_graph_oracle(k=5, bits=6)}) kg "
+            f"WHERE sim >= 0.9"
+        ),
+        vertices_sql="SELECT vec_id FROM embeddings",
+        id_col="vec_id",
+    ),
+)
+def similarity_semantic_clusters(spark, sf_dir):
+    """Semantic dedup clusters: kNN-graph edges above a cosine floor fed
+    into connected components — pair detection turned into transitive
+    cluster decisions (the embedding-space twin of
+    dedup_connected_components)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = SIM.knn_graph(emb, k=5, bits=6).filter("sim >= 0.9").select(
+        F.col("src").alias("a_id"), F.col("dst").alias("b_id")
+    )
+    return G.connected_components(edges, vertices=emb.select("vec_id"), id_col="vec_id")
+
+
 @q("similarity_knn_graph", SIM.knn_graph_oracle(k=5, bits=6))
 def similarity_knn_graph(spark, sf_dir):
     """Approximate kNN graph: LSH-bucketed candidates symmetrized, per-
