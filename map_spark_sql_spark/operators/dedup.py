@@ -499,6 +499,86 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle: int = 3,
+    threshold: float = 0.8,
+    max_df: int = 200,
+) -> DataFrame:
+    """Asymmetric near-dup: containment of the smaller shingle set in the
+    larger, C = shared / min(|a|, |b|). Catches what Jaccard structurally
+    misses — a short document quoted inside a long one scores C ~= 1 while
+    J ~= |short|/|long| ~= 0. Same inverted-index shape (and the same
+    ``max_df`` bounded-stage guard, mirrored in the oracle) as
+    :func:`ngram_jaccard_pairs`; only the final metric differs."""
+    sh = (
+        _widen(df)
+        .withColumn("_w", F.expr(words_sql(text_col, "spark")))
+        .select(
+            F.col(id_col),
+            F.array_distinct(
+                F.expr(base_hashes_from_words_sql("_w", shingle, "spark"))
+            ).alias("hs"),
+        )
+        .withColumn("sz", F.size("hs"))
+        .select(id_col, "sz", F.explode_outer("hs").alias("h"))
+        .filter(F.col("h").isNotNull())
+    )
+    buckets = (
+        sh.groupBy("h")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("sz").alias("sz")))
+            ).alias("ms")
+        )
+        .filter((F.size("ms") > 1) & (F.size("ms") <= max_df))
+    )
+    pairs = F.expr(
+        "flatten(transform(ms, (a, i) -> "
+        "transform(slice(ms, i + 2, size(ms) - i - 1), b -> struct(a.id AS a_id, a.sz AS a_sz, b.id AS b_id, b.sz AS b_sz))))"
+    )
+    par = df.sparkSession.sparkContext.defaultParallelism
+    shared = (
+        buckets.repartition(par, "h")
+        .select(F.explode(pairs).alias("p"))
+        .groupBy("p.a_id", "p.a_sz", "p.b_id", "p.b_sz")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    cont = F.col("shared") / F.least(F.col("a_sz"), F.col("b_sz"))
+    return (
+        shared.withColumn("containment", F.round(cont, 4))
+        .filter(F.col("containment") >= threshold)
+        .select("a_id", "b_id", "containment")
+    )
+
+
+def ngram_containment_pairs_oracle(
+    table: str = "documents",
+    text: str = "text",
+    id_col: str = "doc_id",
+    shingle: int = 3,
+    threshold: float = 0.8,
+    max_df: int = 200,
+) -> str:
+    hashes = base_hashes_sql(text, shingle, "duckdb")
+    metric = "round(CAST(shared AS DOUBLE) / least(a_sz, b_sz), 4)"
+    return f"""
+WITH docs AS (SELECT {id_col}, list_distinct({hashes}) AS hs FROM {table}),
+sized AS (SELECT {id_col}, len(hs) AS sz, hs FROM docs WHERE len(hs) > 0),
+sh0 AS (SELECT {id_col}, sz, unnest(hs) AS h FROM sized),
+sh AS (SELECT * FROM (SELECT {id_col}, sz, h, count(*) OVER (PARTITION BY h) AS dfreq FROM sh0) WHERE dfreq <= {max_df}),
+shared AS (
+  SELECT a.{id_col} AS a_id, a.sz AS a_sz, b.{id_col} AS b_id, b.sz AS b_sz,
+         count(*) AS shared
+  FROM sh a JOIN sh b ON a.h = b.h AND a.{id_col} < b.{id_col}
+  GROUP BY a_id, a_sz, b_id, b_sz)
+SELECT a_id, b_id, {metric} AS containment
+FROM shared WHERE {metric} >= {threshold}
+"""
+
+
 # ---------------------------------------------------------------------------
 # oracle generators (duckdb dialect)
 # ---------------------------------------------------------------------------

@@ -1701,6 +1701,14 @@ def dedup_simhash_banded(spark, sf_dir):
     return DD.simhash_banded_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
 
 
+@q("dedup_ngram_containment", DD.ngram_containment_pairs_oracle(threshold=0.6))
+def dedup_ngram_containment(spark, sf_dir):
+    """Asymmetric containment near-dup (shared / min set size): surfaces
+    quote-inclusion and boilerplate-wrapping pairs that symmetric Jaccard
+    structurally under-scores."""
+    return DD.ngram_containment_pairs(load_table(spark, sf_dir, "documents"), threshold=0.6)
+
+
 @q("dedup_ngram_jaccard", DD.ngram_jaccard_pairs_oracle())
 def dedup_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram Jaccard pairs via inverted index + frequent-shingle

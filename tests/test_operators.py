@@ -69,6 +69,25 @@ class TestDedup:
         assert pairs[(1, 3)] == round(7 / 9, 4)
         assert (1, 5) not in pairs  # disjoint vocab
 
+    def test_containment_catches_quote_inclusion(self, spark):
+        # short doc fully quoted inside a long one: J small, C = 1.0
+        short = "alpha beta gamma delta"
+        long = short + " " + " ".join(f"filler{i}" for i in range(30))
+        docs = spark.createDataFrame(
+            [(1, short), (2, long), (3, "nothing in common here at all")],
+            "doc_id long, text string",
+        )
+        cont = {
+            (r.a_id, r.b_id): r.containment
+            for r in DD.ngram_containment_pairs(docs, shingle=2, threshold=0.9).collect()
+        }
+        assert cont == {(1, 2): 1.0}
+        jac = {
+            (r.a_id, r.b_id): r.jaccard
+            for r in DD.ngram_jaccard_pairs(docs, shingle=2, threshold=0.0).collect()
+        }
+        assert jac[(1, 2)] < 0.15  # jaccard structurally misses the pair
+
     def test_simhash_pairs_find_identical(self, docs):
         ids = {(r["a_id"], r["b_id"]) for r in DD.simhash_pairs(docs).collect()}
         assert (1, 2) in ids
