@@ -624,8 +624,12 @@ def incremental_dedup_oracle(
     return f"""
 WITH hashed AS (SELECT *, {h} AS {hash_col} FROM ({new_sql}) nb),
 fresh AS (
-  SELECT * FROM hashed
-  WHERE {hash_col} NOT IN (SELECT {hash_col} FROM ({known_sql}) kn)
+  -- NOT EXISTS, not NOT IN: a single NULL digest in the known set would
+  -- tri-value NOT IN to empty, while Spark's left_anti keeps NULL-keyed rows.
+  SELECT * FROM hashed h
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ({known_sql}) kn WHERE kn.{hash_col} = h.{hash_col}
+  )
 ),
 first_in_batch AS (
   SELECT {hash_col}, min({id_col}) AS {id_col} FROM fresh GROUP BY {hash_col}

@@ -61,7 +61,13 @@ def pack_sequences(
         "_pid", F.spark_partition_id()
     )
     w = Window.partitionBy("_pid").orderBy(id_col)
-    local = parted.withColumn("_local_end", F.sum("n_tokens").over(w))
+    # eager localCheckpoint pins ONE physical layout: repartitionByRange picks
+    # boundaries by sampling, so without it the phase-2 collect job and the
+    # output job could each evaluate the lineage with different partition ids,
+    # silently mis-applying the broadcast offsets (task retries / AQE replan).
+    local = parted.withColumn(
+        "_local_end", F.sum("n_tokens").over(w)
+    ).localCheckpoint(eager=True)
 
     # phase 2: one row per partition -> exclusive prefix offsets (bounded
     # driver collect, |rows| = shuffle partition count)

@@ -112,9 +112,10 @@ def curate_corpus(
 def curation_report(docs: DataFrame, curated: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Corpus-health rollup of the funnel output: keeper counts, content
     mass, and absorbed-duplicate totals per (source, split) with ROLLUP
-    subtotals — the dashboard query a curation run ships with. One broadcast
-    join (keeper side is the small one) + one grouping-sets aggregate."""
-    joined = docs.join(F.broadcast(curated), id_col)
+    subtotals — the dashboard query a curation run ships with. The keeper
+    side is O(corpus) rows (most documents are unique), so no broadcast
+    hint: AQE picks the join strategy from the actual post-funnel size."""
+    joined = docs.join(curated, id_col)
     return joined.rollup("source", "split").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("n_chars"),
@@ -158,11 +159,12 @@ def export_curated(
     never touches val/test files — the same list-a-directory contract as
     the reference's S2/S3 table materializations, ``MapBuilder.java:171-173``).
 
-    The join keys on {id} with the (small) keeper side broadcast; the only
-    wide operation is the write itself.
+    The join keys on {id}; the keeper side is corpus-sized (most documents
+    survive), so the join strategy is left to AQE rather than a broadcast
+    hint. The only other wide operation is the write itself.
     """
     keep = curated.select(id_col, "exact_copies", "cluster_size", "split")
-    out = docs.join(F.broadcast(keep), id_col).select(
+    out = docs.join(keep, id_col).select(
         id_col, text_col, "exact_copies", "cluster_size", "split"
     )
     out.write.mode(mode).partitionBy("split").parquet(path)
