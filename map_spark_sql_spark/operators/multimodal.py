@@ -29,6 +29,7 @@ executor memory per batch.
 
 from __future__ import annotations
 
+import hashlib
 import struct
 import zlib
 from collections.abc import Iterator
@@ -136,7 +137,7 @@ FEATURE_SCHEMA = StructType(
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
         StructField("n_bytes", LongType()),
-        StructField("body_crc32", LongType()),
+        StructField("body_md5", StringType()),
         StructField("byte_mean_x100", LongType()),
         StructField("first_byte", IntegerType()),
         StructField("last_byte", IntegerType()),
@@ -147,8 +148,11 @@ FEATURE_SCHEMA = StructType(
 def featurize_media(media: DataFrame) -> DataFrame:
     """mapInPandas feature extraction: payload in, features out, payload
     dropped before anything downstream can shuffle it. Every payload is
-    actually decoded (header + CRC verified); features combine decoded
-    metadata with body byte statistics."""
+    actually decoded (header + CRC verified inside :func:`decode_media`);
+    features combine decoded metadata with body byte statistics. The
+    checksum FEATURE is md5 (hex) rather than the container's CRC32 so the
+    output is oracle-checkable cross-engine (DuckDB has ``md5``, no
+    ``crc32``) — integrity validation still uses the CRC."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -163,7 +167,7 @@ def featurize_media(media: DataFrame) -> DataFrame:
                         m["width"],
                         m["height"],
                         len(body),
-                        zlib.crc32(body),
+                        hashlib.md5(body).hexdigest(),
                         int(sum(body) * 100 // len(body)) if body else 0,
                         body[0] if body else -1,
                         body[-1] if body else -1,

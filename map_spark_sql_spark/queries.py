@@ -1985,14 +1985,17 @@ from map_spark_sql_spark.operators import sampling as SP
 from map_spark_sql_spark.operators import sketches as SK
 
 
-@q("events_sketch_stats")  # rows-only: sketch internals aren't engine-portable
+@q("events_sketch_stats", SK.sketch_bound_verdicts_oracle())
 def events_sketch_stats(spark, sf_dir):
     """HLL++ approx-distinct + GK approximate quantiles per event type —
     fixed-size mergeable sketch state instead of a full distinct shuffle /
-    global sort (the only viable shape at 100 TB). Rows-only by contract;
-    the <= 3*rsd error bound vs the exact answer is pinned in
-    tests/test_operators.py::TestSketches."""
-    return SK.sketch_stats(load_table(spark, sf_dir, "events"))
+    global sort (the only viable shape at 100 TB). Sketch internals aren't
+    engine-portable, but the error bounds they promise ARE: this emits
+    per-group within-bound verdicts (|approx−exact|/exact ≤ 3·rsd; GK
+    estimate between exact quantiles at p±slack) and the oracle asserts
+    literal TRUE, so the hash gate certifies the bounds themselves.
+    Raw sketch values remain pinned in tests/test_operators.py::TestSketches."""
+    return SK.sketch_bound_verdicts(load_table(spark, sf_dir, "events"))
 
 
 @q(
@@ -2200,14 +2203,31 @@ def multimodal_metadata(spark, sf_dir):
     return media.select("media_id", "kind", "n_bytes")
 
 
-@q("multimodal_featurize")  # rows-only: mapInPandas is not SQL-expressible
+@q(
+    "multimodal_featurize",
+    # every emitted feature is derivable in SQL from `documents` (the media
+    # table is synthesized from it): dims from the synth formula, n_bytes
+    # and md5 from the utf-8 body. DuckDB md5(VARCHAR) hashes the utf-8
+    # bytes, matching Python hashlib.md5(body) exactly.
+    "SELECT doc_id AS media_id, "
+    "CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind, "
+    "CAST(doc_id % 640 + 32 AS INT) AS width, "
+    "CAST(doc_id % 480 + 32 AS INT) AS height, "
+    "octet_length(encode(text)) AS n_bytes, "
+    "md5(text) AS body_md5 "
+    "FROM documents",
+)
 def multimodal_featurize(spark, sf_dir):
     """Arrow-batched feature extraction over binary payloads. Every payload
     is REALLY decoded (SPM1 header parse + length + CRC32 validation raise
-    on corruption, so this run doubles as an integrity scan); rows-only
-    check by contract — the driver sees no oracle entry."""
+    on corruption, so this run doubles as an integrity scan). The projected
+    features (dims, byte count, body md5) are all cross-checkable against a
+    SQL derivation from `documents` — the byte-level stats (byte_mean,
+    first/last byte) stay pytest-pinned, outside the oracle projection."""
     media = MM.media_from_documents(load_table(spark, sf_dir, "documents"))
-    return MM.featurize_media(media)
+    return MM.featurize_media(media).select(
+        "media_id", "kind", "width", "height", "n_bytes", "body_md5"
+    )
 
 
 # ===========================================================================
