@@ -508,6 +508,9 @@ for _epsg, _zoom, _name in [
     ("EPSG:4326", 1, "tiles_wgs84_z1"),
     ("EPSG:3575", 1, "tiles_arctic_z1"),
     ("EPSG:3031", 1, "tiles_antarctic_z1"),
+    # z16 = the reference's documented int-safety boundary (TileXYUDF.java:65);
+    # pins projection + buffered addressing + wrap at the deepest zoom.
+    ("EPSG:3857", 16, "tiles_mercator_z16"),
 ]:
     _fn, _orc = _t3_query(_epsg, _zoom)
     _fn.__doc__ = (

@@ -219,3 +219,82 @@ class TestTileAddresses:
     def test_buffer_invariant_rejected(self):
         with pytest.raises(ValueError):
             tiling.tile_addresses_sql("EPSG:3857", 0, 512, 300, "x", "y", "spark")
+
+
+class TestZoom16Boundary:
+    """Pin the int-safety boundary the reference documents (TileXYUDF.java:65):
+    zoom 16 is the deepest supported level; max global pixel 2^16*2*512 = 2^26
+    must stay in int32 through projection, addressing, and both dialects."""
+
+    def test_grid_and_extent_z16(self):
+        assert tiling.grid_dims("EPSG:3857", 16) == (65536, 65536)
+        assert tiling.grid_dims("EPSG:4326", 16) == (131072, 65536)
+        assert projection.world_extent("EPSG:4326", 16, 512) == (67108864, 33554432)
+        assert projection.world_extent("EPSG:4326", 16, 512)[0] < 2**31  # int-safe
+
+    def test_adjacency_wraps_at_z16(self):
+        adj = tiling.adjacent_tile_address
+        assert adj("EPSG:3857", 16, "E", 65535, 10) == (0, 10)
+        assert adj("EPSG:3857", 16, "W", 0, 10) == (65535, 10)
+        assert adj("EPSG:3857", 16, "N", 10, 0) == (10, 65535)
+        assert adj("EPSG:4326", 16, "E", 131071, 0) == (0, 0)
+
+    def test_global_pixel_clamps_at_z16_extremes(self, spark):
+        w, h = projection.world_extent("EPSG:3857", 16, 512)
+        pts = [
+            (projection.MAX_MERCATOR_LAT, 180.0),    # NE extreme
+            (-projection.MAX_MERCATOR_LAT, -180.0),  # SW extreme
+            (0.0, 0.0),                              # center
+        ]
+        df = spark.createDataFrame(pts, ["lat", "lng"])
+        out = df.select(
+            projection.global_pixel("EPSG:3857", 16, 512, "lat", "lng").alias("xy")
+        ).collect()
+        assert (out[0].xy.x, out[0].xy.y) == (w - 1, 0)
+        assert (out[1].xy.x, out[1].xy.y) == (0, h - 1)
+        assert (out[2].xy.x, out[2].xy.y) == (w // 2, h // 2)
+        for r in out:  # every coordinate fits int32
+            assert 0 <= r.xy.x < 2**31 and 0 <= r.xy.y < 2**31
+
+    def test_tile_addresses_dateline_and_pole_wrap_z16(self, spark):
+        w, h = projection.world_extent("EPSG:3857", 16, 512)
+        # east-edge pixel (mid-tile y): E duplicate wraps across the date
+        # line to tile 0
+        df = spark.createDataFrame([(w - 1, h // 2 + 256), (w // 2, 0)], ["x", "y"])
+        rows = df.select(
+            "x", "y", tiling.tile_addresses("EPSG:3857", 16, 512, 64, "x", "y").alias("t")
+        ).collect()
+        east = {(t.tileX, t.tileY, t.pixelX, t.pixelY) for t in rows[0].t}
+        assert (65535, 32768, 511, 256) in east          # primary
+        assert (0, 32768, -1, 256) in east               # dateline wrap
+        north = {(t.tileX, t.tileY, t.pixelX, t.pixelY) for t in rows[1].t}
+        assert (32768, 0, 0, 0) in north                 # primary
+        assert (32768, 65535, 0, 512) in north           # pole wrap, south buffer
+        assert (32767, 65535, 512, 512) in north         # NW corner wrap
+
+    def test_duckdb_parity_z16(self, spark):
+        w, h = projection.world_extent("EPSG:3857", 16, 512)
+        pix = [(0, 0), (w - 1, h - 1), (w - 1, 0), (63, 448), (w // 2, h // 2),
+               (w - 64, h - 64), (512 * 65535, 512 * 65535)]
+        df = spark.createDataFrame(pix, ["x", "y"])
+        df.createOrReplaceTempView("pix16")
+        con = duckdb.connect()
+        con.execute("create table pix16(x int, y int)")
+        con.executemany("insert into pix16 values (?,?)", pix)
+        s_sql = tiling.tile_addresses_sql("EPSG:3857", 16, 512, 64, "x", "y", "spark")
+        d_sql = tiling.tile_addresses_sql("EPSG:3857", 16, 512, 64, "x", "y", "duckdb")
+        gs = sorted(tuple(r) for r in spark.sql(f"select x, y, inline({s_sql}) from pix16").collect())
+        gd = sorted(tuple(r) for r in con.sql(
+            f"select x, y, u.tileX, u.tileY, u.pixelX, u.pixelY from "
+            f"(select x, y, unnest({d_sql}) as u from pix16)").fetchall())
+        assert gs == gd
+        # projection parity at the lat/lng extremes, z16
+        ptsql_s, ptsql_d = projection.global_pixel_xy_sql("EPSG:3857", 16, 512, "lat", "lng"), None
+        df2 = spark.createDataFrame(PROJ_POINTS, ["lat", "lng"])
+        df2.createOrReplaceTempView("pp16")
+        xs, ys = ptsql_s
+        got = [(r.x, r.y) for r in spark.sql(f"select {xs} as x, {ys} as y from pp16").collect()]
+        con.execute("create table pp16(lat double, lng double)")
+        con.executemany("insert into pp16 values (?,?)", PROJ_POINTS)
+        want = con.sql(f"select {xs} as x, {ys} as y from pp16").fetchall()
+        assert got == [tuple(r) for r in want]
