@@ -274,10 +274,14 @@ def build_vocab(
     the deterministic ordering every tokenizer build needs (ties on count
     MUST break on the term string or two builds of the same corpus disagree).
 
-    Scale shape: one (term) shuffle for the counts; the id assignment is a
-    global row_number, acceptable because a vocabulary is bounded (term
-    count after ``min_count`` pruning is millions, not corpus-sized) — the
-    single-partition window runs on the *aggregated* relation only.
+    Scale shape: one (term) shuffle for the counts; the id assignment is
+    the same two-phase distributed rank as ``pack_sequences``
+    (operators/packing.py) instead of a single-partition global window —
+    range-repartition on the rank order so partition p holds a contiguous
+    rank slice, row_number WITHIN partitions (parallel windows), then add
+    exclusive per-partition offsets from a bounded (|partitions|-row)
+    collect. A web-scale vocabulary (10^8 terms) ranks in parallel; no
+    unpartitioned WindowExec appears in the plan.
     """
     from pyspark.sql import Window
 
@@ -289,10 +293,34 @@ def build_vocab(
     counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n")).filter(
         F.col("n") >= min_count
     )
-    w = Window.orderBy(F.desc("n"), F.col("term"))
-    return counts.withColumn("term_id", F.row_number().over(w) - 1).select(
-        "term_id", "term", "n"
+    # (n DESC, term) is a total order (term is unique post-groupBy), so range
+    # partitions carry disjoint contiguous rank slices. localCheckpoint pins
+    # one physical layout for both the size-collect job and the output job.
+    ranked = (
+        counts.repartitionByRange(F.desc("n"), F.col("term"))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
+    w = Window.partitionBy("_pid").orderBy(F.desc("n"), F.col("term"))
+    sizes = {
+        r["_pid"]: r["_cnt"]
+        for r in ranked.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    offset_col = (
+        F.coalesce(
+            *[F.when(F.col("_pid") == pid, F.lit(off)) for pid, off in sorted(offsets.items())],
+            F.lit(0),
+        )
+        if offsets
+        else F.lit(0)
+    )
+    return ranked.withColumn(
+        "term_id", (F.row_number().over(w) - 1 + offset_col).cast("int")
+    ).select("term_id", "term", "n")
 
 
 def build_vocab_oracle(min_count: int = 2, table: str = "documents", text: str = "text") -> str:
