@@ -2469,6 +2469,170 @@ ORDER BY c_nationkey
 )
 
 
+# ===========================================================================
+# Streaming batch-equivalence (streaming/events.py, streaming/documents.py)
+# ===========================================================================
+# Each query runs the STREAMING operator over the bounded parquet feed
+# (availableNow trigger -> memory sink / foreachBatch snapshot) and returns
+# the result as a batch DataFrame; the oracle is the BATCH semantics in
+# DuckDB SQL. This gives the streaming surface hash-gate rows: the driver
+# certifies that the incremental watermarked plan converges to the batch
+# answer on the same input. The testdata tables are single parquet files, so
+# availableNow processes one micro-batch — the cross-batch behaviors (state
+# eviction, digest-table dedup across drops) stay pinned by
+# tests/test_streaming.py, which forces maxFilesPerTrigger=1 redelivery.
+
+
+from map_spark_sql_spark.plans import curation as CU
+
+
+def _stream_query_name(prefix: str) -> str:
+    """Unique in-memory sink name per invocation (the driver and the local
+    harness may run a query more than once in one session)."""
+    import uuid
+
+    return f"{prefix}_{uuid.uuid4().hex[:8]}"
+
+
+@q(
+    "stream_events_tumbling_5min",
+    f"""
+SELECT CAST(floor({_events_bucket('duckdb')} / 300) * 300000000 AS BIGINT) AS window_start_us,
+       event_type, count(*) AS n, round(sum(value), 2) AS total_value
+FROM events GROUP BY window_start_us, event_type
+""",
+)
+def stream_events_tumbling_5min(spark, sf_dir):
+    """Streaming twin of events_tumbling_5min run to convergence: watermarked
+    tumbling-window counts (streaming/events.py tumbling_counts) over the
+    bounded feed, availableNow -> complete-mode memory sink, returned as a
+    batch DataFrame against the batch SQL oracle."""
+    import os
+
+    from map_spark_sql_spark.streaming import events as STE
+
+    ev = STE.read_event_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    res = STE.tumbling_counts(ev)
+    out = STE.run_to_memory(res, _stream_query_name("tumbling"), output_mode="complete")
+    return out.select(
+        F.unix_micros("window_start").alias("window_start_us"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+@q(
+    "stream_events_sessions",
+    """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+numbered AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM marked)
+SELECT user_id, CAST(min(epoch_us(ts)) AS BIGINT) AS session_start_us,
+       CAST(max(epoch_us(ts)) AS BIGINT) AS session_end_us,
+       count(*) AS n_events, round(sum(value), 2) AS session_value
+FROM numbered GROUP BY user_id, session_no
+""",
+)
+def stream_events_sessions(spark, sf_dir):
+    """Streaming session_window aggregation (streaming/events.py
+    session_windows) run to convergence on the bounded feed — certified
+    against the SAME gap-islands oracle as events_sessions_batch, so the
+    watermarked incremental plan and the batch plan are pinned to one
+    semantics. Spark's session end (last + gap) normalizes to the last
+    event, as in the batch twin."""
+    import os
+
+    from map_spark_sql_spark.streaming import events as STE
+
+    ev = STE.read_event_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    res = STE.session_windows(ev, gap="30 minutes")
+    out = STE.run_to_memory(res, _stream_query_name("sessions"), output_mode="complete")
+    return out.select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        (F.unix_micros("session_end") - 30 * 60 * 1_000_000).alias("session_end_us"),
+        "n_events",
+        F.round("session_value", 2).alias("session_value"),
+    )
+
+
+@q(
+    "stream_docs_ingest",
+    f"""
+WITH gated AS (
+  SELECT doc_id, {DD.content_hash_sql('text', 'duckdb')} AS content_md5
+  FROM documents
+  WHERE {CU._quality_predicate('text', 'duckdb', 5)}
+)
+SELECT min(doc_id) AS doc_id, content_md5 FROM gated GROUP BY content_md5
+""",
+)
+def stream_docs_ingest(spark, sf_dir):
+    """Streaming corpus ingestion (streaming/documents.py): quality gate +
+    digest-table dedup via foreachBatch, materialized to a corpus dir and
+    read back. Batch oracle: gate, then min-doc_id per content digest —
+    incremental_dedup keeps the first id within a batch and the digest
+    table dedups across batches, which on this bounded feed converges to
+    exactly the batch answer."""
+    import os
+    import tempfile
+
+    from map_spark_sql_spark.streaming import documents as STD
+
+    stream = STD.read_document_stream(spark, os.path.join(sf_dir, "documents.parquet"))
+    out_dir = tempfile.mkdtemp(prefix="spark_stream_ingest_")
+    query = STD.ingest_documents(stream, spark, out_dir, min_tokens=5)
+    query.awaitTermination(120)
+    return STD.read_corpus(spark, out_dir).select("doc_id", "content_md5")
+
+
+@q(
+    "stream_cdc_upsert_latest",
+    """
+SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_type,
+       round(value, 2) AS value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) t WHERE rn = 1
+""",
+)
+def stream_cdc_upsert_latest(spark, sf_dir):
+    """Streaming CDC upsert (streaming/events.py upsert_to_snapshot):
+    foreachBatch latest-per-key compaction MERGEd into an MVCC-by-directory
+    parquet snapshot; the final snapshot must equal the batch latest-per-key
+    materialization (same oracle as events_latest_per_user)."""
+    import os
+    import tempfile
+
+    from map_spark_sql_spark.streaming import events as STE
+
+    stream = STE.read_event_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    snap_dir = tempfile.mkdtemp(prefix="spark_stream_cdc_")
+    query = STE.upsert_to_snapshot(stream, spark, snap_dir, on=["user_id"], order_col="ts")
+    query.awaitTermination(120)
+    versions = sorted(
+        (d for d in os.listdir(snap_dir) if d.startswith("v")),
+        key=lambda d: int(d[1:]),
+    )
+    snap = spark.read.parquet(os.path.join(snap_dir, versions[-1]))
+    return snap.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_type",
+        F.round("value", 2).alias("value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------

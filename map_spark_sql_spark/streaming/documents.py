@@ -56,6 +56,15 @@ def read_document_stream(
     """File-source document stream. ``max_files_per_trigger=1`` makes each
     dropped file its own micro-batch — how the cross-batch dedup tests force
     redelivery across batches."""
+    # The file stream source monitors a *directory* (FileStreamSource sets
+    # basePath = the source path, which must be a dir). Single-file fixtures
+    # are exposed through a temp-dir symlink, as in events.read_event_stream.
+    if os.path.isfile(path):
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="stream_src_")
+        os.symlink(path, os.path.join(d, os.path.basename(path)))
+        path = d
     reader = spark.readStream.schema(DOCUMENT_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
