@@ -2639,68 +2639,73 @@ def stream_cdc_upsert_latest(spark, sf_dir):
 # The driver's correctness gate checks the FIRST 50 registry entries only
 # (observed in CORRECTNESS_r01/r02: the board stopped at registry position
 # 50 and every LLM-pipeline operator registered after it went unchecked).
-# Order the registry so that window spends its 50 rows on operator-DISTINCT
-# queries: one representative per reference operator family (SURVEY §2) plus
-# one per LLM-pipeline operator family, with near-duplicate CRS variants and
-# the already-proven TPC-H breadth suite after position 50. `mapkeys_stats`
-# stays at the front — it is also the `entry()` flagship.
+# The window ROTATES across rounds to accumulate driver-side evidence over
+# the whole registry (round-3 verdict #1). The union of the r1+r2+r3 boards
+# covers 80 queries; exactly 41 registry entries have never had a driver
+# row (including the 9 added/changed this round). Round 4's window holds
+# ALL 41, plus `mapkeys_stats` (the `entry()` flagship, kept first),
+# `multimodal_featurize` (on the r3 board but only as the no-oracle row —
+# its new md5 oracle needs a hash row), `docs_pack_sequences` (materially
+# changed: localCheckpoint partition pin), and 6 flagship family
+# representatives for round-over-round continuity. After this round the
+# union of boards covers the ENTIRE registry; the full registry is also
+# locally certified at sf0.01 AND sf0.1 every round via
+# tools/check_correctness.py (see SCALE.md).
 
 _WINDOW_ORDER = [
-    # reference map-pipeline core (S/P/J/A/U/X families)
-    "mapkeys_stats",            # U1+A1, entry flagship
-    "occ_ingest_filter",        # S1+P1+P2
-    "mapkeys_threshold",        # P3
-    "route_tiles_semi",         # J1+P7
-    "route_points_anti",        # J2
-    "points_counts",            # A2
-    "points_features",          # A6 collect_list
-    "points_salted_keys",       # U5
-    "text_redact_pii",          # privacy pass (displaces the pinned-equal
-                                # skew twin points_features_salted: driver-
-                                # green r1+r2 and still checked locally)
-    "t1_mercator_z4",           # U3+A4
-    "t1_antarctic_z1",          # U3 polar CRS representative
-    "antarctic_subset",         # P5+S4
+    "mapkeys_stats",            # entry flagship (driver-green r1-r3)
+    # -- new or materially changed this round --
+    "multimodal_featurize",     # r3's only non-green row: now md5-oracled
+    "events_sketch_stats",      # converted to error-bound-verdict oracle
+    "stream_events_tumbling_5min",   # streaming batch-equivalence (new)
+    "stream_events_sessions",
+    "stream_docs_ingest",
+    "stream_cdc_upsert_latest",
+    "tiles_mercator_z16",       # zoom-16 int-safety boundary pin (new)
+    "text_vocab_build",         # two-phase distributed rank (changed)
+    "dedup_incremental",        # NOT EXISTS oracle fix (changed)
+    "corpus_curation_report",   # de-broadcast keeper join (changed)
+    "docs_pack_sequences",      # localCheckpoint partition pin (changed)
+    # -- the 32 remaining never-driver-certified queries --
+    "tpch_q20_part_promotion",
+    "window_ntile_quartiles",
+    "window_rank_family_suppliers",
+    "window_lag_lead_price_delta",
+    "window_first_last_order",
+    "scd2_purchase_value_history",
+    "fuzzy_name_pairs_blocked",
+    "runtime_prefilter_building_revenue",
+    "udaf_geomean_order_price",
+    "grouped_map_zscore",
+    "pivot_status_by_priority",
+    "unpivot_order_measures",
+    "null_safe_taxon_match",
+    "events_daily_rollup",
+    "orders_price_percentiles",
+    "events_hopping_10m_5m",
+    "dedup_ngram_containment",
+    "docs_decontaminate",
+    "text_repetition_stats",
+    "text_quality_gate_p25",
+    "docs_mixture_sample",
+    "docs_chunk_sliding",
+    "similarity_topk_ivf_trained",
+    "similarity_centroid_confusion",
+    "similarity_semantic_clusters",
+    "similarity_knn_graph",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q18_large_volume_customers",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_global_sales_opportunity",
+    # -- flagship family representatives, re-certified for continuity --
     "tiles_mercator_z2",        # U4+A3 buffered tile fan-out
-    "tiles_arctic_z1",          # U4 polar representative
-    "tiles_features_z1",        # A5 per-tile feature blobs
-    "json_props_stats",         # semi-structured payloads
-    "tiles_zorder_keys",        # Z-order sink clustering
-    "pyramid_rollup_z3",        # zoom-pyramid rollup (SURVEY §4)
-    "boryear_decode",           # U2 encode/decode inverses
-    # LLM-data-pipeline operators (one row per family)
-    "dedup_exact",
-    "dedup_fingerprint_clusters",
-    "dedup_minhash_pairs",
-    "dedup_simhash_pairs",
-    "dedup_simhash_banded",
-    "dedup_ngram_jaccard",
-    "dedup_connected_components",
-    "dedup_embedding_cosine",
-    "similarity_topk_bruteforce",
-    "similarity_topk_ivf",
-    "similarity_pairs_lsh",
-    "text_quality_stats",
-    "text_token_counts",
-    "text_tfidf_top_terms",
-    "text_rolling_fingerprint",
-    "text_language_confusion",
-    "docs_hash_split",
-    "docs_pack_sequences",
-    "multimodal_metadata",
-    "multimodal_featurize",     # rows-only by contract (binary features)
-    "merge_upsert_customers",
-    "merge_pruned_partitions",
-    "asof_purchase_last_view",
-    "events_sessions_batch",
-    "events_tumbling_5min",
-    "events_daily_resample_locf",
-    "events_latest_per_user",
-    "events_stratified_sample",
-    # relational breadth representatives
-    "corpus_curation",          # flagship end-to-end curation funnel
-    "window_top_order_per_customer",
-    "tpch_q12_shipmode_priority",  # red in r1/r2 (HUGEINT artifact), now fixed
+    "corpus_curation",          # end-to-end curation funnel
+    "dedup_minhash_pairs",      # banded LSH near-dup
+    "similarity_topk_ivf",      # ANN with broadcast centroids
+    "events_sessions_batch",    # gap sessionization
+    "text_redact_pii",          # privacy pass
 ]
 
 
