@@ -39,6 +39,11 @@ HEADLINE = [
     "text_tfidf_top_terms",
     "docs_hash_split",
     "events_latest_per_user",
+    # round-3 additions: newest code paths, so perf regressions are visible
+    "dedup_simhash_banded",
+    "similarity_topk_ivf_trained",
+    "similarity_knn_graph",
+    "corpus_curation",
 ]
 
 

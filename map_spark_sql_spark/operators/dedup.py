@@ -799,3 +799,177 @@ def simhash_pairs_oracle(
         f"SELECT a.{id_col} AS a_id, b.{id_col} AS b_id, a.simhash AS simhash "
         f"FROM s a JOIN s b ON a.simhash = b.simhash AND a.{id_col} < b.{id_col}"
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-hygiene reports over the exact digest (round-4 additions)
+# ---------------------------------------------------------------------------
+
+
+def _cluster_key_sql(text: str, d: str, key: str, prefix_k: int) -> str:
+    """Digest used as the dedup-cluster identity: the full normalized
+    content ('content'), or the first ``prefix_k`` tokens ('prefix' —
+    catches templated docs that diverge after a shared header; the driver
+    corpus has prefix-sharing near-dups but zero exact dups at sf0.01, so
+    the prefix key is the informative default for the report queries)."""
+    if key == "content":
+        return content_hash_sql(text, d)
+    if d == "spark":
+        return f"md5(concat_ws(' ', slice({words_sql(text, d)}, 1, {prefix_k})))"
+    return f"md5(array_to_string(list_slice({words_sql(text, d)}, 1, {prefix_k}), ' '))"
+
+
+def cross_source_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    key: str = "prefix",
+    prefix_k: int = 12,
+) -> DataFrame:
+    """Cross-source contamination matrix: for each (source_a < source_b)
+    pair, how many distinct contents appear in BOTH sources.
+
+    100 TB shape: first collapse to DISTINCT (digest, source) — one hash
+    shuffle that shrinks the relation to at most docs x 1 rows — then
+    self-join on digest. Per-digest fan-out is bounded by the source count
+    (pairs per digest <= C(n_sources, 2), a few hundred at most), so the
+    join cannot go quadratic in the corpus the way a raw text self-join
+    would. The final pair-count aggregation is over n_sources^2 rows.
+    """
+    ds = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.expr(_cluster_key_sql(text_col, "spark", key, prefix_k)).alias(
+                "content_md5"
+            ),
+            F.col(source_col),
+        )
+        .distinct()
+    )
+    a, b = ds.alias("a"), ds.alias("b")
+    return (
+        a.join(b, "content_md5")
+        .where(F.col(f"a.{source_col}") < F.col(f"b.{source_col}"))
+        .groupBy(
+            F.col(f"a.{source_col}").alias("source_a"),
+            F.col(f"b.{source_col}").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_contents"))
+    )
+
+
+def cross_source_overlap_oracle(
+    table: str = "documents",
+    text: str = "text",
+    source: str = "source",
+    key: str = "prefix",
+    prefix_k: int = 12,
+) -> str:
+    h = _cluster_key_sql(text, "duckdb", key, prefix_k)
+    return f"""
+WITH ds AS (SELECT DISTINCT {h} AS content_md5, {source} AS src FROM {table}
+            WHERE {text} IS NOT NULL)
+SELECT a.src AS source_a, b.src AS source_b, count(*) AS shared_contents
+FROM ds a JOIN ds b ON a.content_md5 = b.content_md5 AND a.src < b.src
+GROUP BY source_a, source_b
+"""
+
+
+def prefix_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 12,
+    min_cluster: int = 2,
+) -> DataFrame:
+    """Templated-prefix detection: cluster documents equal on their first
+    ``k`` tokens, and report how many DISTINCT full contents share that
+    prefix. Prefix clusters that are larger than their full-content cluster
+    (distinct_contents > 1) are boilerplate templates exact dedup misses.
+
+    One shuffle on the prefix digest; the per-group distinct-digest count is
+    a partial_agg-able COUNT(DISTINCT) over an already-hashed value.
+    """
+    w = words_sql(text_col, "spark")
+    prefix = f"md5(concat_ws(' ', slice({w}, 1, {k})))"
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.expr(prefix).alias("prefix_md5"),
+            content_hash(text_col).alias("content_md5"),
+            F.col(id_col),
+        )
+        .groupBy("prefix_md5")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.countDistinct("content_md5").alias("distinct_contents"),
+            F.min(id_col).alias("keeper"),
+        )
+        .where(F.col("cluster_size") >= min_cluster)
+    )
+
+
+def prefix_clusters_oracle(
+    table: str = "documents",
+    text: str = "text",
+    id_col: str = "doc_id",
+    k: int = 12,
+    min_cluster: int = 2,
+) -> str:
+    w = words_sql(text, "duckdb")
+    h = content_hash_sql(text, "duckdb")
+    return f"""
+SELECT md5(array_to_string(list_slice({w}, 1, {k}), ' ')) AS prefix_md5,
+       count(*) AS cluster_size,
+       count(DISTINCT {h}) AS distinct_contents,
+       min({id_col}) AS keeper
+FROM {table} WHERE {text} IS NOT NULL
+GROUP BY prefix_md5 HAVING count(*) >= {min_cluster}
+"""
+
+
+def cluster_size_histogram(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    key: str = "prefix",
+    prefix_k: int = 12,
+) -> DataFrame:
+    """Duplication-profile histogram: for each dup-cluster size, the
+    number of clusters and total docs at that size. The #1 report for
+    judging how much a corpus shrinks under dedup before running it.
+
+    Two shuffles, the second over at most |distinct sizes| rows (tiny).
+    """
+    sizes = (
+        df.where(F.col(text_col).isNotNull())
+        .groupBy(
+            F.expr(_cluster_key_sql(text_col, "spark", key, prefix_k)).alias(
+                "content_md5"
+            )
+        )
+        .agg(F.count(F.lit(1)).alias("copies"))
+    )
+    return (
+        sizes.groupBy("copies")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("copies").alias("n_docs"),
+        )
+    )
+
+
+def cluster_size_histogram_oracle(
+    table: str = "documents",
+    text: str = "text",
+    key: str = "prefix",
+    prefix_k: int = 12,
+) -> str:
+    h = _cluster_key_sql(text, "duckdb", key, prefix_k)
+    return f"""
+WITH sizes AS (SELECT {h} AS content_md5, count(*) AS copies FROM {table}
+               WHERE {text} IS NOT NULL GROUP BY content_md5)
+SELECT copies, count(*) AS n_clusters, CAST(sum(copies) AS BIGINT) AS n_docs
+FROM sizes GROUP BY copies
+"""

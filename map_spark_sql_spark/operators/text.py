@@ -368,3 +368,141 @@ def repetition_stats(
     thresholds rep_pm before anything expensive runs."""
     exprs = repetition_stats_sql(text_col, "spark", n)
     return df.select(F.col(id_col), *[F.expr(e).alias(name) for name, e in exprs.items()])
+
+
+# ---------------------------------------------------------------------------
+# boilerplate n-gram detection (round-4 addition)
+# ---------------------------------------------------------------------------
+# CCNet-style boilerplate removal works line-by-line; this corpus has no
+# line structure, so the unit is the n-gram: an n-gram present in a large
+# fraction of documents is boilerplate (cookie banners, license headers,
+# nav text in the web analogue). Two surfaces: the boilerplate set itself,
+# and a per-document contamination ratio against that set.
+
+
+def _doc_ngrams_sql(text: str, n: int, d: str) -> str:
+    from map_spark_sql_spark.operators.dedup import shingles_sql
+
+    return shingles_sql(text, n, d)
+
+
+def boilerplate_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_doc_frac: float = 0.01,
+) -> DataFrame:
+    """The boilerplate set: n-grams whose document frequency is at least
+    ``min_doc_frac`` of the shingled corpus. Emits (ngram, doc_freq).
+
+    100 TB shape: explode to DISTINCT (doc, ngram) — the one big shuffle,
+    same volume as the tf-idf df pass — then count per ngram. The scalar
+    total-doc count joins in as a broadcast (1 row), so the threshold is a
+    post-aggregation filter, never a driver round-trip.
+    """
+    ex = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.explode(F.expr(_doc_ngrams_sql(text_col, n, "spark"))).alias("ngram"),
+        )
+        .distinct()
+    )
+    freq = ex.groupBy("ngram").agg(F.count(F.lit(1)).alias("doc_freq"))
+    total = ex.agg(F.countDistinct(id_col).alias("_n_docs"))
+    return (
+        freq.crossJoin(F.broadcast(total))
+        .where(F.col("doc_freq") >= F.ceil(F.lit(min_doc_frac) * F.col("_n_docs")))
+        .select("ngram", "doc_freq")
+    )
+
+
+def _boiler_cte(table: str, text: str, id_col: str, n: int, min_doc_frac: float) -> str:
+    sh = _doc_ngrams_sql(text, n, "duckdb")
+    return f"""
+ex AS (SELECT DISTINCT {id_col}, unnest({sh}) AS ngram
+       FROM {table} WHERE {text} IS NOT NULL),
+tot AS (SELECT count(DISTINCT {id_col}) AS n_docs FROM ex),
+boiler AS (SELECT ngram, count(*) AS doc_freq FROM ex GROUP BY ngram
+           HAVING count(*) >= (SELECT ceil({min_doc_frac} * n_docs) FROM tot))
+"""
+
+
+def boilerplate_ngrams_oracle(
+    table: str = "documents",
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_doc_frac: float = 0.01,
+) -> str:
+    return (
+        "WITH "
+        + _boiler_cte(table, text, id_col, n, min_doc_frac)
+        + "SELECT ngram, doc_freq FROM boiler"
+    )
+
+
+def boilerplate_doc_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_doc_frac: float = 0.01,
+) -> DataFrame:
+    """Per-document boilerplate contamination: of the document's distinct
+    n-grams, how many are in the corpus boilerplate set, as a permille
+    ratio. Downstream gates drop documents above a boiler_pm threshold.
+
+    The boilerplate set is small by construction (high-df n-grams), so the
+    per-doc membership join is a broadcast hash join against the exploded
+    distinct (doc, ngram) relation — no second corpus-wide shuffle beyond
+    the groupBy(doc).
+    """
+    ex = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.explode(F.expr(_doc_ngrams_sql(text_col, n, "spark"))).alias("ngram"),
+        )
+        .distinct()
+    )
+    boiler = boilerplate_ngrams(df, text_col, id_col, n, min_doc_frac).select("ngram")
+    flagged = ex.join(
+        F.broadcast(boiler.withColumn("_is_boiler", F.lit(1))), "ngram", "left"
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(F.coalesce(F.col("_is_boiler"), F.lit(0))).alias("n_boiler"),
+        )
+        .select(
+            id_col,
+            "n_ngrams",
+            "n_boiler",
+            F.floor(1000.0 * F.col("n_boiler") / F.col("n_ngrams"))
+            .cast("int")
+            .alias("boiler_pm"),
+        )
+    )
+
+
+def boilerplate_doc_stats_oracle(
+    table: str = "documents",
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_doc_frac: float = 0.01,
+) -> str:
+    return (
+        "WITH "
+        + _boiler_cte(table, text, id_col, n, min_doc_frac)
+        + f"""
+SELECT e.{id_col} AS {id_col}, count(*) AS n_ngrams,
+       count(b.ngram) AS n_boiler,
+       CAST(floor(1000.0 * count(b.ngram) / count(*)) AS INTEGER) AS boiler_pm
+FROM ex e LEFT JOIN boiler b ON e.ngram = b.ngram
+GROUP BY e.{id_col}
+"""
+    )

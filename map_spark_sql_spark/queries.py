@@ -2633,6 +2633,68 @@ def stream_cdc_upsert_latest(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# Corpus-hygiene reports + boilerplate detection (round-4 additions)
+# ===========================================================================
+
+
+_shared_sql(
+    "tpch_q4_order_priority",
+    """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    "TPC-H Q4 shape (completes the 22-query suite; late-shipment "
+    "l_shipdate > orderdate+60d stands in for the testdata's missing "
+    "commit/receipt dates, as in Q21): correlated EXISTS against the fact "
+    "table — plans as a left-semi join on l_orderkey with the lateness "
+    "predicate as the join condition — then a tiny ordered aggregation "
+    "over the priority values.",
+)
+
+
+@q("dedup_cross_source_overlap", DD.cross_source_overlap_oracle())
+def dedup_cross_source_overlap(spark, sf_dir):
+    """Cross-source contamination matrix: distinct contents shared per
+    source pair (the train/eval-overlap report at corpus granularity)."""
+    return DD.cross_source_overlap(load_table(spark, sf_dir, "documents"))
+
+
+@q("dedup_prefix_clusters", DD.prefix_clusters_oracle())
+def dedup_prefix_clusters(spark, sf_dir):
+    """Templated-prefix clusters: docs equal on their first 12 tokens,
+    with the distinct-full-content count exposing boilerplate templates."""
+    return DD.prefix_clusters(load_table(spark, sf_dir, "documents"))
+
+
+@q("dedup_cluster_histogram", DD.cluster_size_histogram_oracle())
+def dedup_cluster_histogram(spark, sf_dir):
+    """Duplication-profile histogram: clusters and docs per exact-dup
+    cluster size — the shrink-under-dedup forecast."""
+    return DD.cluster_size_histogram(load_table(spark, sf_dir, "documents"))
+
+
+@q("text_boilerplate_ngrams", TX.boilerplate_ngrams_oracle())
+def text_boilerplate_ngrams(spark, sf_dir):
+    """Corpus boilerplate set: 3-grams above the document-frequency
+    threshold (the n-gram analogue of CCNet line-level boilerplate)."""
+    return TX.boilerplate_ngrams(load_table(spark, sf_dir, "documents"))
+
+
+@q("text_boilerplate_doc_stats", TX.boilerplate_doc_stats_oracle())
+def text_boilerplate_doc_stats(spark, sf_dir):
+    """Per-document boilerplate contamination permille vs the corpus
+    boilerplate set (broadcast membership join; gate input)."""
+    return TX.boilerplate_doc_stats(load_table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
@@ -2699,13 +2761,18 @@ _WINDOW_ORDER = [
     "tpch_q18_large_volume_customers",
     "tpch_q21_waiting_supplier",
     "tpch_q22_global_sales_opportunity",
-    # -- flagship family representatives, re-certified for continuity --
-    "tiles_mercator_z2",        # U4+A3 buffered tile fan-out
-    "corpus_curation",          # end-to-end curation funnel
-    "dedup_minhash_pairs",      # banded LSH near-dup
-    "similarity_topk_ivf",      # ANN with broadcast centroids
-    "events_sessions_batch",    # gap sessionization
-    "text_redact_pii",          # privacy pass
+    # -- new this round (round 4): corpus-hygiene + boilerplate + TPC-H Q4 --
+    # These take the six continuity slots (tiles_mercator_z2,
+    # corpus_curation, dedup_minhash_pairs, similarity_topk_ivf,
+    # events_sessions_batch, text_redact_pii — all driver-green in r3);
+    # with them in, the union of the r1-r4 boards covers the ENTIRE
+    # registry including the round-4 additions.
+    "tpch_q4_order_priority",
+    "dedup_cross_source_overlap",
+    "dedup_prefix_clusters",
+    "dedup_cluster_histogram",
+    "text_boilerplate_ngrams",
+    "text_boilerplate_doc_stats",
 ]
 
 

@@ -816,3 +816,68 @@ class TestResampleLocf:
         assert out[(1, "2024-01-04")] == (7.0, 1)
         assert out[(2, "2024-01-02")] == (1.0, 1)
         assert len(out) == 5  # dense grid, nothing outside each key's bounds
+
+
+class TestCorpusHygiene:
+    """Round-4 corpus-hygiene reports: cross-source overlap, prefix
+    clusters, cluster-size histogram, boilerplate n-grams."""
+
+    @pytest.fixture(scope="class")
+    def hygiene_docs(self, spark):
+        template = "terms of service apply to all users of this site"
+        rows = [
+            (1, template + " alpha beta gamma", "srcA"),
+            (2, template + " delta epsilon zeta", "srcB"),
+            (3, template + " eta theta iota", "srcB"),
+            (4, "unique text one about spark shuffles", "srcA"),
+            (5, "unique text two about arrow batches", "srcC"),
+            (6, "unique text one about spark shuffles", "srcC"),  # exact dup of 4
+            (7, None, "srcA"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    def test_cross_source_overlap_counts_shared_prefixes(self, hygiene_docs):
+        out = {
+            (r["source_a"], r["source_b"]): r["shared_contents"]
+            for r in DD.cross_source_overlap(hygiene_docs, prefix_k=9).collect()
+        }
+        # 9-token template prefix shared by srcA(doc1) and srcB(docs 2,3);
+        # exact dup 4/6 shared by srcA and srcC
+        assert out[("srcA", "srcB")] == 1
+        assert out[("srcA", "srcC")] == 1
+        assert ("srcB", "srcC") not in out
+
+    def test_prefix_clusters_find_template(self, hygiene_docs):
+        rows = DD.prefix_clusters(hygiene_docs, k=9).collect()
+        by_keeper = {r["keeper"]: r for r in rows}
+        assert by_keeper[1]["cluster_size"] == 3
+        assert by_keeper[1]["distinct_contents"] == 3  # same prefix, 3 bodies
+        assert by_keeper[4]["cluster_size"] == 2
+        assert by_keeper[4]["distinct_contents"] == 1  # true exact dup
+
+    def test_cluster_histogram_accounts_every_doc(self, hygiene_docs):
+        rows = DD.cluster_size_histogram(hygiene_docs, key="content").collect()
+        hist = {r["copies"]: (r["n_clusters"], r["n_docs"]) for r in rows}
+        assert hist[2] == (1, 2)  # the 4/6 exact pair
+        assert sum(n for _, n in hist.values()) == 6  # null text excluded
+
+    def test_boilerplate_ngrams_catch_template_not_unique_text(self, hygiene_docs):
+        out = {r["ngram"] for r in
+               TX.boilerplate_ngrams(hygiene_docs, min_doc_frac=0.5).collect()}
+        assert "terms of service" in out
+        assert "alpha beta gamma" not in out
+        # doc-frequency threshold: ceil(0.5 * 6 shingled docs) = 3
+        assert all(ng.split()[0] in
+                   "terms of service apply to all users of this site".split()
+                   for ng in out)
+
+    def test_boilerplate_doc_stats_ratio(self, hygiene_docs):
+        rows = {r["doc_id"]: r for r in
+                TX.boilerplate_doc_stats(hygiene_docs, min_doc_frac=0.5).collect()}
+        assert rows[4]["n_boiler"] == 0 and rows[4]["boiler_pm"] == 0
+        # doc 1: 13 tokens -> 11 trigrams; the 8 template-internal trigrams
+        # (10-token template) are boilerplate, the 3 crossing into the
+        # unique suffix are not
+        assert rows[1]["n_ngrams"] == 11 and rows[1]["n_boiler"] == 8
+        assert rows[1]["boiler_pm"] == 727
+        assert 7 not in rows  # null text dropped
