@@ -158,6 +158,11 @@ def featurize_media(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                # Missing objects are routine at corpus scale (deleted
+                # originals, failed fetches): a NULL payload is skipped,
+                # not a job-killer. Corrupt payloads still raise.
+                if payload is None:
+                    continue
                 m = decode_media(payload)
                 body = m["body"]
                 rows.append(

@@ -2218,7 +2218,7 @@ def multimodal_metadata(spark, sf_dir):
     "CAST(doc_id % 480 + 32 AS INT) AS height, "
     "octet_length(encode(text)) AS n_bytes, "
     "md5(text) AS body_md5 "
-    "FROM documents",
+    "FROM documents WHERE text IS NOT NULL",
 )
 def multimodal_featurize(spark, sf_dir):
     """Arrow-batched feature extraction over binary payloads. Every payload

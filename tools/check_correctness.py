@@ -9,10 +9,16 @@ Usage: python tools/check_correctness.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import functools
 import math
 import sys
+import time
 
 sys.path.insert(0, ".")
+
+# per-query timing lines must survive a mid-sweep kill (piped stdout is
+# block-buffered, so a buffered sweep that dies loses ALL its output)
+print = functools.partial(print, flush=True)
 
 
 def normalize(rows: list[tuple], ndigits: int = 9) -> list[tuple]:
@@ -55,10 +61,12 @@ def main() -> int:
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        t_spark = time.perf_counter()
         try:
             sdf = fn(spark, sf_dir)
             srows = [tuple(r) for r in sdf.collect()]
             scols = list(sdf.columns)
+            t_spark = time.perf_counter() - t_spark
         except Exception as exc:  # noqa: BLE001
             failures.append((name, f"spark error: {exc}"))
             print(f"FAIL {name}: spark error: {str(exc)[:400]}")
@@ -67,10 +75,12 @@ def main() -> int:
             rows_only += 1
             print(f"rows-only {name}: {len(srows)} rows")
             continue
+        t_duck = time.perf_counter()
         try:
             res = con.sql(oracles[name])
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
+            t_duck = time.perf_counter() - t_duck
         except Exception as exc:  # noqa: BLE001
             failures.append((name, f"duckdb error: {exc}"))
             print(f"FAIL {name}: duckdb error: {str(exc)[:400]}")
@@ -96,7 +106,10 @@ def main() -> int:
             print(f"FAIL {name}: first diff {diff}")
             continue
         passed += 1
-        print(f"PASS {name}: {len(s_n)} rows")
+        print(
+            f"PASS {name}: {len(s_n)} rows "
+            f"(spark {t_spark:.1f}s, duckdb {t_duck:.1f}s)"
+        )
 
     print(
         f"\n== {passed} hash-match, {rows_only} rows-only, {len(failures)} failed "
