@@ -365,9 +365,35 @@ def repetition_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
     """Row-local (no shuffle) repetition scoring; a quality gate commonly
-    thresholds rep_pm before anything expensive runs."""
-    exprs = repetition_stats_sql(text_col, "spark", n)
-    return df.select(F.col(id_col), *[F.expr(e).alias(name) for name, e in exprs.items()])
+    thresholds rep_pm before anything expensive runs.
+
+    The shingle array is STAGED through intermediate columns rather than
+    inlined via :func:`repetition_stats_sql`: the three output columns
+    reference the shingles five times, and Catalyst neither CSEs inside
+    higher-order-function lambdas nor collapses projections when that
+    would duplicate non-cheap expressions — inlining measured 5.6x slower
+    than DuckDB on the same 50k-doc scan; staging computes the split and
+    the shingle transform once per row (same fix as minhash_signatures).
+    """
+    from map_spark_sql_spark.operators.dedup import (
+        shingles_from_words_sql,
+        words_sql,
+    )
+
+    staged = (
+        df.withColumn("_w", F.expr(words_sql(text_col, "spark")))
+        .withColumn("_sh", F.expr(shingles_from_words_sql("_w", n, "spark")))
+        .withColumn("_tot", F.expr("size(_sh)"))
+        .withColumn("_uq", F.expr("size(array_distinct(_sh))"))
+    )
+    return staged.select(
+        F.col(id_col),
+        F.expr("CAST(_tot AS INTEGER)").alias("n_shingles"),
+        F.expr("CAST(_uq AS INTEGER)").alias("n_distinct"),
+        F.expr(
+            "CAST(floor(1000.0 * (_tot - _uq) / greatest(_tot, 1)) AS INTEGER)"
+        ).alias("rep_pm"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -386,6 +412,31 @@ def _doc_ngrams_sql(text: str, n: int, d: str) -> str:
     return shingles_sql(text, n, d)
 
 
+
+def _exploded_doc_ngrams(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """DISTINCT (doc, ngram) relation with the words array STAGED before the
+    shingle transform — an inlined split re-evaluates once per element_at
+    inside the higher-order lambda (see shingles_from_words_sql)."""
+    from map_spark_sql_spark.operators.dedup import (
+        shingles_from_words_sql,
+        words_sql,
+    )
+
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .withColumn("_w", F.expr(words_sql(text_col, "spark")))
+        .select(
+            F.col(id_col),
+            F.explode(F.expr(shingles_from_words_sql("_w", n, "spark"))).alias(
+                "ngram"
+            ),
+        )
+        .distinct()
+    )
+
+
 def boilerplate_ngrams(
     df: DataFrame,
     text_col: str = "text",
@@ -401,14 +452,7 @@ def boilerplate_ngrams(
     total-doc count joins in as a broadcast (1 row), so the threshold is a
     post-aggregation filter, never a driver round-trip.
     """
-    ex = (
-        df.where(F.col(text_col).isNotNull())
-        .select(
-            F.col(id_col),
-            F.explode(F.expr(_doc_ngrams_sql(text_col, n, "spark"))).alias("ngram"),
-        )
-        .distinct()
-    )
+    ex = _exploded_doc_ngrams(df, text_col, id_col, n)
     freq = ex.groupBy("ngram").agg(F.count(F.lit(1)).alias("doc_freq"))
     total = ex.agg(F.countDistinct(id_col).alias("_n_docs"))
     return (
@@ -459,14 +503,7 @@ def boilerplate_doc_stats(
     distinct (doc, ngram) relation — no second corpus-wide shuffle beyond
     the groupBy(doc).
     """
-    ex = (
-        df.where(F.col(text_col).isNotNull())
-        .select(
-            F.col(id_col),
-            F.explode(F.expr(_doc_ngrams_sql(text_col, n, "spark"))).alias("ngram"),
-        )
-        .distinct()
-    )
+    ex = _exploded_doc_ngrams(df, text_col, id_col, n)
     boiler = boilerplate_ngrams(df, text_col, id_col, n, min_doc_frac).select("ngram")
     flagged = ex.join(
         F.broadcast(boiler.withColumn("_is_boiler", F.lit(1))), "ngram", "left"
