@@ -169,3 +169,89 @@ SELECT {id_col}, CAST(chunk_idx AS INTEGER) AS chunk_idx,
        CAST(len(list_slice(_w, chunk_idx * {stride} + 1, chunk_idx * {stride} + {chunk_tokens})) AS INTEGER) AS n_chunk_tokens
 FROM e
 """
+
+
+def temperature_mixture(
+    docs: DataFrame,
+    token_budget: int,
+    tau: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Temperature-based source rebalancing: instead of hand-picked weights
+    (:func:`mixture_sample`), each source's share of the token budget is
+    ``actual_s**tau / sum(actual**tau)`` — the exponential-smoothing rule
+    used by multilingual pretraining recipes to upweight low-resource
+    sources (tau < 1 flattens the natural distribution; tau = 1 reproduces
+    it; tau = 0 is uniform).
+
+    Cross-engine determinism: the smoothed score is quantized to an integer
+    (``floor(power(actual, tau))``) and every downstream step — the score
+    denominator, the per-source token target, the per-mille acceptance
+    ratio — is exact integer arithmetic (``DIV``), so no float summation
+    or division can drift between engines. The accept/reject rule is the
+    same md5 per-mille bucket as ``mixture_sample``.
+
+    Scale shape: one per-source aggregate (tiny), a 1-row denominator
+    broadcast, and a row-local filter — the corpus is scanned once and
+    never shuffled.
+
+    Output: ``(doc_id, source, n_tokens)`` kept rows.
+    """
+    n_tok = F.expr(token_counts_sql(text_col, "spark")["n_ws_tokens"]).cast("long")
+    counted = docs.select(
+        F.col(id_col), F.col(source_col).alias("source"), n_tok.alias("n_tokens")
+    )
+    stats = (
+        counted.groupBy("source")
+        .agg(F.sum("n_tokens").cast("long").alias("actual"))
+        .withColumn("score", F.expr(f"CAST(floor(power(actual, CAST({tau!r} AS DOUBLE))) AS BIGINT)"))
+    )
+    denom = stats.agg(F.sum("score").cast("long").alias("denom"))
+    ratios = (
+        stats.crossJoin(F.broadcast(denom))
+        .withColumn("target", F.expr(f"(CAST({int(token_budget)} AS BIGINT) * score) DIV denom"))
+        .withColumn(
+            "ratio_pm",
+            F.expr("least(CAST(1000 AS BIGINT), (1000 * target) DIV actual)"),
+        )
+        .select("source", "ratio_pm")
+    )
+    bucket = F.expr(_bucket_pm_sql(id_col, "spark"))
+    return (
+        counted.join(F.broadcast(ratios), "source")
+        .filter(bucket < F.col("ratio_pm"))
+        .select(id_col, "source", "n_tokens")
+    )
+
+
+def temperature_mixture_oracle(
+    token_budget: int,
+    tau: float = 0.5,
+    table: str = "documents",
+    text: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> str:
+    n = token_counts_sql(text, "duckdb")["n_ws_tokens"]
+    return f"""
+WITH counted AS (
+  SELECT {id_col}, {source_col} AS source, CAST({n} AS BIGINT) AS n_tokens FROM {table}
+),
+stats AS (
+  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS actual,
+         CAST(floor(power(CAST(sum(n_tokens) AS BIGINT), CAST({tau!r} AS DOUBLE))) AS BIGINT) AS score
+  FROM counted GROUP BY source
+),
+denom AS (SELECT CAST(sum(score) AS BIGINT) AS denom FROM stats),
+ratios AS (
+  SELECT s.source,
+         least(CAST(1000 AS BIGINT),
+               (1000 * ((CAST({int(token_budget)} AS BIGINT) * s.score) // d.denom)) // s.actual) AS ratio_pm
+  FROM stats s CROSS JOIN denom d
+)
+SELECT c.{id_col}, c.source, c.n_tokens
+FROM counted c JOIN ratios r ON c.source = r.source
+WHERE {_bucket_pm_sql(f"c.{id_col}", "duckdb")} < r.ratio_pm
+"""

@@ -50,3 +50,48 @@ def hash_split(
     return df.withColumn(
         "bucket", F.expr(hash_bucket_sql(id_col, "spark"))
     ).withColumn("split", F.expr(split_label_sql(id_col, "spark", bounds)))
+
+
+def shuffle_shards(
+    df: DataFrame, n_shards: int = 32, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic global shuffle into training shards.
+
+    Training runs need the corpus in a pseudo-random order, materialized as
+    N shards that loaders consume sequentially. A true global sort by
+    ``rand()`` is neither reproducible nor scalable; instead each row gets
+    a content-derived shard (md5 bucket — the same engine-portable rule as
+    :func:`hash_split`) and a position within its shard by md5-hex order.
+
+    Scale shape: ONE shuffle on the shard key; the per-shard ``row_number``
+    windows run in parallel across shards (at 100 TB you set ``n_shards``
+    to O(10k), so no window sees more than a shard's worth of rows and no
+    single-partition sort exists anywhere). Because the md5 key is
+    content-derived, re-running after corpus growth only perturbs order
+    locally — the shard assignment of existing rows never changes.
+
+    Output: ``(id, shard, pos)`` — ``pos`` is 1-based within the shard.
+    """
+    from pyspark.sql import Window
+
+    shard = F.expr(hash_bucket_sql(id_col, "spark", n_shards)).cast("int")
+    okey = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy("shard").orderBy(okey.asc(), F.col(id_col).asc())
+    return (
+        df.select(F.col(id_col), shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+    )
+
+
+def shuffle_shards_oracle(
+    n_shards: int = 32, table: str = "documents", id_col: str = "doc_id"
+) -> str:
+    b = hash_bucket_sql(id_col, "duckdb", n_shards)
+    return f"""
+SELECT {id_col}, CAST({b} AS INTEGER) AS shard,
+       CAST(row_number() OVER (
+         PARTITION BY {b}
+         ORDER BY md5(CAST({id_col} AS VARCHAR)) ASC, {id_col} ASC
+       ) AS BIGINT) AS pos
+FROM {table}
+"""

@@ -569,3 +569,83 @@ ranked AS (
 )
 SELECT src, dst, sim, CAST(rank AS INTEGER) AS rank FROM ranked WHERE rank <= {k}
 """
+
+
+# --- int8 scalar quantization (SQ8) ------------------------------------------
+
+
+def _sq8_sql(col: str, d: str) -> tuple[str, str]:
+    """(quantized int array, quantized L2 norm) for an embedding column.
+
+    Symmetric per-vector scalar quantization: scale = 127 / max|v_i|,
+    q_i = round(v_i * scale). Both expressions are built from IEEE ops on
+    identical inputs, so the integer codes are bit-identical across
+    engines. The norm is sqrt of an exact integer sum.
+    """
+    if d == "spark":
+        mx = f"greatest(array_max(transform({col}, a -> abs(CAST(a AS DOUBLE)))), CAST(1e-12 AS DOUBLE))"
+        q = f"transform({col}, a -> CAST(round(CAST(a AS DOUBLE) * 127.0 / {mx}) AS BIGINT))"
+        ss = f"aggregate({q}, CAST(0 AS BIGINT), (s, x) -> s + x * x)"
+    else:
+        mx = f"greatest(list_max(list_transform({col}, a -> abs(CAST(a AS DOUBLE)))), CAST(1e-12 AS DOUBLE))"
+        q = f"list_transform({col}, a -> CAST(round(CAST(a AS DOUBLE) * 127.0 / {mx}) AS BIGINT))"
+        ss = f"CAST(list_sum(list_transform({q}, x -> x * x)) AS BIGINT)"
+    return q, f"sqrt(CAST({ss} AS DOUBLE))"
+
+
+def _sq8_dot_sql(qa: str, qb: str, d: str) -> str:
+    if d == "spark":
+        return (
+            f"aggregate(zip_with({qa}, {qb}, (x, y) -> x * y), "
+            f"CAST(0 AS BIGINT), (s, x) -> s + x)"
+        )
+    return (
+        f"CAST(list_sum(list_transform(list_zip({qa}, {qb}), "
+        f"t -> t[1] * t[2])) AS BIGINT)"
+    )
+
+
+def topk_quantized_sql(d: str, k: int = 10, query_id: int = 0) -> str:
+    """Dialect-shared SQL: int8-quantized cosine top-k vs the exact top-k.
+
+    At 100 TB the point of SQ8 is storage/bandwidth — int8 codes are 4x
+    smaller than float32, scan 4x faster, and the dot product is exact
+    integer arithmetic (SIMD-friendly, no float accumulation order to
+    worry about). Here the codes are derived on the fly from the float
+    column to keep the operator self-contained; a production pipeline
+    would materialize ``q``/``qnorm`` once.
+
+    The query emits the quantized top-k (TakeOrderedAndProject on Spark —
+    per-partition heaps, no global sort) LEFT-joined against the exact
+    top-k, so the hash gate certifies both the approximate ranking and its
+    recall against the exact baseline in one result.
+    """
+    eq, enorm = _sq8_sql("embedding", d)
+    qq, qnorm = _sq8_sql("embedding", d)
+    qdot = _sq8_dot_sql("e.q", "q.qq", d)
+    exact_dot = dot_cols_sql("e.embedding", "q.qe", d)
+    exact_ne = norm_sql("e.embedding", d)
+    exact_nq = norm_sql("q.qe", d)
+    return f"""
+WITH q AS (
+  SELECT embedding AS qe, {qq} AS qq, {qnorm} AS qnorm
+  FROM embeddings WHERE vec_id = {query_id}
+),
+e AS (
+  SELECT vec_id, embedding, {eq} AS q, {enorm} AS qnorm
+  FROM embeddings WHERE vec_id <> {query_id}
+),
+quant_top AS (
+  SELECT e.vec_id, round({qdot} / (e.qnorm * q.qnorm), 6) AS approx_sim
+  FROM e CROSS JOIN q
+  ORDER BY approx_sim DESC, e.vec_id LIMIT {k}
+),
+exact_top AS (
+  SELECT e.vec_id, round({exact_dot} / ({exact_ne} * {exact_nq}), 6) AS sim
+  FROM e CROSS JOIN q
+  ORDER BY sim DESC, e.vec_id LIMIT {k}
+)
+SELECT t.vec_id, t.approx_sim,
+       CAST(x.vec_id IS NOT NULL AS BOOLEAN) AS in_exact_topk
+FROM quant_top t LEFT JOIN exact_top x ON t.vec_id = x.vec_id
+"""

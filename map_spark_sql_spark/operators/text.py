@@ -543,3 +543,69 @@ FROM ex e LEFT JOIN boiler b ON e.ngram = b.ngram
 GROUP BY e.{id_col}
 """
     )
+
+
+# --- unigram LM quality scoring ----------------------------------------------
+
+
+def lm_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Unigram language-model quality score: train p(t) = count(t)/total on
+    the corpus itself, then score each document by its mean negative
+    log-likelihood (high mean NLL = surprising/low-quality text under the
+    corpus distribution — the classic perplexity filter of pretraining
+    pipelines, with the corpus as its own LM).
+
+    Cross-engine determinism: per-token NLL is quantized to integer
+    micro-nats (``round(-ln(p) * 1e6)``) BEFORE the per-document sum, so the
+    accumulated value is an exact integer — no float-summation-order drift
+    between engines or between executor layouts. Only ~vocab-many distinct
+    ``ln`` evaluations exist, and each is rounded at micro-nat resolution.
+
+    Scale shape: one (term) shuffle for the frequency table, one shuffle to
+    join tokens back to it, one (doc) shuffle for the document rollup; the
+    corpus-total is a 1-row broadcast. No Python, no windows, no driver
+    state beyond the 1-row total.
+
+    Output: ``(doc_id, n_lm_tokens, sum_nll_micro, mean_nll)``.
+    """
+    words = f"filter({_words(f'lower({text_col})', 'spark')}, t -> t <> '')"
+    toks = df.select(F.col(id_col), F.explode(F.expr(words)).alias("term"))
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = freq.agg(F.sum("cnt").cast("long").alias("total"))
+    nll_u = F.expr(
+        "CAST(round(-ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)) * 1000000) AS BIGINT)"
+    )
+    return (
+        toks.join(freq, "term")
+        .crossJoin(F.broadcast(total))
+        .select(F.col(id_col), nll_u.alias("nll_u"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lm_tokens"),
+            F.sum("nll_u").cast("long").alias("sum_nll_micro"),
+        )
+        .withColumn(
+            "mean_nll",
+            F.round(F.col("sum_nll_micro") / 1000000.0 / F.col("n_lm_tokens"), 6),
+        )
+    )
+
+
+def lm_score_oracle(table: str = "documents", text: str = "text", id_col: str = "doc_id") -> str:
+    words = _words(f"lower({text})", "duckdb")
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, unnest(list_filter({words}, t -> t <> '')) AS term FROM {table}
+),
+freq AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+total AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM freq),
+scored AS (
+  SELECT t.{id_col},
+         CAST(round(-ln(CAST(f.cnt AS DOUBLE) / CAST(tt.total AS DOUBLE)) * 1000000) AS BIGINT) AS nll_u
+  FROM toks t JOIN freq f USING (term) CROSS JOIN total tt
+)
+SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_lm_tokens,
+       CAST(sum(nll_u) AS BIGINT) AS sum_nll_micro,
+       round(CAST(sum(nll_u) AS BIGINT) / 1000000.0 / count(*), 6) AS mean_nll
+FROM scored GROUP BY {id_col}
+"""

@@ -2695,6 +2695,48 @@ def text_boilerplate_doc_stats(spark, sf_dir):
     return TX.boilerplate_doc_stats(load_table(spark, sf_dir, "documents"))
 
 
+@q("text_lm_score", TX.lm_score_oracle())
+def text_lm_score(spark, sf_dir):
+    """Unigram-LM perplexity filter: the corpus trains its own unigram
+    p(t), each document scores mean negative log-likelihood. Per-token NLL
+    is quantized to integer micro-nats before summation, so the document
+    rollup is exact integer arithmetic — engine- and partitioning-stable."""
+    return TX.lm_score(load_table(spark, sf_dir, "documents"))
+
+
+_TEMP_BUDGET = 2000
+
+
+@q("docs_temperature_mixture", MX.temperature_mixture_oracle(_TEMP_BUDGET, tau=0.5))
+def docs_temperature_mixture(spark, sf_dir):
+    """Temperature-based source rebalancing (tau=0.5): per-source budget
+    share proportional to tokens**tau — the multilingual upweighting rule —
+    with all ratio math in exact integer arithmetic and the md5 per-mille
+    accept rule. One tiny aggregate + broadcast; corpus scanned once."""
+    return MX.temperature_mixture(
+        load_table(spark, sf_dir, "documents"), _TEMP_BUDGET, tau=0.5
+    )
+
+
+@q("similarity_topk_quantized", SIM.topk_quantized_sql("duckdb"))
+def similarity_topk_quantized(spark, sf_dir):
+    """Int8 scalar-quantized cosine top-10 vs the exact top-10 in one
+    result (approx ranking + in_exact_topk recall flags). Quantized dot
+    products are exact integer arithmetic — the 4x-smaller scan path for
+    100 TB ANN; both top-ks are TakeOrderedAndProject, no global sort."""
+    _register_views(spark, sf_dir)
+    return spark.sql(SIM.topk_quantized_sql("spark"))
+
+
+@q("docs_shuffle_shards", SP.shuffle_shards_oracle())
+def docs_shuffle_shards(spark, sf_dir):
+    """Deterministic training-shard shuffle: content-hash shard assignment
+    + md5-ordered position within shard. One shuffle; per-shard windows run
+    in parallel (no global sort), and shard membership is stable under
+    corpus growth."""
+    return SP.shuffle_shards(load_table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
@@ -2761,14 +2803,21 @@ _WINDOW_ORDER = [
     "tpch_q18_large_volume_customers",
     "tpch_q21_waiting_supplier",
     "tpch_q22_global_sales_opportunity",
-    # -- new this round (round 4): corpus-hygiene + boilerplate + TPC-H Q4 --
-    # These take the six continuity slots (tiles_mercator_z2,
-    # corpus_curation, dedup_minhash_pairs, similarity_topk_ivf,
-    # events_sessions_batch, text_redact_pii — all driver-green in r3);
-    # with them in, the union of the r1-r4 boards covers the ENTIRE
-    # registry including the round-4 additions.
+    # -- round-3-tail + round-4 additions (never driver-certified) --
+    # The six continuity slots went to round-3-tail additions; round 4's
+    # four new operators (LM scoring, temperature mixture, SQ8 ANN, shard
+    # shuffle) take four more window slots, so the four entries BELOW the
+    # 50-row cut (positions 51-54: dedup_prefix_clusters,
+    # dedup_cluster_histogram, text_boilerplate_ngrams,
+    # text_boilerplate_doc_stats) stay locally-certified-only until the
+    # round-5 rotation. Everything else has a driver row after this round.
     "tpch_q4_order_priority",
     "dedup_cross_source_overlap",
+    "text_lm_score",
+    "docs_temperature_mixture",
+    "similarity_topk_quantized",
+    "docs_shuffle_shards",
+    # -- positions 51+: certified locally at sf0.01+sf0.1; r5 rotation --
     "dedup_prefix_clusters",
     "dedup_cluster_histogram",
     "text_boilerplate_ngrams",

@@ -881,3 +881,107 @@ class TestCorpusHygiene:
         assert rows[1]["n_ngrams"] == 11 and rows[1]["n_boiler"] == 8
         assert rows[1]["boiler_pm"] == 727
         assert 7 not in rows  # null text dropped
+
+
+class TestLMScore:
+    def test_uniform_corpus_mean_nll_is_ln_vocab(self, spark):
+        from map_spark_sql_spark.operators.text import lm_score
+
+        # a and b each appear twice -> p = 0.5, NLL = ln 2 for every token
+        docs = spark.createDataFrame(
+            [(1, "a a b"), (2, "b")], "doc_id long, text string"
+        )
+        out = {r.doc_id: r for r in lm_score(docs).collect()}
+        assert out[1].n_lm_tokens == 3 and out[2].n_lm_tokens == 1
+        assert out[1].mean_nll == out[2].mean_nll == 0.693147  # round(ln 2, 6)
+        assert out[1].sum_nll_micro == 3 * 693147
+
+    def test_rare_tokens_score_higher(self, spark):
+        from map_spark_sql_spark.operators.text import lm_score
+
+        docs = spark.createDataFrame(
+            [(1, "common common common common"), (2, "rare")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in lm_score(docs).collect()}
+        assert out[2].mean_nll > out[1].mean_nll
+
+
+class TestTemperatureMixture:
+    def test_tau_upweights_small_source(self, spark):
+        from map_spark_sql_spark.operators.mixture import temperature_mixture
+
+        rows = [(i, " ".join(["w"] * 20), "big") for i in range(500)]
+        rows += [(1000 + i, " ".join(["w"] * 20), "small") for i in range(5)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        # integer mirror of the operator's math: big score=100, small score=10,
+        # denom=110; big ratio = 1000*(2000*100//110)//10000 = 181 pm; small
+        # ratio = 1000*(2000*10//110)//100 = 1810 -> capped at 1000 (keep all)
+        out = temperature_mixture(docs, 2000, tau=0.5).collect()
+        kept = {"big": 0, "small": 0}
+        for r in out:
+            kept[r.source] += 1
+        assert kept["small"] == 5  # ratio capped at 1000 pm
+        assert 25 <= kept["big"] <= 150  # ~18.1% of 500, md5-uniform-ish
+
+    def test_tau_one_reproduces_natural_shares(self, spark):
+        from map_spark_sql_spark.operators.mixture import temperature_mixture
+
+        rows = [(i, " ".join(["w"] * 10), f"src{i % 2}") for i in range(100)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        # equal sources, tau=1: both ratios identical -> roughly equal keeps
+        out = temperature_mixture(docs, 500, tau=1.0).collect()
+        kept = {"src0": 0, "src1": 0}
+        for r in out:
+            kept[r.source] += 1
+        assert abs(kept["src0"] - kept["src1"]) <= 15
+
+
+class TestQuantizedTopK:
+    def test_ranking_and_recall_flags(self, spark):
+        from map_spark_sql_spark.operators.similarity import topk_quantized_sql
+
+        vecs = [
+            (0, [1.0, 0.0, 0.0]),   # query
+            (1, [0.99, 0.01, 0.0]),
+            (2, [0.5, 0.5, 0.0]),
+            (3, [0.0, 1.0, 0.0]),
+        ]
+        spark.createDataFrame(
+            vecs, "vec_id long, embedding array<float>"
+        ).createOrReplaceTempView("embeddings")
+        rows = sorted(
+            spark.sql(topk_quantized_sql("spark", k=3)).collect(),
+            key=lambda r: -r.approx_sim,
+        )
+        assert [r.vec_id for r in rows] == [1, 2, 3]
+        assert rows[0].approx_sim > 0.99 and abs(rows[2].approx_sim) < 0.02
+        # k covers every candidate, so quantized and exact sets coincide
+        assert all(r.in_exact_topk for r in rows)
+        spark.catalog.dropTempView("embeddings")
+
+
+class TestShuffleShards:
+    def test_shard_range_positions_and_stability(self, spark):
+        from map_spark_sql_spark.operators.sampling import shuffle_shards
+
+        docs = spark.createDataFrame(
+            [(i,) for i in range(200)], "doc_id long"
+        )
+        out = shuffle_shards(docs, n_shards=8).collect()
+        assert len(out) == 200
+        by_shard: dict[int, list] = {}
+        for r in out:
+            assert 0 <= r.shard < 8
+            by_shard.setdefault(r.shard, []).append(r.pos)
+        # positions are a contiguous 1..n sequence per shard
+        for positions in by_shard.values():
+            assert sorted(positions) == list(range(1, len(positions) + 1))
+        # shard assignment is content-derived: stable when the corpus grows
+        grown = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+        shard_before = {r.doc_id: r.shard for r in out}
+        shard_after = {
+            r.doc_id: r.shard for r in shuffle_shards(grown, n_shards=8).collect()
+        }
+        for doc_id, shard in shard_before.items():
+            assert shard_after[doc_id] == shard
