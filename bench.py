@@ -44,6 +44,10 @@ HEADLINE = [
     "similarity_topk_ivf_trained",
     "similarity_knn_graph",
     "corpus_curation",
+    # round-4 additions
+    "text_lm_score",
+    "similarity_topk_quantized",
+    "docs_shuffle_shards",
 ]
 
 

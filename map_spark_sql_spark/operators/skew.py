@@ -46,3 +46,49 @@ def salted_collect_list(
     return partial.groupBy(*keys).agg(
         F.flatten(F.collect_list("_part")).alias(out_col)
     )
+
+
+def key_skew_report(
+    df: DataFrame, key_col: str, id_alias: str = "key"
+) -> DataFrame:
+    """Key-cardinality skew profile: per power-of-two group-size bucket,
+    how many distinct keys land there and how much row mass they carry —
+    the diagnostic you run BEFORE choosing a salting/broadcast strategy
+    for a 100 TB shuffle (a whale key shows up as a lonely high bucket
+    holding most of the mass).
+
+    The bucket is ``floor(log2(count))`` computed as binary-digit length
+    (``length(bin(n)) - 1``) — exact integer arithmetic, no float log to
+    disagree at power-of-two boundaries. Scale shape: one shuffle for the
+    per-key counts (map-side combined), then a tiny bucket rollup.
+
+    Output: ``(bucket, n_keys, n_rows, max_count)``.
+    """
+    per_key = df.groupBy(F.col(key_col).alias(id_alias)).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        per_key.withColumn(
+            "bucket", (F.length(F.expr("bin(cnt)")) - 1).cast("int")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.max("cnt").cast("long").alias("max_count"),
+        )
+    )
+
+
+def key_skew_report_oracle(table: str, key_col: str) -> str:
+    # subquery form (not WITH) so callers can embed it after their own CTE
+    # prelude (queries._oracle already opens a WITH chain)
+    return f"""
+SELECT CAST(length(bin(cnt)) - 1 AS INTEGER) AS bucket,
+       count(*) AS n_keys,
+       CAST(sum(cnt) AS BIGINT) AS n_rows,
+       CAST(max(cnt) AS BIGINT) AS max_count
+FROM (
+  SELECT {key_col} AS key, count(*) AS cnt FROM {table} GROUP BY {key_col}
+) per_key GROUP BY bucket
+"""

@@ -2737,6 +2737,82 @@ def docs_shuffle_shards(spark, sf_dir):
     return SP.shuffle_shards(load_table(spark, sf_dir, "documents"))
 
 
+@q(
+    "tiles_incremental_merge",
+    _oracle(
+        # oracle = full rebuild from base: pins incremental == from-scratch
+        "SELECT mapKey, px, py, borYear, count(*) AS occCount FROM ("
+        f"  SELECT mapKey, borYear, {PJ.global_pixel_xy_sql('EPSG:3857', 5, TILE_SIZE, 'lat', 'lng')[0]} AS px, "
+        f"{PJ.global_pixel_xy_sql('EPSG:3857', 5, TILE_SIZE, 'lat', 'lng')[1]} AS py FROM expl"
+        ") t WHERE px IS NOT NULL GROUP BY mapKey, px, py, borYear"
+    ),
+)
+def tiles_incremental_merge(spark, sf_dir):
+    """Incremental pyramid maintenance: when a snapshot appends a batch,
+    aggregate ONLY the batch to t1 pixels and merge into the existing tile
+    aggregate by union + re-sum — instead of re-running the 65-job full
+    rebuild (TileMapBuilder.java:55-62 rebuilds everything per snapshot;
+    FinaliseBackfill.java:47-49 swaps whole tables). The merge is one
+    shuffle on the same (mapKey, px, py, borYear) grouping both inputs
+    already aggregate on, and count-sum associativity makes it exactly
+    equal to a from-scratch build — which is what the oracle computes.
+    At 2.5 B rows the existing aggregate is ~1000x smaller than the base
+    scan it replaces. Split here: event_id % 10 = 0 plays the appended
+    batch."""
+    from map_spark_sql_spark.sources.readers import widen
+
+    xs, ys = PJ.global_pixel_xy_sql("EPSG:3857", 5, TILE_SIZE, "lat", "lng")
+    ev = widen(load_table(spark, sf_dir, "events"))
+    fields = _occ_fields("spark")
+    occ = ev.select(
+        F.expr("event_id % 10 = 0").alias("is_batch"),
+        *[F.expr(sql).alias(n) for n, sql in fields.items()],
+    )
+    expl = (
+        occ.filter(_QUALITY)
+        .withColumn("mapKey", F.explode(_map_keys_col()))
+        .select(
+            "is_batch",
+            "mapKey",
+            F.col("decimalLatitude").alias("lat"),
+            F.col("decimalLongitude").alias("lng"),
+            E.encode_bor_year(F.col("basisOfRecord"), F.col("year")).alias("borYear"),
+        )
+        .withColumn("px", F.expr(xs))
+        .withColumn("py", F.expr(ys))
+        .filter("px IS NOT NULL")
+    )
+
+    def _t1(side: DataFrame) -> DataFrame:
+        return side.groupBy("mapKey", "px", "py", "borYear").agg(
+            F.count(F.lit(1)).alias("occCount")
+        )
+
+    existing = _t1(expl.filter(~F.col("is_batch")))  # the standing aggregate
+    delta = _t1(expl.filter(F.col("is_batch")))  # the appended batch, alone
+    return (
+        existing.unionByName(delta)
+        .groupBy("mapKey", "px", "py", "borYear")
+        .agg(F.sum("occCount").cast("bigint").alias("occCount"))
+    )
+
+
+from map_spark_sql_spark.operators import skew as SK
+
+
+@q(
+    "mapkeys_skew_report",
+    _oracle(SK.key_skew_report_oracle("expl", "mapKey")),
+)
+def mapkeys_skew_report(spark, sf_dir):
+    """Key-skew diagnostic over the exploded map keys: per power-of-two
+    group-size bucket, distinct keys + row mass + max count. The '0:0' ALL
+    key (on every row, MapKeysUDF.java:115) surfaces as a lonely top bucket
+    — the signal that routes a key to the salted path (operators/skew.py).
+    Bucket = binary-digit length, exact integer math."""
+    return SK.key_skew_report(_exploded_df(spark, sf_dir), "mapKey")
+
+
 # ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
@@ -2803,21 +2879,17 @@ _WINDOW_ORDER = [
     "tpch_q18_large_volume_customers",
     "tpch_q21_waiting_supplier",
     "tpch_q22_global_sales_opportunity",
-    # -- round-3-tail + round-4 additions (never driver-certified) --
-    # The six continuity slots went to round-3-tail additions; round 4's
-    # four new operators (LM scoring, temperature mixture, SQ8 ANN, shard
-    # shuffle) take four more window slots, so the four entries BELOW the
-    # 50-row cut (positions 51-54: dedup_prefix_clusters,
-    # dedup_cluster_histogram, text_boilerplate_ngrams,
-    # text_boilerplate_doc_stats) stay locally-certified-only until the
-    # round-5 rotation. Everything else has a driver row after this round.
-    "tpch_q4_order_priority",
-    "dedup_cross_source_overlap",
+    # -- round-4 additions (new operators take priority for first
+    # certification; six round-3-tail entries drop below the cut) --
     "text_lm_score",
     "docs_temperature_mixture",
     "similarity_topk_quantized",
     "docs_shuffle_shards",
+    "tiles_incremental_merge",
+    "mapkeys_skew_report",
     # -- positions 51+: certified locally at sf0.01+sf0.1; r5 rotation --
+    "tpch_q4_order_priority",
+    "dedup_cross_source_overlap",
     "dedup_prefix_clusters",
     "dedup_cluster_histogram",
     "text_boilerplate_ngrams",

@@ -985,3 +985,40 @@ class TestShuffleShards:
         }
         for doc_id, shard in shard_before.items():
             assert shard_after[doc_id] == shard
+
+
+class TestSkewReport:
+    def test_buckets_count_keys_and_mass(self, spark):
+        from map_spark_sql_spark.operators.skew import key_skew_report
+
+        rows = (
+            [("a",)] * 1 + [("b",)] * 1 + [("c",)] * 2 + [("d",)] * 8
+        )
+        df = spark.createDataFrame(rows, "k string")
+        out = {r.bucket: r for r in key_skew_report(df, "k").collect()}
+        # counts 1,1 -> bucket 0; count 2 -> bucket 1; count 8 -> bucket 3
+        assert out[0].n_keys == 2 and out[0].n_rows == 2 and out[0].max_count == 1
+        assert out[1].n_keys == 1 and out[1].n_rows == 2
+        assert out[3].n_keys == 1 and out[3].n_rows == 8 and out[3].max_count == 8
+        assert set(out) == {0, 1, 3}
+
+
+class TestIncrementalTileMerge:
+    def test_merge_equals_full_rebuild(self, spark):
+        from map_spark_sql_spark.queries import QUERIES, _exploded_df, TILE_SIZE
+        from map_spark_sql_spark.functions import projection as PJ
+        from pyspark.sql import functions as F
+
+        sf = "/root/testdata/sf0.001"
+        merged = QUERIES["tiles_incremental_merge"](spark, sf)
+        xs, ys = PJ.global_pixel_xy_sql("EPSG:3857", 5, TILE_SIZE, "lat", "lng")
+        full = (
+            _exploded_df(spark, sf)
+            .withColumn("px", F.expr(xs))
+            .withColumn("py", F.expr(ys))
+            .filter("px IS NOT NULL")
+            .groupBy("mapKey", "px", "py", "borYear")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("occCount"))
+        )
+        assert merged.count() == full.count()
+        assert merged.exceptAll(full).count() == 0
