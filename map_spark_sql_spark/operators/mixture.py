@@ -34,6 +34,21 @@ def _bucket_pm_sql(id_expr: str, d: str) -> str:
     )
 
 
+def _bucket_ppm_sql(id_expr: str, d: str) -> str:
+    """Per-MILLION md5 bucket: the per-mille rule rounds to a 0 acceptance
+    ratio once a source's token mass exceeds 1000x the budget (the 10x-scale
+    sweep measured 0 kept rows corpus-wide) — ppm resolution keeps the
+    smallest expressible ratio at budget/actual = 1e-6."""
+    if d == "spark":
+        return (
+            f"CAST(conv(substring(md5(CAST({id_expr} AS STRING)), 1, 8), 16, 10) "
+            f"AS BIGINT) % 1000000"
+        )
+    return (
+        f"CAST(('0x' || substr(md5(CAST({id_expr} AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000"
+    )
+
+
 def _weights_rel_sql(weights: dict[str, float], d: str) -> str:
     rows = ", ".join(f"('{s}', CAST({float(w)!r} AS DOUBLE))" for s, w in sorted(weights.items()))
     return f"SELECT * FROM (VALUES {rows}) AS w(source, weight)"
@@ -190,8 +205,9 @@ def temperature_mixture(
     (``floor(power(actual, tau))``) and every downstream step — the score
     denominator, the per-source token target, the per-mille acceptance
     ratio — is exact integer arithmetic (``DIV``), so no float summation
-    or division can drift between engines. The accept/reject rule is the
-    same md5 per-mille bucket as ``mixture_sample``.
+    or division can drift between engines. The accept/reject rule is an
+    md5 per-MILLION bucket (see ``_bucket_ppm_sql`` — per-mille resolution
+    zeroes out once actual/budget > 1000).
 
     Scale shape: one per-source aggregate (tiny), a 1-row denominator
     broadcast, and a row-local filter — the corpus is scanned once and
@@ -213,15 +229,15 @@ def temperature_mixture(
         stats.crossJoin(F.broadcast(denom))
         .withColumn("target", F.expr(f"(CAST({int(token_budget)} AS BIGINT) * score) DIV denom"))
         .withColumn(
-            "ratio_pm",
-            F.expr("least(CAST(1000 AS BIGINT), (1000 * target) DIV actual)"),
+            "ratio_ppm",
+            F.expr("least(CAST(1000000 AS BIGINT), (1000000 * target) DIV actual)"),
         )
-        .select("source", "ratio_pm")
+        .select("source", "ratio_ppm")
     )
-    bucket = F.expr(_bucket_pm_sql(id_col, "spark"))
+    bucket = F.expr(_bucket_ppm_sql(id_col, "spark"))
     return (
         counted.join(F.broadcast(ratios), "source")
-        .filter(bucket < F.col("ratio_pm"))
+        .filter(bucket < F.col("ratio_ppm"))
         .select(id_col, "source", "n_tokens")
     )
 
@@ -247,11 +263,11 @@ stats AS (
 denom AS (SELECT CAST(sum(score) AS BIGINT) AS denom FROM stats),
 ratios AS (
   SELECT s.source,
-         least(CAST(1000 AS BIGINT),
-               (1000 * ((CAST({int(token_budget)} AS BIGINT) * s.score) // d.denom)) // s.actual) AS ratio_pm
+         least(CAST(1000000 AS BIGINT),
+               (1000000 * ((CAST({int(token_budget)} AS BIGINT) * s.score) // d.denom)) // s.actual) AS ratio_ppm
   FROM stats s CROSS JOIN denom d
 )
 SELECT c.{id_col}, c.source, c.n_tokens
 FROM counted c JOIN ratios r ON c.source = r.source
-WHERE {_bucket_pm_sql(f"c.{id_col}", "duckdb")} < r.ratio_pm
+WHERE {_bucket_ppm_sql(f"c.{id_col}", "duckdb")} < r.ratio_ppm
 """

@@ -352,33 +352,52 @@ def cosine_pairs_lsh(
     dim: int = 64,
     bits: int = 8,
     threshold: float = 0.8,
+    max_bucket: int = 1000,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Near-neighbor pairs: bucket by hyperplane signature, join within
-    buckets only, then exact cosine re-rank. The bucket join is the scale
-    lever — 2^bits buckets cap candidate pairs at sum(bucket^2) instead of
-    N^2."""
+    """Near-neighbor pairs: bucket by hyperplane signature, pair ONLY within
+    buckets, then exact cosine re-rank. The bucketing caps candidate pairs
+    at sum(bucket^2) instead of N^2, and ``max_bucket`` drops degenerate
+    buckets (a signature holding >max_bucket vectors means the hyperplane
+    family is under-parameterized for the data's density — re-hash with more
+    ``bits`` rather than letting one bucket go quadratic; the 10x-scale
+    sweep measured 8.9M pairs / 9 minutes from 10 cluster-collapsed buckets
+    before this guard existed). Same shape as ``dedup.ngram_jaccard_pairs``:
+    join-free in-bucket fan-out from a sorted member list, explicitly
+    repartitioned so the explode stage cannot inherit the input's
+    AQE-coalesced (tiny-by-bytes) partitioning and serialize on one task.
+    """
     sig = df.select(
         F.col(id_col),
         F.col(vec_col),
         F.expr(lsh_signature_sql(vec_col, dim, bits, "spark")).alias("bucket"),
     )
-    a, b = sig.alias("a"), sig.alias("b")
-    cand = a.join(b, "bucket").filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    buckets = (
+        sig.groupBy("bucket")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")))
+            ).alias("ms")
+        )
+        .filter((F.size("ms") > 1) & (F.size("ms") <= max_bucket))
+    )
+    pairs = F.expr(
+        "flatten(transform(ms, (a, i) -> "
+        "transform(slice(ms, i + 2, size(ms) - i - 1), "
+        "b -> struct(a.id AS a_id, a.vec AS a_vec, b.id AS b_id, b.vec AS b_vec))))"
+    )
     dot = F.expr(
         "aggregate(zip_with(a_vec, b_vec, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
         "CAST(0 AS DOUBLE), (s, x) -> s + x)"
     )
     na = F.expr(norm_sql("a_vec", "spark"))
     nb = F.expr(norm_sql("b_vec", "spark"))
+    par = df.sparkSession.sparkContext.defaultParallelism
     return (
-        cand.select(
-            F.col(f"a.{id_col}").alias("a_id"),
-            F.col(f"b.{id_col}").alias("b_id"),
-            F.col(f"a.{vec_col}").alias("a_vec"),
-            F.col(f"b.{vec_col}").alias("b_vec"),
-        )
+        buckets.repartition(par, "bucket")
+        .select(F.explode(pairs).alias("p"))
+        .select("p.a_id", "p.b_id", "p.a_vec", "p.b_vec")
         .withColumn("sim", F.round(dot / (na * nb), 6))
         .filter(F.col("sim") >= threshold)
         .select("a_id", "b_id", "sim")
@@ -389,10 +408,14 @@ def cosine_pairs_lsh_oracle(
     dim: int = 64,
     bits: int = 8,
     threshold: float = 0.8,
+    max_bucket: int = 1000,
     table: str = "embeddings",
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> str:
+    """Mirrors :func:`cosine_pairs_lsh` INCLUDING the ``max_bucket``
+    degenerate-bucket guard (SCALE.md: every bounded-stage guard must appear
+    in both engines or the gate diverges exactly when a bucket fills)."""
     sig = lsh_signature_sql(vec_col, dim, bits, "duckdb")
     dot = (
         "list_sum(list_transform(list_zip(a_vec, b_vec), "
@@ -402,9 +425,13 @@ def cosine_pairs_lsh_oracle(
     nb = norm_sql("b_vec", "duckdb")
     return f"""
 WITH sig AS (SELECT {id_col}, {vec_col}, {sig} AS bucket FROM {table}),
+ok AS (SELECT bucket FROM sig GROUP BY bucket
+       HAVING count(*) > 1 AND count(*) <= {max_bucket}),
 cand AS (SELECT a.{id_col} AS a_id, b.{id_col} AS b_id,
                 a.{vec_col} AS a_vec, b.{vec_col} AS b_vec
-         FROM sig a JOIN sig b USING (bucket) WHERE a.{id_col} < b.{id_col})
+         FROM sig a JOIN sig b USING (bucket)
+         WHERE a.{id_col} < b.{id_col}
+           AND bucket IN (SELECT bucket FROM ok))
 SELECT a_id, b_id, round({dot} / ({na} * {nb}), 6) AS sim
 FROM cand WHERE round({dot} / ({na} * {nb}), 6) >= {threshold}
 """

@@ -118,8 +118,15 @@ def rolling_fingerprint_sql(text: str, d: str) -> str:
             f"aggregate({th}, CAST(0 AS BIGINT), "
             f"(s, x) -> (s * {ROLL_B} + x) % {ROLL_P})"
         )
-    # list_reduce seeds from the first element, so prepend the 0 seed
-    return f"list_reduce([CAST(0 AS BIGINT)] || {th}, (s, x) -> (s * {ROLL_B} + x) % {ROLL_P})"
+    # list_reduce seeds from the first element, so prepend the 0 seed.
+    # NULL text: Spark's aggregate() returns NULL for a NULL array, but
+    # list_reduce([0] || NULL-ish) collapses to the 0 seed — make the NULL
+    # semantics explicit so both engines emit NULL (caught by the 10x-scale
+    # sweep: the driver testdata has no NULL texts, the scale corpus does)
+    return (
+        f"CASE WHEN {text} IS NULL THEN NULL ELSE "
+        f"list_reduce([CAST(0 AS BIGINT)] || {th}, (s, x) -> (s * {ROLL_B} + x) % {ROLL_P}) END"
+    )
 
 
 def rolling_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -585,8 +592,12 @@ def lm_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> D
             F.sum("nll_u").cast("long").alias("sum_nll_micro"),
         )
         .withColumn(
+            # no final round(): both engines divide the SAME exact integers
+            # with IEEE ops, so the raw double is bit-identical — a round(.., 6)
+            # here flipped at an exact .5 boundary in the 10x sweep (Spark
+            # HALF_UP vs C-double rounding of 3405066.5 micro-nats / 60)
             "mean_nll",
-            F.round(F.col("sum_nll_micro") / 1000000.0 / F.col("n_lm_tokens"), 6),
+            F.col("sum_nll_micro") / 1000000.0 / F.col("n_lm_tokens"),
         )
     )
 
@@ -606,6 +617,6 @@ scored AS (
 )
 SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_lm_tokens,
        CAST(sum(nll_u) AS BIGINT) AS sum_nll_micro,
-       round(CAST(sum(nll_u) AS BIGINT) / 1000000.0 / count(*), 6) AS mean_nll
+       CAST(sum(nll_u) AS BIGINT) / 1000000.0 / count(*) AS mean_nll
 FROM scored GROUP BY {id_col}
 """

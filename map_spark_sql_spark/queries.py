@@ -2797,12 +2797,12 @@ def tiles_incremental_merge(spark, sf_dir):
     )
 
 
-from map_spark_sql_spark.operators import skew as SK
+from map_spark_sql_spark.operators import skew as SKW
 
 
 @q(
     "mapkeys_skew_report",
-    _oracle(SK.key_skew_report_oracle("expl", "mapKey")),
+    _oracle(SKW.key_skew_report_oracle("expl", "mapKey")),
 )
 def mapkeys_skew_report(spark, sf_dir):
     """Key-skew diagnostic over the exploded map keys: per power-of-two
@@ -2810,7 +2810,7 @@ def mapkeys_skew_report(spark, sf_dir):
     key (on every row, MapKeysUDF.java:115) surfaces as a lonely top bucket
     — the signal that routes a key to the salted path (operators/skew.py).
     Bucket = binary-digit length, exact integer math."""
-    return SK.key_skew_report(_exploded_df(spark, sf_dir), "mapKey")
+    return SKW.key_skew_report(_exploded_df(spark, sf_dir), "mapKey")
 
 
 # ---------------------------------------------------------------------------

@@ -893,7 +893,8 @@ class TestLMScore:
         )
         out = {r.doc_id: r for r in lm_score(docs).collect()}
         assert out[1].n_lm_tokens == 3 and out[2].n_lm_tokens == 1
-        assert out[1].mean_nll == out[2].mean_nll == 0.693147  # round(ln 2, 6)
+        assert out[1].mean_nll == pytest.approx(0.693147, abs=1e-9)  # ln 2 @ 1e-6
+        assert out[2].mean_nll == pytest.approx(0.693147, abs=1e-9)
         assert out[1].sum_nll_micro == 3 * 693147
 
     def test_rare_tokens_score_higher(self, spark):
