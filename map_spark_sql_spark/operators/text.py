@@ -620,3 +620,86 @@ SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_lm_tokens,
        CAST(sum(nll_u) AS BIGINT) / 1000000.0 / count(*) AS mean_nll
 FROM scored GROUP BY {id_col}
 """
+
+
+# --- vocabulary application (text -> token-id sequences) ----------------------
+
+
+def tokenize_docs(
+    df: DataFrame,
+    min_count: int = 2,
+    unk_id: int = -1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply the :func:`build_vocab` vocabulary back to the corpus: each
+    document becomes its ordered token-id sequence (OOV terms — pruned by
+    ``min_count`` — map to ``unk_id``). This is the step between vocabulary
+    construction and :func:`~map_spark_sql_spark.operators.packing.pack_sequences`:
+    text in, model-ready id streams out.
+
+    Scale shape: tokens carry their position through a (term)-keyed join
+    against the vocabulary (plain shuffle join — a web-scale vocab is
+    corpus-derived, never broadcast), then one (doc) shuffle rebuilds the
+    ordered sequence via sort-by-position inside the aggregated struct list.
+    The id sequence is emitted as a space-joined string: both engines
+    serialize int strings identically (the registry's list-column
+    convention), and downstream packing re-splits for free.
+
+    Output: ``(doc_id, n_tokens, n_oov, ids)``.
+    """
+    vocab = build_vocab(df, min_count=min_count, text_col=text_col)
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(f"filter({_words(f'lower({text_col})', 'spark')}, t -> t <> '')")
+        ).alias("pos", "term"),
+    )
+    joined = toks.join(vocab.select("term", "term_id"), "term", "left").select(
+        id_col,
+        "pos",
+        F.coalesce(F.col("term_id"), F.lit(unk_id)).alias("tid"),
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum((F.col("tid") == unk_id).cast("long")).alias("n_oov"),
+            F.expr(
+                "concat_ws(' ', transform(array_sort(collect_list(struct(pos, tid))), "
+                "s -> CAST(s.tid AS STRING)))"
+            ).alias("ids"),
+        )
+        .select(id_col, "n_tokens", "n_oov", "ids")
+    )
+
+
+def tokenize_docs_oracle(
+    min_count: int = 2,
+    unk_id: int = -1,
+    table: str = "documents",
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    words = _words(f"lower({text})", "duckdb")
+    vocab = build_vocab_oracle(min_count=min_count, table=table, text=text)
+    return f"""
+WITH vocab AS ({vocab}),
+w AS (
+  SELECT {id_col}, list_filter({words}, t -> t <> '') AS _w FROM {table}
+  WHERE {text} IS NOT NULL
+),
+toks AS (
+  SELECT {id_col}, unnest(generate_series(1, len(_w))) AS pos, _w FROM w
+),
+pt AS (SELECT {id_col}, pos, _w[pos] AS term FROM toks),
+joined AS (
+  SELECT pt.{id_col}, pt.pos,
+         coalesce(v.term_id, {unk_id}) AS tid
+  FROM pt LEFT JOIN vocab v ON pt.term = v.term
+)
+SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN tid = {unk_id} THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY pos) AS ids
+FROM joined GROUP BY {id_col}
+"""

@@ -2797,6 +2797,15 @@ def tiles_incremental_merge(spark, sf_dir):
     )
 
 
+@q("docs_tokenize", TX.tokenize_docs_oracle())
+def docs_tokenize(spark, sf_dir):
+    """Vocabulary application: every document to its ordered token-id
+    sequence (OOV -> -1) using the build_vocab ids — the step between
+    vocab construction and sequence packing. Position-carrying term join
+    (shuffle, never broadcast at vocab scale) + one doc-keyed rebuild."""
+    return TX.tokenize_docs(load_table(spark, sf_dir, "documents"))
+
+
 from map_spark_sql_spark.operators import skew as SKW
 
 
@@ -2894,6 +2903,7 @@ _WINDOW_ORDER = [
     "dedup_cluster_histogram",
     "text_boilerplate_ngrams",
     "text_boilerplate_doc_stats",
+    "docs_tokenize",
 ]
 
 

@@ -1023,3 +1023,17 @@ class TestIncrementalTileMerge:
         )
         assert merged.count() == full.count()
         assert merged.exceptAll(full).count() == 0
+
+
+class TestTokenize:
+    def test_ids_order_and_oov(self, spark):
+        from map_spark_sql_spark.operators.text import tokenize_docs
+
+        docs = spark.createDataFrame(
+            [(1, "b b a"), (2, "a c")], "doc_id long, text string"
+        )
+        out = {r.doc_id: r for r in tokenize_docs(docs, min_count=2).collect()}
+        # vocab: a(2)->0, b(2)->1 (count ties break on term); c pruned -> -1
+        assert out[1].ids == "1 1 0" and out[1].n_oov == 0
+        assert out[2].ids == "0 -1" and out[2].n_oov == 1
+        assert out[1].n_tokens == 3 and out[2].n_tokens == 2
