@@ -1037,3 +1037,53 @@ class TestTokenize:
         assert out[1].ids == "1 1 0" and out[1].n_oov == 0
         assert out[2].ids == "0 -1" and out[2].n_oov == 1
         assert out[1].n_tokens == 3 and out[2].n_tokens == 2
+
+
+class TestQuantizationProperties:
+    def test_sq8_approx_close_to_exact_on_random_vectors(self, spark):
+        """SQ8 cosine error is bounded by quantization noise (~1/127 per
+        component, attenuated by the norm): on random unit-scale vectors the
+        approx similarity must track exact cosine within 2e-2."""
+        import math
+        import random
+
+        random.seed(4)
+        vecs = [
+            (i, [random.uniform(-1, 1) for _ in range(16)]) for i in range(30)
+        ]
+        spark.createDataFrame(
+            vecs, "vec_id long, embedding array<float>"
+        ).createOrReplaceTempView("embeddings")
+        from map_spark_sql_spark.operators.similarity import topk_quantized_sql
+
+        rows = spark.sql(topk_quantized_sql("spark", k=29)).collect()
+        by_id = {v[0]: v[1] for v in vecs}
+        q = by_id[0]
+        qn = math.sqrt(sum(x * x for x in q))
+        for r in rows:
+            v = by_id[r.vec_id]
+            exact = sum(a * b for a, b in zip(v, q)) / (
+                math.sqrt(sum(x * x for x in v)) * qn
+            )
+            assert abs(r.approx_sim - exact) < 2e-2, (r.vec_id, r.approx_sim, exact)
+        spark.catalog.dropTempView("embeddings")
+
+
+class TestTemperatureProperties:
+    def test_lower_tau_shifts_share_toward_small_source(self, spark):
+        from map_spark_sql_spark.operators.mixture import temperature_mixture
+
+        rows = [(i, " ".join(["w"] * 20), "big") for i in range(400)]
+        rows += [(1000 + i, " ".join(["w"] * 20), "small") for i in range(40)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+        def small_share(tau: float) -> float:
+            kept = {"big": 0, "small": 0}
+            for r in temperature_mixture(docs, 2000, tau=tau).collect():
+                kept[r.source] += 1
+            total = kept["big"] + kept["small"]
+            return kept["small"] / total if total else 0.0
+
+        # tau=1 reproduces natural shares; smaller tau upweights `small`
+        assert small_share(0.25) >= small_share(0.5) >= small_share(1.0)
+        assert small_share(0.25) > 0.15  # visibly above the natural 9%

@@ -99,6 +99,57 @@ def gen_embeddings(rng: np.random.Generator, n: int, dim: int = 64):
     )
 
 
+def gen_events(rng: np.random.Generator, n: int):
+    """10x events with adversarial structure the driver table lacks:
+
+    - a WHALE user (id 777) carrying ~5% of all events — skew for
+      sessionization / latest-per-key / the salted map-pipeline paths,
+    - timestamp-tie bursts: ~1% of events share an exact timestamp with 9
+      others, plus (user, ts) collision pairs — deterministic tie-breaks in
+      window queries must agree across engines or the hash gate flips,
+    - NULL values (~1%) — aggregate/percentile null handling,
+    - ~50k distinct users — the HLL error-bound verdicts face a 25x-larger
+      cardinality than the sf0.1 gate.
+    Same span as the driver's table (2024-01-01 + ~52 days) at 10x density;
+    event_id stays the global order like the driver generator.
+    """
+    gaps = rng.exponential(4.5e6, size=n)  # microseconds
+    ts_us = (1704067200_000_000 + np.cumsum(gaps)).astype(np.int64)
+    # timestamp-tie bursts: groups of 10 share one exact ts
+    n_burst = n // 1000
+    starts = rng.choice(n - 10, size=n_burst, replace=False)
+    for s in starts:
+        ts_us[s : s + 10] = ts_us[s]
+    user = rng.integers(0, 50000, size=n)
+    whale = rng.random(n) < 0.05
+    user[whale] = 777
+    # (user, ts) collisions: consecutive same-user same-ts pairs
+    for s in rng.choice(n - 1, size=n // 2000, replace=False):
+        user[s + 1] = user[s]
+        ts_us[s + 1] = ts_us[s]
+    etype = rng.choice(
+        ["view", "click", "purchase", "error", "signup"],
+        size=n,
+        p=[0.55, 0.25, 0.1, 0.06, 0.04],
+    )
+    value = np.round(rng.random(n) * 200.0, 2)
+    null_mask = rng.random(n) < 0.01
+    k = rng.integers(0, 100, size=n)
+    return pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array(ts_us, type=pa.timestamp("us")),
+            "user_id": pa.array(user.astype(np.int64)),
+            "event_type": pa.array(etype),
+            "value": pa.array(
+                [None if m else float(v) for m, v in zip(null_mask, value)],
+                type=pa.float64(),
+            ),
+            "props": pa.array([f'{{"k": {int(x)}}}' for x in k]),
+        }
+    )
+
+
 def main() -> None:
     out = sys.argv[1] if len(sys.argv) > 1 else ".scratch/sf10x"
     mult = int(sys.argv[2]) if len(sys.argv) > 2 else 10
@@ -106,11 +157,17 @@ def main() -> None:
     rng = np.random.default_rng(20260814)
     pq.write_table(gen_documents(rng, 5000 * mult), f"{out}/documents.parquet")
     pq.write_table(gen_embeddings(rng, 2000 * mult), f"{out}/embeddings.parquet")
-    for t in "region nation customer supplier part orders lineitem events".split():
+    ev = f"{out}/events.parquet"
+    if os.path.islink(ev):
+        os.unlink(ev)
+    pq.write_table(gen_events(rng, 100000 * mult), ev)
+    for t in "region nation customer supplier part orders lineitem".split():
         link = f"{out}/{t}.parquet"
         if not os.path.exists(link):
             os.symlink(f"/root/testdata/sf0.1/{t}.parquet", link)
-    print(f"wrote {out}: documents={5000*mult} embeddings={2000*mult}")
+    print(
+        f"wrote {out}: documents={5000*mult} embeddings={2000*mult} events={100000*mult}"
+    )
 
 
 if __name__ == "__main__":
