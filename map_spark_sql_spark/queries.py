@@ -1558,13 +1558,18 @@ def asof_purchase_last_view(spark, sf_dir):
     "events_sessions_batch",
     """
 WITH marked AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, event_id, value,
          CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
-                   OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
               THEN 1 ELSE 0 END AS new_session
   FROM events),
 numbered AS (
-  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+  -- BOTH windows tie-break on event_id: with (user, ts) collisions an
+  -- ORDER BY ts alone lets the lag pass and the running-sum pass order the
+  -- tied rows DIFFERENTLY, splitting a tie pair across sessions (caught by
+  -- the 100x rung's collision-injected events; Spark's session_window is
+  -- content-based and has no such order dependence)
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                    ROWS UNBOUNDED PRECEDING) AS session_no
   FROM marked)
 SELECT user_id, CAST(min(epoch_us(ts)) AS BIGINT) AS session_start_us,
@@ -2526,13 +2531,18 @@ def stream_events_tumbling_5min(spark, sf_dir):
     "stream_events_sessions",
     """
 WITH marked AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, event_id, value,
          CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
-                   OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
               THEN 1 ELSE 0 END AS new_session
   FROM events),
 numbered AS (
-  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+  -- BOTH windows tie-break on event_id: with (user, ts) collisions an
+  -- ORDER BY ts alone lets the lag pass and the running-sum pass order the
+  -- tied rows DIFFERENTLY, splitting a tie pair across sessions (caught by
+  -- the 100x rung's collision-injected events; Spark's session_window is
+  -- content-based and has no such order dependence)
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                    ROWS UNBOUNDED PRECEDING) AS session_no
   FROM marked)
 SELECT user_id, CAST(min(epoch_us(ts)) AS BIGINT) AS session_start_us,
