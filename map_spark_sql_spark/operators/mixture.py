@@ -193,6 +193,7 @@ def temperature_mixture(
     text_col: str = "text",
     id_col: str = "doc_id",
     source_col: str = "source",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Temperature-based source rebalancing: instead of hand-picked weights
     (:func:`mixture_sample`), each source's share of the token budget is
@@ -202,35 +203,70 @@ def temperature_mixture(
     it; tau = 0 is uniform).
 
     Cross-engine determinism: the smoothed score is quantized to an integer
-    (``floor(power(actual, tau))``) and every downstream step — the score
-    denominator, the per-source token target, the per-mille acceptance
-    ratio — is exact integer arithmetic (``DIV``), so no float summation
-    or division can drift between engines. The accept/reject rule is an
-    md5 per-MILLION bucket (see ``_bucket_ppm_sql`` — per-mille resolution
-    zeroes out once actual/budget > 1000).
+    (``floor(power(actual, tau) + 1e-9)`` — the epsilon absorbs the 1-ulp
+    gap between Java ``Math.pow`` and libm ``pow`` at exact-integer
+    boundaries, e.g. tau=0.5 on a perfect square, which would otherwise
+    flip ``floor``) and every downstream step — the score denominator, the
+    per-source token target, the per-million acceptance ratio — is exact
+    integer arithmetic, so no float summation or division can drift between
+    engines. The two products that can exceed int64 at real pretraining
+    scale (``budget * score`` and ``1000000 * target`` both pass 2^63 once
+    budgets reach ~1e13 tokens) are computed in DECIMAL(38,0) on Spark and
+    HUGEINT on DuckDB; the integral quotients (``DIV`` / ``//``) are back
+    under int64 by construction (target <= budget, ratio <= 1e6), and both
+    engines produce identical BIGINT results (pinned by
+    ``test_trillion_token_budget_no_overflow``). The accept/reject rule is
+    an md5 per-MILLION bucket (see ``_bucket_ppm_sql`` — per-mille
+    resolution zeroes out once actual/budget > 1000).
 
     Scale shape: one per-source aggregate (tiny), a 1-row denominator
     broadcast, and a row-local filter — the corpus is scanned once and
     never shuffled.
 
-    Output: ``(doc_id, source, n_tokens)`` kept rows.
+    Output: ``(doc_id, source, n_tokens)`` kept rows. Pass ``tokens_col``
+    to reuse a pre-tallied token count column instead of re-counting from
+    ``text_col`` (also how the trillion-token scale test injects synthetic
+    masses without materializing terabytes of text).
     """
-    n_tok = F.expr(token_counts_sql(text_col, "spark")["n_ws_tokens"]).cast("long")
-    counted = docs.select(
-        F.col(id_col), F.col(source_col).alias("source"), n_tok.alias("n_tokens")
-    )
+    if tokens_col is not None:
+        counted = docs.select(
+            F.col(id_col),
+            F.col(source_col).alias("source"),
+            F.col(tokens_col).cast("long").alias("n_tokens"),
+        )
+    else:
+        n_tok = F.expr(token_counts_sql(text_col, "spark")["n_ws_tokens"]).cast("long")
+        counted = docs.select(
+            F.col(id_col), F.col(source_col).alias("source"), n_tok.alias("n_tokens")
+        )
     stats = (
         counted.groupBy("source")
         .agg(F.sum("n_tokens").cast("long").alias("actual"))
-        .withColumn("score", F.expr(f"CAST(floor(power(actual, CAST({tau!r} AS DOUBLE))) AS BIGINT)"))
+        .withColumn(
+            "score",
+            F.expr(f"CAST(floor(power(actual, CAST({tau!r} AS DOUBLE)) + 1e-9) AS BIGINT)"),
+        )
     )
     denom = stats.agg(F.sum("score").cast("long").alias("denom"))
+    # DECIMAL(38,0) products: budget*score and 1000000*target overflow int64
+    # once budget ~ 1e13 tokens (10T+ pretraining mixes); DIV on decimals
+    # returns the exact integral quotient as BIGINT.
     ratios = (
         stats.crossJoin(F.broadcast(denom))
-        .withColumn("target", F.expr(f"(CAST({int(token_budget)} AS BIGINT) * score) DIV denom"))
+        .withColumn(
+            "target",
+            F.expr(
+                f"(CAST({int(token_budget)} AS DECIMAL(38,0)) * CAST(score AS DECIMAL(38,0)))"
+                " DIV CAST(denom AS DECIMAL(38,0))"
+            ),
+        )
         .withColumn(
             "ratio_ppm",
-            F.expr("least(CAST(1000000 AS BIGINT), (1000000 * target) DIV actual)"),
+            F.expr(
+                "least(CAST(1000000 AS BIGINT),"
+                " (CAST(1000000 AS DECIMAL(38,0)) * CAST(target AS DECIMAL(38,0)))"
+                " DIV CAST(actual AS DECIMAL(38,0)))"
+            ),
         )
         .select("source", "ratio_ppm")
     )
@@ -257,14 +293,16 @@ WITH counted AS (
 ),
 stats AS (
   SELECT source, CAST(sum(n_tokens) AS BIGINT) AS actual,
-         CAST(floor(power(CAST(sum(n_tokens) AS BIGINT), CAST({tau!r} AS DOUBLE))) AS BIGINT) AS score
+         CAST(floor(power(CAST(sum(n_tokens) AS BIGINT), CAST({tau!r} AS DOUBLE)) + 1e-9) AS BIGINT) AS score
   FROM counted GROUP BY source
 ),
 denom AS (SELECT CAST(sum(score) AS BIGINT) AS denom FROM stats),
 ratios AS (
   SELECT s.source,
-         least(CAST(1000000 AS BIGINT),
-               (1000000 * ((CAST({int(token_budget)} AS BIGINT) * s.score) // d.denom)) // s.actual) AS ratio_ppm
+         CAST(least(CAST(1000000 AS HUGEINT),
+               (CAST(1000000 AS HUGEINT) *
+                ((CAST({int(token_budget)} AS HUGEINT) * CAST(s.score AS HUGEINT)) // CAST(d.denom AS HUGEINT)))
+               // CAST(s.actual AS HUGEINT)) AS BIGINT) AS ratio_ppm
   FROM stats s CROSS JOIN denom d
 )
 SELECT c.{id_col}, c.source, c.n_tokens

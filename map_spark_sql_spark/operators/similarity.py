@@ -123,31 +123,32 @@ def kmeans_fit(
     twin computes bit-identical centroids).
 
     Scale shape per round: the assignment is a broadcast cross join against
-    ``k`` rows (map-side) + one per-vector window; the mean recomputation
-    explodes to (rows x dim) and aggregates on (cid, pos) — a single wide
-    shuffle keyed well below skew territory. ``n_iter`` is a small constant;
-    each round's centroid table (k x dim doubles) passes through the driver
-    like any broadcast dimension.
+    ``k`` rows followed by a ``min_by`` hash aggregate — the argmax is a
+    partial-aggregable groupBy (map-side combine collapses the N x k rows to
+    N before the exchange), NOT a row_number window, which would sort-shuffle
+    all N x k rows per Lloyd round. The mean recomputation explodes to
+    (rows x dim) and aggregates on (cid, pos) — a single wide shuffle keyed
+    well below skew territory. ``n_iter`` is a small constant; each round's
+    centroid table (k x dim doubles) passes through the driver like any
+    broadcast dimension.
     """
-    from pyspark.sql import Window
-
     cent = df.filter(F.col(id_col) < k).select(
         F.col(id_col).alias("cid"),
         F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("cvec"),
     )
     ccos = F.expr(cosine_cols_sql(vec_col, "cvec", "spark"))
     for _ in range(n_iter):
+        # min over struct(-ccos, cid) == (max cosine, ties -> lower cid):
+        # exactly the row_number()-over-(ccos DESC, cid) pick, as a hash agg.
+        # The vector rides along via first(): identical in every group row.
         assign = (
             df.crossJoin(F.broadcast(cent))
             .withColumn("ccos", ccos)
-            .withColumn(
-                "rn",
-                F.row_number().over(
-                    Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.col("cid"))
-                ),
+            .groupBy(id_col)
+            .agg(
+                F.expr("min_by(cid, struct(-ccos, cid))").alias("cid"),
+                F.first(vec_col).alias(vec_col),
             )
-            .filter(F.col("rn") == 1)
-            .select(id_col, "cid", vec_col)
         )
         means = (
             assign.select("cid", F.posexplode(vec_col).alias("pos", "val"))
@@ -234,14 +235,13 @@ def cosine_topk_ivf(
     by id, or a caller-supplied ``centroids`` relation ``(cid, cvec)`` such
     as a :func:`kmeans_fit` result.
     Scale shape: assignment is a broadcast cross join against ``n_centroids``
-    rows (map-side, no shuffle of the big table); the probe filter keeps
-    ~nprobe/n_centroids of the corpus before the exact re-rank, which is the
-    whole point of IVF at 100 TB. All tie-breaks (equal cosine) resolve to
-    the lower centroid/vector id so the result is reproducible and
-    oracle-checkable.
+    rows followed by a ``min_by`` hash aggregate (map-side combine collapses
+    the N x n_centroids rows to N before the exchange — no row_number sort
+    shuffle); the probe filter keeps ~nprobe/n_centroids of the corpus
+    before the exact re-rank, which is the whole point of IVF at 100 TB. All
+    tie-breaks (equal cosine) resolve to the lower centroid/vector id so the
+    result is reproducible and oracle-checkable.
     """
-    from pyspark.sql import Window
-
     if centroids is not None:
         cent = centroids.select("cid", "cvec")
     else:
@@ -249,17 +249,13 @@ def cosine_topk_ivf(
             F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
         )
     ccos = F.expr(cosine_cols_sql(vec_col, "cvec", "spark"))
+    # min struct(-ccos, cid) == (max cosine, ties -> lower cid); matches the
+    # oracle's row_number() OVER (ORDER BY ccos DESC, cid) = 1 pick exactly.
     assign = (
         df.crossJoin(F.broadcast(cent))
         .withColumn("ccos", ccos)
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.col("cid"))
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .select(id_col, "cid")
+        .groupBy(id_col)
+        .agg(F.expr("min_by(cid, struct(-ccos, cid))").alias("cid"))
     )
     q = df.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("qe"))
     qcos_c = F.expr(cosine_cols_sql("cvec", "qe", "spark"))
@@ -363,7 +359,12 @@ def cosine_pairs_lsh(
     family is under-parameterized for the data's density — re-hash with more
     ``bits`` rather than letting one bucket go quadratic; the 10x-scale
     sweep measured 8.9M pairs / 9 minutes from 10 cluster-collapsed buckets
-    before this guard existed). Same shape as ``dedup.ngram_jaccard_pairs``:
+    before this guard existed). The cap is NOT silent: run
+    :func:`lsh_bucket_stats` with the same (dim, bits, max_bucket) to get
+    the per-bucket membership counts, which buckets were dropped, and how
+    many candidate pairs the cap skipped — the no-silent-caps companion
+    every bounded stage owes its callers. Same shape as
+    ``dedup.ngram_jaccard_pairs``:
     join-free in-bucket fan-out from a sorted member list, explicitly
     repartitioned so the explode stage cannot inherit the input's
     AQE-coalesced (tiny-by-bytes) partitioning and serialize on one task.
@@ -437,6 +438,60 @@ FROM cand WHERE round({dot} / ({na} * {nb}), 6) >= {threshold}
 """
 
 
+def lsh_bucket_stats(
+    df: DataFrame,
+    dim: int = 64,
+    bits: int = 8,
+    max_bucket: int = 1000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Coverage diagnostic for :func:`cosine_pairs_lsh`'s ``max_bucket``
+    guard: one row per non-trivial signature bucket with its membership
+    count, whether the guard drops it, and the number of in-bucket candidate
+    pairs that drop with it (``n*(n-1)/2``). A caller that sees
+    ``sum(pairs_skipped) > 0`` knows the pair result under-covers and by how
+    much — the guard never fails silently. Costs one hash aggregate over the
+    signature pass (tiny next to the pair join it diagnoses)."""
+    sig = df.select(
+        F.expr(lsh_signature_sql(vec_col, dim, bits, "spark")).alias("bucket")
+    )
+    n = F.col("n_vectors")
+    return (
+        sig.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .filter(n > 1)
+        .select(
+            "bucket",
+            "n_vectors",
+            (n > max_bucket).alias("dropped"),
+            F.when(n > max_bucket, (n * (n - 1) / 2).cast("long"))
+            .otherwise(F.lit(0))
+            .alias("pairs_skipped"),
+        )
+    )
+
+
+def lsh_bucket_stats_oracle(
+    dim: int = 64,
+    bits: int = 8,
+    max_bucket: int = 1000,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    sig = lsh_signature_sql(vec_col, dim, bits, "duckdb")
+    return f"""
+WITH sig AS (SELECT {sig} AS bucket FROM {table}),
+g AS (SELECT bucket, count(*) AS n_vectors FROM sig GROUP BY bucket HAVING count(*) > 1)
+SELECT bucket, n_vectors,
+       n_vectors > {max_bucket} AS dropped,
+       CAST(CASE WHEN n_vectors > {max_bucket}
+                 THEN n_vectors * (n_vectors - 1) / 2 ELSE 0 END AS BIGINT) AS pairs_skipped
+FROM g
+"""
+
+
 # --- embedding centroids / nearest-centroid labeling -------------------------
 
 
@@ -494,9 +549,11 @@ def nearest_centroid_confusion(
     """Embedding-quality eval: assign every vector to its nearest class
     centroid by cosine and cross-tabulate true vs assigned label. A sharp
     diagonal means the embedding space separates the classes. Broadcast
-    centroid table; ties on the lower label."""
-    from pyspark.sql import Window
-
+    centroid table; ties on the lower label. The per-vector argmax is a
+    ``min_by`` hash aggregate (partial-aggregable; no row_number sort
+    shuffle of N x n_labels rows): min struct(-ccos, assigned) picks max
+    cosine with ties to the lexicographically-lower label, matching the
+    oracle's window pick."""
     cent = embedding_centroids(df, by, dim, vec_col).select(
         F.col(by).alias("assigned"), "cvec"
     )
@@ -504,18 +561,13 @@ def nearest_centroid_confusion(
     best = (
         df.crossJoin(F.broadcast(cent))
         .withColumn("ccos", ccos)
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.col("assigned"))
-            ),
+        .groupBy(id_col)
+        .agg(
+            F.expr("min_by(assigned, struct(-ccos, assigned))").alias("assigned"),
+            F.first(by).alias("true_label"),
         )
-        .filter(F.col("rn") == 1)
     )
-    return (
-        best.groupBy(F.col(by).alias("true_label"), "assigned")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    return best.groupBy("true_label", "assigned").agg(F.count(F.lit(1)).alias("n"))
 
 
 def nearest_centroid_confusion_oracle(

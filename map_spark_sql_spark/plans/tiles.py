@@ -109,6 +109,104 @@ def encode_tiles(tiles: DataFrame, tile_col: str = "tile") -> DataFrame:
     return tiles.withColumn("value", _enc(F.col(tile_col))).drop(tile_col)
 
 
+# --- oracle-side wire-format reconstruction (DuckDB SQL) --------------------
+#
+# The driver's hash gate needs a DuckDB twin for the binary encoders. Blobs
+# themselves can't cross the dialect boundary, but their HEX transcription
+# can: the Spark side emits md5(lower(hex(value))) over the REAL pandas-UDF
+# encoder output, and the oracle rebuilds the same lowercase hex string from
+# the documented little-endian wire format (module docstring above) with
+# pure SQL — printf for the integer fields and explicit IEEE-754 bit math
+# for the doubles. Exact for every normal double and +/-0; subnormals
+# (|v| < 2.2e-308) would mis-encode, which lat/lng can never hit. This is
+# the same move that turned multimodal_featurize driver-certifiable: a
+# deterministic length-prefixed format makes byte output SQL-reconstructable.
+
+
+def _le_hex(expr: str, nbytes: int) -> str:
+    """printf little-endian lowercase hex of a non-negative integer SQL
+    expression (DuckDB)."""
+    fmt = "%02x" * nbytes
+    args = ", ".join(f"(({expr}) // {256 ** i}) % 256" for i in range(nbytes))
+    return f"printf('{fmt}', {args})"
+
+
+def u32le_hex(expr: str) -> str:
+    return _le_hex(f"CAST({expr} AS BIGINT)", 4)
+
+
+def i32le_hex(expr: str) -> str:
+    """Two's-complement int32, little-endian."""
+    wrapped = f"(((CAST({expr} AS BIGINT)) % 4294967296 + 4294967296) % 4294967296)"
+    return _le_hex(wrapped, 4)
+
+
+def i64le_hex(expr: str) -> str:
+    """Non-negative int64 (counts), little-endian."""
+    return _le_hex(f"CAST({expr} AS BIGINT)", 8)
+
+
+def f64_bits_ctes(cols: list[str], src: str, keep: list[str]) -> tuple[str, dict[str, str]]:
+    """CTE chain reconstructing the IEEE-754 bit pattern of each double
+    column in ``cols`` (from relation ``src``, carrying ``keep`` columns
+    through), as exact integer math:
+
+    - exponent: floor(log2|v|), then corrected by one step in either
+      direction so that |v| / 2^e lands in [1, 2) — log2 alone is 1-ulp
+      unreliable exactly at powers of two;
+    - mantissa: (|v| / 2^e - 1) * 2^52 — division by a power of two and the
+      subtraction are exact, so the rounded product is the exact 52-bit
+      fraction;
+    - assembled as two uint32 halves (no int64 sign-bit overflow).
+
+    Returns (cte_sql_fragment, {col: hex_expr}) where hex_expr yields the
+    8-byte little-endian lowercase hex of the double.
+    """
+    ks = ", ".join(keep + cols)
+    er = {c: f"CASE WHEN {c} = 0 THEN 0 ELSE CAST(floor(log2(abs({c}))) AS BIGINT) END" for c in cols}
+    f0 = f"SELECT {ks}, " + ", ".join(f"{er[c]} AS er_{c}" for c in cols) + f" FROM {src}"
+    e = {
+        c: (
+            f"CASE WHEN {c} = 0 THEN 0 "
+            f"WHEN abs({c}) / power(2.0, er_{c}) >= 2 THEN er_{c} + 1 "
+            f"WHEN abs({c}) / power(2.0, er_{c}) < 1 THEN er_{c} - 1 "
+            f"ELSE er_{c} END"
+        )
+        for c in cols
+    }
+    f1 = f"SELECT {ks}, " + ", ".join(f"{e[c]} AS e_{c}" for c in cols) + " FROM _f0"
+    m = {
+        c: (
+            f"CASE WHEN {c} = 0 THEN 0 ELSE "
+            f"CAST(round((abs({c}) / power(2.0, e_{c}) - 1) * 4503599627370496.0) AS BIGINT) END"
+        )
+        for c in cols
+    }
+    f2 = (
+        f"SELECT {ks}, "
+        + ", ".join(f"e_{c}" for c in cols)
+        + ", "
+        + ", ".join(f"{m[c]} AS m_{c}" for c in cols)
+        + " FROM _f1"
+    )
+    hi = {
+        c: (
+            f"CASE WHEN {c} = 0 THEN 0 ELSE "
+            f"(CASE WHEN {c} < 0 THEN 2147483648 ELSE 0 END) + (e_{c} + 1023) * 1048576 + m_{c} // 4294967296 END"
+        )
+        for c in cols
+    }
+    lo = {c: f"CASE WHEN {c} = 0 THEN 0 ELSE m_{c} % 4294967296 END" for c in cols}
+    f3 = (
+        f"SELECT {ks}, "
+        + ", ".join(f"{hi[c]} AS hi_{c}, {lo[c]} AS lo_{c}" for c in cols)
+        + " FROM _f2"
+    )
+    ctes = f"_f0 AS ({f0}),\n_f1 AS ({f1}),\n_f2 AS ({f2}),\n_f3 AS ({f3})"
+    hexes = {c: f"({_le_hex(f'lo_{c}', 4)} || {_le_hex(f'hi_{c}', 4)})" for c in cols}
+    return ctes, hexes
+
+
 def to_key_values(df: DataFrame, family: str, qualifier: str) -> DataFrame:
     """X6: assemble the sink's (key, family, qualifier, value) shape
     (PointMapBuilder.java:97-110, TileMapBuilder.java:185-193)."""

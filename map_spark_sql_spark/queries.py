@@ -577,6 +577,183 @@ _fn.__doc__ = (
 q("tiles_features_z1", _orc)(_fn)
 
 
+# --- X4/X5/X6: binary encoders, hash-gated -----------------------------------
+#
+# The ONLY §2 operators without a driver-side CORRECTNESS row through round 4
+# were the binary tile encoders. The wire formats are deterministic and
+# length-prefixed (plans/tiles.py module docstring), so the gate works the
+# same way multimodal_featurize's does: Spark md5s the REAL pandas-UDF
+# encoder output (as lowercase hex), and the oracle rebuilds the identical
+# hex transcription in pure DuckDB SQL — printf for the integer fields,
+# explicit IEEE-754 bit math for the doubles (exact for all normal doubles;
+# see plans/tiles.py f64_bits_ctes).
+
+
+def _tile_blob_query(epsg: str, zoom: int):
+    from map_spark_sql_spark.plans import tiles as TBLOB
+
+    xs, ys = PJ.global_pixel_xy_sql(epsg, zoom, TILE_SIZE, "lat", "lng")
+    s_tiles = TL.tile_addresses_sql(epsg, zoom, TILE_SIZE, BUFFER, "px", "py", "spark")
+    d_tiles = TL.tile_addresses_sql(epsg, zoom, TILE_SIZE, BUFFER, "px", "py", "duckdb")
+    family = epsg.replace(":", "_")
+
+    def spark_fn(spark, sf_dir):
+        expl = _exploded_df(spark, sf_dir)
+        t1 = (
+            expl.withColumn("px", F.expr(xs))
+            .withColumn("py", F.expr(ys))
+            .filter("px IS NOT NULL")
+            .groupBy("mapKey", "px", "py", "borYear")
+            .agg(F.count(F.lit(1)).alias("occCount"))
+        )
+        t2 = t1.groupBy("mapKey", "px", "py").agg(
+            F.sort_array(F.collect_list(F.struct("borYear", "occCount"))).alias("features")
+        )
+        t3 = (
+            t2.withColumn("t", F.explode(F.expr(s_tiles)))
+            .groupBy("mapKey", F.col("t.tileX").alias("x"), F.col("t.tileY").alias("y"))
+            .agg(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("t.pixelX").alias("px"),
+                            F.col("t.pixelY").alias("py"),
+                            F.col("features"),
+                        )
+                    )
+                ).alias("tile")
+            )
+            .withColumn(
+                "key",
+                K.salted_key(
+                    F.col("mapKey"), F.lit(zoom), F.col("x"), F.col("y"), modulus=SALT_MOD
+                ),
+            )
+        )
+        kv = TBLOB.to_key_values(TBLOB.encode_tiles(t3), family, "tile")
+        return kv.select(
+            "key",
+            "family",
+            "qualifier",
+            F.md5(F.lower(F.hex("value"))).alias("blob_md5"),
+            F.length("value").alias("n_bytes"),
+        )
+
+    feat_hex = f"{TBLOB.i32le_hex('borYear')} || {TBLOB.i64le_hex('occCount')}"
+    pix_hex = (
+        f"{TBLOB.i32le_hex('lpx')} || {TBLOB.i32le_hex('lpy')} || {TBLOB.u32le_hex('nf')} || fh"
+    )
+    oracle = _oracle(
+        f""",
+t1 AS (
+  SELECT mapKey, px, py, borYear, count(*) AS occCount FROM (
+    SELECT mapKey, borYear, {xs} AS px, {ys} AS py FROM expl
+  ) a WHERE px IS NOT NULL GROUP BY mapKey, px, py, borYear),
+feats AS (
+  SELECT mapKey, px, py, count(*) AS nf,
+         string_agg({feat_hex}, '' ORDER BY borYear) AS fh
+  FROM t1 GROUP BY mapKey, px, py),
+fan AS (
+  SELECT mapKey, u.tileX AS x, u.tileY AS y, u.pixelX AS lpx, u.pixelY AS lpy, nf, fh
+  FROM (SELECT mapKey, nf, fh, unnest({d_tiles}) AS u FROM feats) b),
+tiles AS (
+  SELECT mapKey, x, y, count(*) AS npx, CAST(sum(nf) AS BIGINT) AS tot_nf,
+         string_agg({pix_hex}, '' ORDER BY lpx, lpy) AS ph
+  FROM fan GROUP BY mapKey, x, y)
+SELECT {K.salted_key_sql('mapKey', str(zoom), 'x', 'y', modulus=SALT_MOD)} AS key,
+       '{family}' AS family, 'tile' AS qualifier,
+       md5('56543100' || {TBLOB.u32le_hex('npx')} || ph) AS blob_md5,
+       CAST(8 + 12 * npx + 12 * tot_nf AS BIGINT) AS n_bytes
+FROM tiles"""
+    )
+    return spark_fn, oracle
+
+
+_fn, _orc = _tile_blob_query("EPSG:3857", 2)
+_fn.__doc__ = (
+    "X5+X6 hash gate (VectorTiles.java:34-86, TileMapBuilder.java:185-193): "
+    "the real pandas-UDF MVT-stand-in encoder's bytes, md5'd as lowercase "
+    "hex, vs a pure-SQL reconstruction of the documented wire format. The "
+    "n_bytes column cross-checks the length arithmetic (8 + 12*pixels + "
+    "12*features)."
+)
+q("tiles_encode_blob_md5", _orc)(_fn)
+
+
+def _points_blob_query():
+    from map_spark_sql_spark.plans import tiles as TBLOB
+
+    def spark_fn(spark, sf_dir):
+        expl = _exploded_df(spark, sf_dir)
+        large = (
+            expl.groupBy("mapKey")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") >= TILES_THRESHOLD)
+            .select("mapKey")
+        )
+        counts = (
+            expl.join(F.broadcast(large), "mapKey", "left_anti")
+            .groupBy("mapKey", "lat", "lng", "borYear")
+            .agg(F.count(F.lit(1)).alias("occCount"))
+        )
+        points = (
+            counts.groupBy("mapKey")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct("lat", "lng", "borYear", "occCount"))
+                ).alias("features")
+            )
+            .withColumn("key", K.salted_key(F.col("mapKey"), modulus=SALT_MOD))
+        )
+        kv = TBLOB.to_key_values(
+            TBLOB.encode_point_features(points.drop("mapKey")), "EPSG_4326", "features"
+        )
+        return kv.select(
+            "key",
+            "family",
+            "qualifier",
+            F.md5(F.lower(F.hex("value"))).alias("blob_md5"),
+            F.length("value").alias("n_bytes"),
+        )
+
+    bits_ctes, hx = TBLOB.f64_bits_ctes(
+        ["lat", "lng"], "pcounts", keep=["mapKey", "borYear", "occCount"]
+    )
+    feat_hex = (
+        f"{hx['lat']} || {hx['lng']} || {TBLOB.i32le_hex('borYear')} || "
+        f"{TBLOB.i64le_hex('occCount')}"
+    )
+    oracle = _oracle(
+        f""",
+pcounts AS (
+  SELECT mapKey, lat, lng, borYear, count(*) AS occCount FROM expl
+  WHERE mapKey NOT IN (SELECT mapKey FROM large)
+  GROUP BY mapKey, lat, lng, borYear),
+{bits_ctes},
+feats AS (
+  SELECT mapKey, count(*) AS n,
+         string_agg({feat_hex}, '' ORDER BY lat, lng, borYear, occCount) AS fh
+  FROM _f3 GROUP BY mapKey)
+SELECT {K.salted_key_sql('mapKey', modulus=SALT_MOD)} AS key,
+       'EPSG_4326' AS family, 'features' AS qualifier,
+       md5('50463100' || {TBLOB.u32le_hex('n')} || fh) AS blob_md5,
+       CAST(8 + 28 * n AS BIGINT) AS n_bytes
+FROM feats"""
+    )
+    return spark_fn, oracle
+
+
+_fn, _orc = _points_blob_query()
+_fn.__doc__ = (
+    "X4+X6 hash gate (ProtobufTiles.java:30-52, PointMapBuilder.java:84-110): "
+    "the real pandas-UDF point-features encoder's bytes (f64 lat/lng + i32 "
+    "borYear + i64 count per feature), md5'd as lowercase hex, vs a pure-SQL "
+    "IEEE-754 reconstruction (plans/tiles.py f64_bits_ctes). n_bytes pins "
+    "the 8 + 28*n length arithmetic."
+)
+q("points_encode_blob_md5", _orc)(_fn)
+
+
 # --- JSON functions over the events.props column -----------------------------
 
 
@@ -2158,6 +2335,15 @@ def similarity_topk_ivf_trained(spark, sf_dir):
 def similarity_pairs_lsh(spark, sf_dir):
     """LSH-bucketed near-neighbor pairs + exact re-rank (the 100 TB path)."""
     return SIM.cosine_pairs_lsh(load_table(spark, sf_dir, "embeddings"), bits=6, threshold=0.3)
+
+
+@q("similarity_lsh_bucket_stats", SIM.lsh_bucket_stats_oracle(bits=6))
+def similarity_lsh_bucket_stats(spark, sf_dir):
+    """No-silent-caps companion to similarity_pairs_lsh/knn_graph: per-
+    bucket signature membership, the max_bucket dropped flag, and the
+    candidate-pair count each dropped bucket skips — the coverage-loss
+    surface for cosine_pairs_lsh's degenerate-bucket guard."""
+    return SIM.lsh_bucket_stats(load_table(spark, sf_dir, "embeddings"), bits=6)
 
 
 @q("similarity_centroid_confusion", SIM.nearest_centroid_confusion_oracle())

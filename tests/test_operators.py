@@ -916,14 +916,15 @@ class TestTemperatureMixture:
         rows += [(1000 + i, " ".join(["w"] * 20), "small") for i in range(5)]
         docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
         # integer mirror of the operator's math: big score=100, small score=10,
-        # denom=110; big ratio = 1000*(2000*100//110)//10000 = 181 pm; small
-        # ratio = 1000*(2000*10//110)//100 = 1810 -> capped at 1000 (keep all)
+        # denom=110; big ratio = 1000000*(2000*100//110)//10000 = 181800 ppm;
+        # small ratio = 1000000*(2000*10//110)//100 = 1810000 -> capped at
+        # 1000000 ppm (keep all)
         out = temperature_mixture(docs, 2000, tau=0.5).collect()
         kept = {"big": 0, "small": 0}
         for r in out:
             kept[r.source] += 1
-        assert kept["small"] == 5  # ratio capped at 1000 pm
-        assert 25 <= kept["big"] <= 150  # ~18.1% of 500, md5-uniform-ish
+        assert kept["small"] == 5  # ratio capped at 1000000 ppm
+        assert 25 <= kept["big"] <= 150  # ~18.18% of 500, md5-uniform-ish
 
     def test_tau_one_reproduces_natural_shares(self, spark):
         from map_spark_sql_spark.operators.mixture import temperature_mixture
@@ -936,6 +937,55 @@ class TestTemperatureMixture:
         for r in out:
             kept[r.source] += 1
         assert abs(kept["src0"] - kept["src1"]) <= 15
+
+    def test_trillion_token_budget_no_overflow(self, spark):
+        """budget * score passes 2^63 at modern pretraining scale (10T+
+        token mixes): with int64 math Spark wraps silently (negative
+        ratio_ppm -> nothing kept) while DuckDB raises — the DECIMAL(38,0)/
+        HUGEINT ratio path must keep both engines exact and identical."""
+        import duckdb
+
+        from map_spark_sql_spark.operators.mixture import temperature_mixture
+
+        # synthetic per-doc token masses via tokens_col: two sources with
+        # actual = 3e12 and 1e12 tokens (4T corpus), budget = 10T (> actual)
+        rows = [(i, "big" if i < 30 else "small", 10**11) for i in range(40)]
+        docs = spark.createDataFrame(rows, "doc_id long, source string, n_tok long")
+        out = temperature_mixture(
+            docs, token_budget=10**13, tau=1.0, tokens_col="n_tok"
+        ).collect()
+        # tau=1, budget > total actual: every source's ratio caps at 1e6 ppm
+        # -> ALL docs kept. int64-wrap math keeps ~none (negative ratios).
+        assert len(out) == 40
+        # cross-engine pin: DuckDB HUGEINT mirror produces the same keep set
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE counted AS SELECT * FROM (VALUES "
+            + ", ".join(f"({i}, '{'big' if i < 30 else 'small'}', {10**11})" for i in range(40))
+            + ") AS t(doc_id, source, n_tokens)"
+        )
+        dd = con.execute(
+            """
+WITH stats AS (
+  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS actual,
+         CAST(floor(power(CAST(sum(n_tokens) AS BIGINT), 1.0) + 1e-9) AS BIGINT) AS score
+  FROM counted GROUP BY source
+),
+denom AS (SELECT CAST(sum(score) AS BIGINT) AS denom FROM stats),
+ratios AS (
+  SELECT s.source,
+         CAST(least(CAST(1000000 AS HUGEINT),
+               (CAST(1000000 AS HUGEINT) *
+                ((CAST(10000000000000 AS HUGEINT) * CAST(s.score AS HUGEINT)) // CAST(d.denom AS HUGEINT)))
+               // CAST(s.actual AS HUGEINT)) AS BIGINT) AS ratio_ppm
+  FROM stats s CROSS JOIN denom d
+)
+SELECT count(*) FROM counted c JOIN ratios r ON c.source = r.source
+WHERE CAST(('0x' || substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 < r.ratio_ppm
+"""
+        ).fetchone()[0]
+        con.close()
+        assert dd == len(out) == 40
 
 
 class TestQuantizedTopK:

@@ -125,6 +125,61 @@ def test_binary_encoders_roundtrip(occurrence_df):
         assert decoded == want
 
 
+def test_blob_hex_oracle_builders():
+    """The DuckDB wire-format reconstruction (plans/tiles.py hex builders)
+    must transcribe exactly the bytes the Python codecs emit — this is the
+    cross-engine contract behind the tiles/points_encode_blob_md5 hash
+    gates. Exercises negative int32 (buffered pixel coords), zero and
+    negative doubles, and the IEEE-754 bit math on arbitrary fractions."""
+    import duckdb
+
+    feats = [
+        {"lat": 42.123456789, "lng": -179.9999, "borYear": 201501, "occCount": 7},
+        {"lat": 0.0, "lng": 1.0, "borYear": 0, "occCount": 123456789012},
+        {"lat": -0.015625, "lng": 128.0, "borYear": 99902, "occCount": 1},
+    ]
+    # the registry query sort_array()s features before encoding; mirror that
+    feats.sort(key=lambda f: (f["lat"], f["lng"], f["borYear"], f["occCount"]))
+    blob = T.encode_point_features_py(feats)
+    con = duckdb.connect()
+    rows = ", ".join(
+        f"({f['lat']!r}, {f['lng']!r}, {f['borYear']}, {f['occCount']})" for f in feats
+    )
+    ctes, hx = T.f64_bits_ctes(["lat", "lng"], "src", keep=["borYear", "occCount"])
+    got = con.execute(
+        f"WITH src(lat, lng, borYear, occCount) AS (SELECT * FROM (VALUES {rows})),\n"
+        f"{ctes}\n"
+        f"SELECT '50463100' || {T.u32le_hex(str(len(feats)))} || string_agg("
+        f"{hx['lat']} || {hx['lng']} || {T.i32le_hex('borYear')} || {T.i64le_hex('occCount')},"
+        f" '' ORDER BY lat, lng) FROM _f3"
+    ).fetchone()[0]
+    assert got == blob.hex()
+
+    pixels = [
+        {"px": -64, "py": 575, "features": [{"borYear": 201501, "occCount": 3}]},
+        {"px": 0, "py": 0, "features": [{"borYear": 0, "occCount": 1}, {"borYear": 5, "occCount": 2}]},
+    ]
+    tile_blob = T.encode_tile_py(pixels)
+    prows = []
+    for p in pixels:
+        fh = "".join(
+            con.execute(
+                f"SELECT {T.i32le_hex(str(f['borYear']))} || {T.i64le_hex(str(f['occCount']))}"
+            ).fetchone()[0]
+            for f in p["features"]
+        )
+        prows.append((p["px"], p["py"], len(p["features"]), fh))
+    vals = ", ".join(f"({px}, {py}, {nf}, '{fh}')" for px, py, nf, fh in prows)
+    got_t = con.execute(
+        f"WITH pix(lpx, lpy, nf, fh) AS (SELECT * FROM (VALUES {vals}))\n"
+        f"SELECT '56543100' || {T.u32le_hex(str(len(pixels)))} || string_agg("
+        f"{T.i32le_hex('lpx')} || {T.i32le_hex('lpy')} || {T.u32le_hex('nf')} || fh,"
+        f" '' ORDER BY lpx, lpy) FROM pix"
+    ).fetchone()[0]
+    con.close()
+    assert got_t == tile_blob.hex()
+
+
 def test_config_from_yaml(tmp_path):
     """Parse the reference's YAML layout (example.yml keys); infra keys
     ignored; zoom-16 int-addressing guard enforced."""
