@@ -220,10 +220,31 @@ def minhash_pairs(
     components. Buckets larger than ``max_bucket`` are dropped before the
     self-join (degenerate-bucket / skew guard).
     """
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle)
+    return banded_pairs_from_signatures(
+        sig, id_col=id_col, num_hashes=num_hashes, bands=bands,
+        threshold=threshold, max_bucket=max_bucket,
+    )
+
+
+def banded_pairs_from_signatures(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """The band-bucket self-join half of :func:`minhash_pairs`, decoupled
+    from the signature computation so it can run off a PERSISTED signature
+    table (:func:`persist_minhash_signatures`). On a real cluster the md5
+    shingle pass is the expensive scan; materializing ``(doc_id, m0..m{k-1})``
+    once and re-banding from it turns every subsequent dedup run (new
+    thresholds, different band counts, incremental batches) into a read of a
+    narrow table instead of a full text re-hash."""
     from pyspark.sql import Window
 
     rows_per = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle)
 
     # Carry the whole signature array through the band fan-out so the one
     # bucket self-join yields both signatures — no re-join back to the
@@ -273,6 +294,40 @@ def minhash_pairs(
         .filter(F.col("est_jaccard") >= threshold)
         .distinct()
     )
+
+
+def persist_minhash_signatures(
+    df: DataFrame,
+    table_name: str,
+    buckets: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle: int = 2,
+) -> DataFrame:
+    """Materialize the MinHash signature table, bucketed + sorted by
+    ``id_col`` (the SCALE.md production materialization barrier).
+
+    Two scale effects: (1) the md5 shingle pass — the most expensive scan in
+    the dedup family — runs ONCE per corpus version instead of once per
+    dedup run; (2) ``bucketBy(id_col)`` pre-partitions the table on the
+    document key, so every downstream per-document join (keeper anti-joins,
+    pair re-ranks, joining band verdicts back to text) plans with NO
+    Exchange on this side — pinned by
+    ``test_signature_table_reuse_joins_without_shuffle``. The band-bucket
+    join itself still shuffles on (band_id, band_hash) — a different key by
+    construction — via :func:`banded_pairs_from_signatures`.
+
+    Returns the re-read table (the reuse handle).
+    """
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle)
+    (
+        sig.write.bucketBy(buckets, id_col)
+        .sortBy(id_col)
+        .mode("overwrite")
+        .saveAsTable(table_name)
+    )
+    return df.sparkSession.table(table_name)
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 24) -> DataFrame:

@@ -3025,74 +3025,25 @@ def mapkeys_skew_report(spark, sf_dir):
 # (observed in CORRECTNESS_r01/r02: the board stopped at registry position
 # 50 and every LLM-pipeline operator registered after it went unchecked).
 # The window ROTATES across rounds to accumulate driver-side evidence over
-# the whole registry (round-3 verdict #1). The union of the r1+r2+r3 boards
-# covers 80 queries; exactly 41 registry entries have never had a driver
-# row (including the 9 added/changed this round). Round 4's window holds
-# ALL 41, plus `mapkeys_stats` (the `entry()` flagship, kept first),
-# `multimodal_featurize` (on the r3 board but only as the no-oracle row —
-# its new md5 oracle needs a hash row), `docs_pack_sequences` (materially
-# changed: localCheckpoint partition pin), and 6 flagship family
-# representatives for round-over-round continuity. After this round the
-# union of boards covers the ENTIRE registry; the full registry is also
-# locally certified at sf0.01 AND sf0.1 every round via
-# tools/check_correctness.py (see SCALE.md).
+# the whole registry (round-3 verdict #1). After round 4 the union of
+# driver boards covered 127 of the then-134 queries; round 5's window
+# closes the gap and re-certifies what round 5 changed:
+#   - positions 2-8: the LAST 7 never-driver-certified queries (r4 verdict
+#     item #1) — with these green the union of boards covers every query
+#     that existed before this round;
+#   - positions 9-11: the three queries ADDED this round (the X4/X5/X6
+#     binary-encoder hash gates and the LSH coverage diagnostic);
+#   - positions 12-21: queries whose plans materially changed this round
+#     (min_by argmax in the centroid family, DECIMAL ratio math in
+#     temperature mixture, the banded-pairs refactor, the graph module);
+#   - the remainder: flagship family representatives for round-over-round
+#     continuity (incl. the four streaming batch-equivalence rows).
+# The full registry is also locally certified at sf0.01 AND sf0.1 every
+# round via tools/check_correctness.py (see SCALE.md).
 
 _WINDOW_ORDER = [
-    "mapkeys_stats",            # entry flagship (driver-green r1-r3)
-    # -- new or materially changed this round --
-    "multimodal_featurize",     # r3's only non-green row: now md5-oracled
-    "events_sketch_stats",      # converted to error-bound-verdict oracle
-    "stream_events_tumbling_5min",   # streaming batch-equivalence (new)
-    "stream_events_sessions",
-    "stream_docs_ingest",
-    "stream_cdc_upsert_latest",
-    "tiles_mercator_z16",       # zoom-16 int-safety boundary pin (new)
-    "text_vocab_build",         # two-phase distributed rank (changed)
-    "dedup_incremental",        # NOT EXISTS oracle fix (changed)
-    "corpus_curation_report",   # de-broadcast keeper join (changed)
-    "docs_pack_sequences",      # localCheckpoint partition pin (changed)
-    # -- the 32 remaining never-driver-certified queries --
-    "tpch_q20_part_promotion",
-    "window_ntile_quartiles",
-    "window_rank_family_suppliers",
-    "window_lag_lead_price_delta",
-    "window_first_last_order",
-    "scd2_purchase_value_history",
-    "fuzzy_name_pairs_blocked",
-    "runtime_prefilter_building_revenue",
-    "udaf_geomean_order_price",
-    "grouped_map_zscore",
-    "pivot_status_by_priority",
-    "unpivot_order_measures",
-    "null_safe_taxon_match",
-    "events_daily_rollup",
-    "orders_price_percentiles",
-    "events_hopping_10m_5m",
-    "dedup_ngram_containment",
-    "docs_decontaminate",
-    "text_repetition_stats",
-    "text_quality_gate_p25",
-    "docs_mixture_sample",
-    "docs_chunk_sliding",
-    "similarity_topk_ivf_trained",
-    "similarity_centroid_confusion",
-    "similarity_semantic_clusters",
-    "similarity_knn_graph",
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q18_large_volume_customers",
-    "tpch_q21_waiting_supplier",
-    "tpch_q22_global_sales_opportunity",
-    # -- round-4 additions (new operators take priority for first
-    # certification; six round-3-tail entries drop below the cut) --
-    "text_lm_score",
-    "docs_temperature_mixture",
-    "similarity_topk_quantized",
-    "docs_shuffle_shards",
-    "tiles_incremental_merge",
-    "mapkeys_skew_report",
-    # -- positions 51+: certified locally at sf0.01+sf0.1; r5 rotation --
+    "mapkeys_stats",            # entry flagship (driver-green r1-r4)
+    # -- the last 7 never-driver-certified queries (r4 verdict #1) --
     "tpch_q4_order_priority",
     "dedup_cross_source_overlap",
     "dedup_prefix_clusters",
@@ -3100,6 +3051,51 @@ _WINDOW_ORDER = [
     "text_boilerplate_ngrams",
     "text_boilerplate_doc_stats",
     "docs_tokenize",
+    # -- new this round --
+    "tiles_encode_blob_md5",    # X5+X6 wire-format hash gate
+    "points_encode_blob_md5",   # X4+X6 wire-format hash gate (f64 bit math)
+    "similarity_lsh_bucket_stats",  # max_bucket coverage-loss surface
+    # -- materially changed this round --
+    "docs_temperature_mixture",     # DECIMAL(38,0)/HUGEINT ratio math
+    "similarity_topk_ivf",          # min_by argmax (no WindowExec)
+    "similarity_topk_ivf_trained",  # min_by argmax in kmeans_fit
+    "similarity_centroid_confusion",  # min_by argmax
+    "dedup_minhash_pairs",          # banded_pairs_from_signatures refactor
+    "dedup_connected_components",   # graph module: star algorithm added
+    "similarity_semantic_clusters",
+    "corpus_curation",
+    "corpus_curation_report",
+    "similarity_knn_graph",
+    # -- continuity representatives (driver-green in earlier rounds) --
+    "multimodal_featurize",
+    "events_sketch_stats",
+    "stream_events_tumbling_5min",
+    "stream_events_sessions",
+    "stream_docs_ingest",
+    "stream_cdc_upsert_latest",
+    "tiles_mercator_z16",
+    "text_vocab_build",
+    "dedup_incremental",
+    "docs_pack_sequences",
+    "occ_ingest_filter",
+    "points_features",
+    "points_salted_keys",
+    "t1_mercator_z4",
+    "tiles_features_z1",
+    "pyramid_rollup_z3",
+    "boryear_decode",
+    "tpch_q1_pricing_summary",
+    "tpch_q5_local_supplier_volume",
+    "window_top_order_per_customer",
+    "events_tumbling_5min",
+    "asof_purchase_last_view",
+    "events_latest_per_user",
+    "dedup_exact",
+    "dedup_simhash_banded",
+    "text_tfidf_top_terms",
+    "text_lm_score",
+    "similarity_topk_bruteforce",
+    "docs_shuffle_shards",
 ]
 
 

@@ -535,6 +535,53 @@ class TestConnectedComponents:
         }
         assert got == {2: 2, 5: 2, 9: 2}
 
+    def test_star_matches_label_on_mixed_graph(self, spark):
+        from map_spark_sql_spark.operators.graph import connected_components
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (7, 20), (20, 5)],
+            "a_id long, b_id long",
+        )
+        verts = spark.createDataFrame(
+            [(i,) for i in [1, 2, 3, 4, 5, 7, 10, 11, 12, 20, 99]], "id long"
+        )
+        label = {
+            r["id"]: r["cluster_id"]
+            for r in connected_components(edges, vertices=verts).collect()
+        }
+        star = {
+            r["id"]: r["cluster_id"]
+            for r in connected_components(
+                edges, vertices=verts, algorithm="star"
+            ).collect()
+        }
+        assert star == label
+
+    def test_star_converges_log_rounds_on_chain(self, spark):
+        """The adversarial case for min-label propagation: a path graph of
+        n vertices has diameter n-1, so propagation needs n-1 rounds (the
+        min label moves one hop per round). Large-star/small-star must
+        collapse the same chain in O(log n) alternations — pinned here at
+        <= 12 rounds for n = 256 (observed ~5; 255 for propagation)."""
+        from map_spark_sql_spark.operators.graph import connected_components
+
+        n = 256
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "a_id long, b_id long"
+        )
+        stats: dict = {}
+        got = connected_components(
+            edges, algorithm="star", max_iter=20, stats=stats
+        ).collect()
+        assert {r["cluster_id"] for r in got} == {0}
+        assert len(got) == n
+        assert stats["rounds"] <= 12, stats
+        # and the diameter-bounded algorithm genuinely cannot do this in
+        # the same budget: capped at the star's round count it leaves the
+        # far end of the chain unmerged
+        capped = connected_components(edges, max_iter=stats["rounds"]).collect()
+        assert {r["cluster_id"] for r in capped} != {0}
+
 
 class TestCuration:
     def test_funnel_semantics(self, spark):

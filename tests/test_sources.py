@@ -205,6 +205,45 @@ class TestBucketedJoin:
             spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
 
 
+class TestSignatureTableReuse:
+    def test_signature_table_reuse_joins_without_shuffle(self, spark):
+        """The production dedup barrier (SCALE.md): persist the MinHash
+        signature table bucketed by doc_id, then (a) re-banding from it
+        yields the identical pair set with no text re-hash, and (b) a
+        per-document join against a doc_id-bucketed documents table plans
+        with NO Exchange below the join on either side."""
+        from map_spark_sql_spark.operators.dedup import (
+            banded_pairs_from_signatures,
+            minhash_pairs,
+            persist_minhash_signatures,
+        )
+
+        docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text", "source")
+        spark.sql("DROP TABLE IF EXISTS t_minhash_sig")
+        spark.sql("DROP TABLE IF EXISTS t_docs_b")
+        try:
+            sig = persist_minhash_signatures(docs, "t_minhash_sig", buckets=8)
+            # (a) identical pairs from the persisted table vs the full pass
+            reused = banded_pairs_from_signatures(sig)
+            direct = minhash_pairs(docs)
+            assert sorted(map(tuple, reused.collect())) == sorted(
+                map(tuple, direct.collect())
+            )
+            # (b) doc_id-bucketed join: no exchange under the join
+            docs.write.bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable("t_docs_b")
+            j = spark.table("t_docs_b").join(
+                spark.table("t_minhash_sig").hint("merge"), "doc_id"
+            )
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            below = plan.split("SortMergeJoin", 1)[1]
+            assert "Exchange hashpartitioning" not in below, plan[:2000]
+            assert j.count() == docs.count()
+        finally:
+            spark.sql("DROP TABLE IF EXISTS t_minhash_sig")
+            spark.sql("DROP TABLE IF EXISTS t_docs_b")
+
+
 class TestPartitionPruning:
     def test_partitioned_write_prunes_at_scan(self, spark, tmp_out):
         """Hive-style partitioned layout + a partition-column predicate must
