@@ -95,3 +95,54 @@ SELECT {id_col}, CAST({b} AS INTEGER) AS shard,
        ) AS BIGINT) AS pos
 FROM {table}
 """
+
+
+def ppm_bucket_sql(id_expr: str, d: str) -> str:
+    """Per-million md5 bucket (the fine-grained twin of hash_bucket_sql,
+    shared with the mixture operators' acceptance rule)."""
+    return hash_bucket_sql(id_expr, d, buckets=1_000_000)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_sql: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-document weighted sampling: keep each row with
+    probability equal to its weight in [0, 1] (clamped), decided by the
+    row's md5 per-million bucket — no RNG, stable under re-runs, corpus
+    growth, and engine moves, like every sampling op here.
+
+    This is the per-DOCUMENT companion of ``mixture.mixture_sample``'s
+    per-SOURCE ratios: quality-weighted downsampling ("keep good docs with
+    higher probability") is a standard curation stage between the hard
+    quality gate and the mixture step. ``weight_sql`` is a Spark SQL
+    expression over the input columns (e.g. a quality score); rows with
+    NULL weight drop (both engines exclude NULL comparisons).
+
+    Scale shape: row-local projection + filter; no shuffle, pushdown-safe.
+    Output: ``(id, weight_ppm)`` kept rows.
+    """
+    w = f"CAST(floor(least(CAST(1.0 AS DOUBLE), greatest(CAST(0.0 AS DOUBLE), {weight_sql})) * 1000000) AS BIGINT)"
+    bucket = ppm_bucket_sql(id_col, "spark")
+    return (
+        df.withColumn("weight_ppm", F.expr(w))
+        .filter(F.expr(f"{bucket} < weight_ppm"))
+        .select(id_col, "weight_ppm")
+    )
+
+
+def weighted_sample_oracle(
+    weight_sql: str,
+    table: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`weighted_sample` (``weight_sql`` in DuckDB
+    dialect over the same columns)."""
+    w = f"CAST(floor(least(CAST(1.0 AS DOUBLE), greatest(CAST(0.0 AS DOUBLE), {weight_sql})) * 1000000) AS BIGINT)"
+    bucket = ppm_bucket_sql(id_col, "duckdb")
+    return f"""
+SELECT {id_col}, {w} AS weight_ppm
+FROM {table}
+WHERE {bucket} < {w}
+"""

@@ -92,3 +92,49 @@ FROM (
   SELECT {key_col} AS key, count(*) AS cnt FROM {table} GROUP BY {key_col}
 ) per_key GROUP BY bucket
 """
+
+
+def salted_topk(
+    df: DataFrame,
+    keys: Sequence[str],
+    score_col: str,
+    id_col: str,
+    k: int,
+    buckets: int = 8,
+) -> DataFrame:
+    """Per-key top-k with the whale-key sort sharded (the window twin of
+    :func:`salted_collect_list`).
+
+    A plain ``row_number() OVER (PARTITION BY key ORDER BY score)`` sends a
+    whale key's entire row mass through ONE reducer's sort. Phase 1 here
+    ranks within ``(key, md5-salt-of-id)`` — each of ``buckets`` shards
+    sorts ~1/buckets of the whale — and keeps ``k`` per shard (the global
+    per-key top-k is always contained in the union of per-shard top-k's);
+    phase 2 re-ranks the <= buckets*k survivors per key, a bounded set.
+    Deterministic: ties break on the lower ``id_col`` in both phases.
+
+    Use case: per-domain document caps ("keep at most k docs per domain,
+    best quality first") — a standard curation stage where domains are
+    exactly the skewed key (one crawl domain can be 10% of a dump).
+
+    Output: the input columns of ``keys`` + ``id_col`` + ``score_col`` +
+    ``rank`` (1-based).
+    """
+    from pyspark.sql import Window
+
+    from map_spark_sql_spark.operators.sampling import hash_bucket_sql
+
+    salt = F.expr(hash_bucket_sql(id_col, "spark", buckets))
+    w1 = Window.partitionBy(*keys, "_salt").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    w2 = Window.partitionBy(*keys).orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+    return (
+        df.select(*keys, id_col, score_col)
+        .withColumn("_salt", salt)
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .drop("_salt", "_r1")
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+    )

@@ -206,6 +206,100 @@ def tfidf_top_terms(
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 50,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 document ranking for a literal query-term set (the lexical
+    retrieval twin of :func:`tfidf_top_terms`; Lucene-style idf
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))``).
+
+    Scale shape: document length is a ROW-LOCAL expression (no tokenize
+    shuffle for |d|); the (doc, term) aggregation is filtered to the query
+    terms BEFORE the shuffle, so its volume is O(matching postings), not
+    O(corpus tokens); N/avgdl is a 1-row broadcast; the final top-k is
+    TakeOrderedAndProject (per-partition heaps). Ties break on doc id.
+    Output: ``(doc_id, score, rank)``.
+    """
+    from pyspark.sql import Window
+
+    terms_lit = ", ".join(f"'{t}'" for t in query_terms)
+    words = f"filter({_words(f'lower({text_col})', 'spark')}, t -> t <> '')"
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.expr(f"size({words})").cast("long").alias("dl"),
+        F.expr(words).alias("_w"),
+    )
+    stats = base.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        base.select(F.col(id_col), "dl", F.explode("_w").alias("term"))
+        .filter(F.expr(f"term IN ({terms_lit})"))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(docfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "contrib",
+            F.expr(
+                f"ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf * ({k1} + 1.0) / "
+                f"(tf + {k1} * (1.0 - {b} + {b} * dl / avgdl))"
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.sum("contrib"), 6).alias("score"))
+    )
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
+    )
+
+
+def bm25_topk_oracle(
+    query_terms: list[str],
+    k: int = 50,
+    k1: float = 1.2,
+    b: float = 0.75,
+    table: str = "documents",
+) -> str:
+    terms_lit = ", ".join(f"'{t}'" for t in query_terms)
+    words = f"list_filter({_words('lower(text)', 'duckdb')}, t -> t <> '')"
+    return f"""
+WITH base AS (
+  SELECT doc_id, CAST(len({words}) AS BIGINT) AS dl, {words} AS w
+  FROM {table} WHERE text IS NOT NULL
+),
+stats AS (SELECT count(*) AS n_docs, sum(dl) / count(*) AS avgdl FROM base),
+tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf FROM (
+    SELECT doc_id, dl, unnest(w) AS term FROM base
+  ) t WHERE term IN ({terms_lit}) GROUP BY doc_id, dl, term
+),
+docfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         round(sum(ln(1.0 + (s.n_docs - docfreq.df + 0.5) / (docfreq.df + 0.5)) * tf.tf * ({k1} + 1.0) /
+                   (tf.tf + {k1} * (1.0 - {b} + {b} * tf.dl / s.avgdl))), 6) AS score
+  FROM tf JOIN docfreq USING (term) CROSS JOIN stats s GROUP BY tf.doc_id
+),
+topk AS (SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT {k})
+SELECT doc_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+FROM topk
+"""
+
+
 def tfidf_top_terms_oracle(k: int = 3, table: str = "documents") -> str:
     words = _words("lower(text)", "duckdb")
     return f"""

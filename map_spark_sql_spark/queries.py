@@ -2166,6 +2166,19 @@ def text_tfidf_top_terms(spark, sf_dir):
     return TX.tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=3)
 
 
+_BM25_TERMS = ["spark", "fast", "table", "data"]
+
+
+@q("text_bm25_topk", TX.bm25_topk_oracle(_BM25_TERMS, k=50))
+def text_bm25_topk(spark, sf_dir):
+    """BM25 lexical retrieval (operators/text.py bm25_topk): top-50 docs
+    for a fixed query-term set, Lucene-style idf. Doc length is row-local;
+    the posting aggregation filters to the query terms BEFORE its shuffle;
+    the top-k is TakeOrderedAndProject. The retrieval twin of
+    text_tfidf_top_terms."""
+    return TX.bm25_topk(load_table(spark, sf_dir, "documents"), _BM25_TERMS, k=50)
+
+
 from map_spark_sql_spark.operators import sampling as SP
 from map_spark_sql_spark.operators import sketches as SK
 
@@ -2195,6 +2208,59 @@ def docs_hash_split(spark, sf_dir):
     return SP.hash_split(load_table(spark, sf_dir, "documents")).select(
         "doc_id", "bucket", "split"
     )
+
+
+# length-proportional quality proxy for the weighted-sample stage: longer
+# docs keep with higher probability, capped at 1.0 above 100 tokens
+_WS_WEIGHT = {
+    d: f"CAST({TX.token_counts_sql('text', d)['n_ws_tokens']} AS DOUBLE) / 100.0"
+    for d in ("spark", "duckdb")
+}
+
+
+@q("docs_weighted_sample", SP.weighted_sample_oracle(_WS_WEIGHT["duckdb"]))
+def docs_weighted_sample(spark, sf_dir):
+    """Per-document weighted deterministic sampling (operators/sampling.py
+    weighted_sample): keep probability = clamped quality weight, decided by
+    the doc's md5 ppm bucket — the quality-weighted downsampling stage
+    between the hard gate and the mixture step. Row-local, no shuffle."""
+    return SP.weighted_sample(
+        load_table(spark, sf_dir, "documents"), _WS_WEIGHT["spark"]
+    )
+
+
+@q(
+    "docs_domain_cap",
+    f"""
+WITH scored AS (
+  SELECT source, doc_id,
+         CAST({TX.token_counts_sql('text', 'duckdb')['n_ws_tokens']} AS BIGINT) AS score
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT source, doc_id, score, rank FROM (
+  SELECT source, doc_id, score,
+         row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+) r WHERE rank <= 20
+""",
+)
+def docs_domain_cap(spark, sf_dir):
+    """Per-domain document cap: keep at most 20 docs per source, best
+    quality (token count) first — the anti-domination stage of corpus
+    curation (one crawl domain can be 10% of a dump). Runs the SALTED
+    two-phase top-k (operators/skew.py salted_topk), so a whale domain's
+    sort shards over 8 buckets instead of one reducer; the oracle is the
+    plain single-window form, so the driver gate pins the equivalence —
+    the same salted-vs-plain pattern as points_features_salted."""
+    docs = load_table(spark, sf_dir, "documents").filter("text IS NOT NULL")
+    scored = docs.select(
+        "source",
+        "doc_id",
+        F.expr(TX.token_counts_sql("text", "spark")["n_ws_tokens"])
+        .cast("long")
+        .alias("score"),
+    )
+    return SKW.salted_topk(scored, ["source"], "score", "doc_id", k=20)
 
 
 from map_spark_sql_spark.operators.packing import pack_sequences, pack_sequences_oracle
@@ -3055,6 +3121,9 @@ _WINDOW_ORDER = [
     "tiles_encode_blob_md5",    # X5+X6 wire-format hash gate
     "points_encode_blob_md5",   # X4+X6 wire-format hash gate (f64 bit math)
     "similarity_lsh_bucket_stats",  # max_bucket coverage-loss surface
+    "docs_weighted_sample",     # per-doc quality-weighted sampling
+    "docs_domain_cap",          # salted two-phase per-domain top-k cap
+    "text_bm25_topk",           # BM25 lexical retrieval
     # -- materially changed this round --
     "docs_temperature_mixture",     # DECIMAL(38,0)/HUGEINT ratio math
     "similarity_topk_ivf",          # min_by argmax (no WindowExec)
@@ -3083,16 +3152,13 @@ _WINDOW_ORDER = [
     "t1_mercator_z4",
     "tiles_features_z1",
     "pyramid_rollup_z3",
-    "boryear_decode",
     "tpch_q1_pricing_summary",
     "tpch_q5_local_supplier_volume",
     "window_top_order_per_customer",
     "events_tumbling_5min",
     "asof_purchase_last_view",
     "events_latest_per_user",
-    "dedup_exact",
     "dedup_simhash_banded",
-    "text_tfidf_top_terms",
     "text_lm_score",
     "similarity_topk_bruteforce",
     "docs_shuffle_shards",

@@ -1085,6 +1085,69 @@ class TestShuffleShards:
             assert shard_after[doc_id] == shard
 
 
+class TestSaltedTopK:
+    def test_equals_plain_window_with_whale_key(self, spark):
+        """The salted two-phase top-k must equal the single-window form
+        exactly — including on a whale key carrying most of the rows and
+        on score ties (broken by lower id in both)."""
+        from pyspark.sql import Window
+
+        from map_spark_sql_spark.operators.skew import salted_topk
+
+        rows = [(i, "whale", i % 7) for i in range(500)]  # ties galore
+        rows += [(1000 + i, f"d{i % 5}", i) for i in range(50)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, score long")
+        got = sorted(
+            map(tuple, salted_topk(df, ["source"], "score", "doc_id", k=10).collect())
+        )
+        w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("doc_id"))
+        want = sorted(
+            map(
+                tuple,
+                df.select("source", "doc_id", "score")
+                .withColumn("rank", F.row_number().over(w))
+                .filter("rank <= 10")
+                .collect(),
+            )
+        )
+        assert got == want
+
+    def test_keeps_fewer_than_k_when_key_is_small(self, spark):
+        from map_spark_sql_spark.operators.skew import salted_topk
+
+        df = spark.createDataFrame(
+            [(1, "x", 5), (2, "x", 9)], "doc_id long, source string, score long"
+        )
+        got = salted_topk(df, ["source"], "score", "doc_id", k=10).collect()
+        assert len(got) == 2
+        assert {(r.doc_id, r.rank) for r in got} == {(2, 1), (1, 2)}
+
+
+class TestWeightedSample:
+    def test_keep_rate_tracks_weight(self, spark):
+        from map_spark_sql_spark.operators.sampling import weighted_sample
+
+        rows = [(i, 0.1) for i in range(2000)] + [(10000 + i, 0.9) for i in range(2000)]
+        df = spark.createDataFrame(rows, "doc_id long, w double")
+        kept = weighted_sample(df, "w").collect()
+        lo = sum(1 for r in kept if r.doc_id < 10000)
+        hi = len(kept) - lo
+        assert 120 <= lo <= 280  # ~10% of 2000, md5-uniform-ish
+        assert 1650 <= hi <= 1950  # ~90% of 2000
+        # deterministic: same call, same keep set
+        again = weighted_sample(df, "w").collect()
+        assert sorted(r.doc_id for r in again) == sorted(r.doc_id for r in kept)
+
+    def test_weight_clamped_and_null_dropped(self, spark):
+        from map_spark_sql_spark.operators.sampling import weighted_sample
+
+        df = spark.createDataFrame(
+            [(1, 2.5), (2, -1.0), (3, None)], "doc_id long, w double"
+        )
+        kept = {r.doc_id: r.weight_ppm for r in weighted_sample(df, "w").collect()}
+        assert kept == {1: 1000000}  # >1 clamps to certain keep; <0 and NULL drop
+
+
 class TestSkewReport:
     def test_buckets_count_keys_and_mass(self, spark):
         from map_spark_sql_spark.operators.skew import key_skew_report
