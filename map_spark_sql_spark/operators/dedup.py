@@ -296,6 +296,86 @@ def banded_pairs_from_signatures(
     )
 
 
+def minhash_band_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle: int = 2,
+    bands: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Coverage diagnostic for :func:`minhash_pairs`' ``max_bucket`` guard
+    (the band-LSH twin of ``similarity.lsh_bucket_stats``): one row per
+    non-trivial band bucket with its membership count, whether the guard
+    drops it, and the candidate pairs skipped — bounded-stage caps must be
+    observable, never silent. One hash aggregate over the band fan-out."""
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle)
+    rows_per = num_hashes // bands
+    band_structs = []
+    for b in range(bands):
+        members = [F.col(f"m{b * rows_per + r}").cast("string") for r in range(rows_per)]
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(F.concat_ws(":", *members)).alias("band_hash"),
+            )
+        )
+    n = F.col("n_docs")
+    return (
+        sig.select(F.explode(F.array(*band_structs)).alias("bd"))
+        .select("bd.band_id", "bd.band_hash")
+        .groupBy("band_id", "band_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(n > 1)
+        .select(
+            "band_id",
+            "band_hash",
+            "n_docs",
+            (n > max_bucket).alias("dropped"),
+            F.when(n > max_bucket, (n * (n - 1) / 2).cast("long"))
+            .otherwise(F.lit(0))
+            .alias("pairs_skipped"),
+        )
+    )
+
+
+def minhash_band_stats_oracle(
+    table: str = "documents",
+    text: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle: int = 2,
+    bands: int = 4,
+    max_bucket: int = 1000,
+) -> str:
+    rows_per = num_hashes // bands
+    sig_cols = ", ".join(
+        f"{perm_minhash_sql('_h', k, 'duckdb')} AS m{k}" for k in range(num_hashes)
+    )
+    band_selects = []
+    for b in range(bands):
+        members = " || ':' || ".join(
+            f"CAST(m{b * rows_per + r} AS STRING)" for r in range(rows_per)
+        )
+        band_selects.append(
+            f"SELECT {id_col}, {b} AS band_id, md5({members}) AS band_hash FROM sig"
+        )
+    bands_sql = " UNION ALL ".join(band_selects)
+    return f"""
+WITH hashed AS (SELECT {id_col}, {base_hashes_sql(text, shingle, 'duckdb')} AS _h FROM {table}),
+sig AS (SELECT {id_col}, {sig_cols} FROM hashed),
+bands_all AS ({bands_sql}),
+g AS (SELECT band_id, band_hash, count(*) AS n_docs FROM bands_all
+      GROUP BY band_id, band_hash HAVING count(*) > 1)
+SELECT band_id, band_hash, n_docs,
+       n_docs > {max_bucket} AS dropped,
+       CAST(CASE WHEN n_docs > {max_bucket}
+                 THEN n_docs * (n_docs - 1) / 2 ELSE 0 END AS BIGINT) AS pairs_skipped
+FROM g
+"""
+
+
 def persist_minhash_signatures(
     df: DataFrame,
     table_name: str,

@@ -684,6 +684,164 @@ def _sq8_dot_sql(qa: str, qb: str, d: str) -> str:
     )
 
 
+# --- PQ (product quantization + asymmetric distance) -------------------------
+
+
+def pq_topk(
+    df: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    query_id: int = 0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product-quantization top-k with asymmetric distance computation —
+    the last rung of the ANN ladder (brute force -> IVF -> trained IVF ->
+    SQ8 -> PQ). The vector splits into ``m`` subspaces of ``dim/m``
+    components; each subvector is replaced by the id of its nearest
+    codeword (deterministic codebook: the sub-slices of the first
+    ``n_codes`` vectors by id — the same seeding convention as the IVF
+    coarse quantizer); a query scores a database vector as the SUM of its
+    per-subspace dot products with the vector's codewords (ADC: the query
+    stays exact, only the database side is quantized).
+
+    Why it matters at 100 TB: codes are ``m * log2(n_codes)`` bits per
+    vector (here 8 x 4 = 4 bytes vs 256 bytes of float32 — 64x smaller),
+    and scoring is ``m`` lookups into a broadcast table of
+    ``m * n_codes`` precomputed dots instead of a ``dim``-wide float dot.
+
+    Plan shape: codebook and lookup table are tiny broadcasts (m*n_codes
+    rows); code assignment is one broadcast join + min_by hash aggregate
+    per subspace batch (the N x (m*n_codes) fan-out collapses map-side);
+    scoring is a broadcast lookup join + per-vector sum; the final top-k is
+    TakeOrderedAndProject. No shuffle ever carries the full vectors except
+    the one hash agg keyed on (id, subspace). All tie-breaks on the lower
+    code/vector id. Output: ``(vec_id, approx_score, rank)``.
+    """
+    sub = dim // m
+    spark_sess = df.sparkSession
+
+    # (m, code, codeword-slice): sub-slices of the first n_codes vectors
+    cb = (
+        df.filter(F.col(id_col) < n_codes)
+        .select(F.col(id_col).alias("code"), vec_col)
+        .crossJoin(spark_sess.range(m).select(F.col("id").alias("msub")))
+        .select(
+            "msub",
+            "code",
+            F.expr(
+                f"transform(slice({vec_col}, msub * {sub} + 1, {sub}), x -> CAST(x AS DOUBLE))"
+            ).alias("cw"),
+        )
+    )
+
+    # assign: per (vector, subspace) the L2-nearest codeword
+    l2 = F.expr(
+        "aggregate(zip_with(sv, cw, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        "CAST(0 AS DOUBLE), (s, x) -> s + x)"
+    )
+    sliced = df.select(
+        F.col(id_col), F.col(vec_col)
+    ).crossJoin(spark_sess.range(m).select(F.col("id").alias("msub"))).select(
+        id_col,
+        "msub",
+        F.expr(f"slice({vec_col}, msub * {sub} + 1, {sub})").alias("sv"),
+    )
+    codes = (
+        sliced.join(F.broadcast(cb), "msub")
+        .withColumn("l2", l2)
+        .groupBy(id_col, "msub")
+        .agg(F.expr("min_by(code, struct(l2, code))").alias("code"))
+    )
+
+    # ADC lookup table: query subvector . codeword, per (subspace, code)
+    q = df.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("qe"))
+    lut = (
+        cb.crossJoin(F.broadcast(q))
+        .select(
+            "msub",
+            "code",
+            F.expr(
+                f"aggregate(zip_with(cw, slice(qe, msub * {sub} + 1, {sub}), "
+                "(x, y) -> x * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (s, x) -> s + x)"
+            ).alias("pdot"),
+        )
+    )
+
+    from pyspark.sql import Window
+
+    scored = (
+        codes.join(F.broadcast(lut), ["msub", "code"])
+        .groupBy(id_col)
+        .agg(F.round(F.sum("pdot"), 6).alias("approx_score"))
+        .filter(F.col(id_col) != query_id)
+    )
+    w = Window.orderBy(F.desc("approx_score"), F.asc(id_col))
+    return (
+        scored.orderBy(F.desc("approx_score"), F.asc(id_col))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
+    )
+
+
+def pq_topk_oracle(
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    query_id: int = 0,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB twin of :func:`pq_topk`: identical codebook, assignment,
+    lookup table, and tie-breaks as chained CTEs. L2 distances and partial
+    dots are sums of products of identical doubles in both engines, so the
+    integer code assignments are bit-reproducible."""
+    sub = dim // m
+    return f"""
+WITH subs AS (SELECT unnest(generate_series(0, {m - 1})) AS msub),
+cb AS (
+  SELECT s.msub, e.{id_col} AS code,
+         list_transform(list_slice(e.{vec_col}, s.msub * {sub} + 1, s.msub * {sub} + {sub}),
+                        x -> CAST(x AS DOUBLE)) AS cw
+  FROM {table} e CROSS JOIN subs s WHERE e.{id_col} < {n_codes}),
+sliced AS (
+  SELECT e.{id_col}, s.msub,
+         list_slice(e.{vec_col}, s.msub * {sub} + 1, s.msub * {sub} + {sub}) AS sv
+  FROM {table} e CROSS JOIN subs s),
+cand AS (
+  SELECT {id_col}, msub, code,
+         list_sum(list_transform(list_zip(sv, cw),
+             t -> (CAST(t[1] AS DOUBLE) - t[2]) * (CAST(t[1] AS DOUBLE) - t[2]))) AS l2
+  FROM sliced JOIN cb USING (msub)),
+assign AS (
+  SELECT {id_col}, msub, code FROM (
+    SELECT {id_col}, msub, code,
+           row_number() OVER (PARTITION BY {id_col}, msub ORDER BY l2, code) AS rn
+    FROM cand) r
+  WHERE rn = 1),
+q AS (SELECT {vec_col} AS qe FROM {table} WHERE {id_col} = {query_id}),
+lut AS (
+  SELECT cb.msub, cb.code,
+         list_sum(list_transform(list_zip(cb.cw,
+             list_slice(q.qe, cb.msub * {sub} + 1, cb.msub * {sub} + {sub})),
+             t -> t[1] * CAST(t[2] AS DOUBLE))) AS pdot
+  FROM cb CROSS JOIN q),
+scored AS (
+  SELECT a.{id_col}, round(sum(l.pdot), 6) AS approx_score
+  FROM assign a JOIN lut l ON a.msub = l.msub AND a.code = l.code
+  WHERE a.{id_col} <> {query_id}
+  GROUP BY a.{id_col}),
+topk AS (SELECT * FROM scored ORDER BY approx_score DESC, {id_col} LIMIT {k})
+SELECT {id_col}, approx_score,
+       CAST(row_number() OVER (ORDER BY approx_score DESC, {id_col}) AS INTEGER) AS rank
+FROM topk
+"""
+
+
 def topk_quantized_sql(d: str, k: int = 10, query_id: int = 0) -> str:
     """Dialect-shared SQL: int8-quantized cosine top-k vs the exact top-k.
 

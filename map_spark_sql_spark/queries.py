@@ -1872,6 +1872,15 @@ def dedup_minhash_pairs(spark, sf_dir):
     return DD.minhash_pairs(load_table(spark, sf_dir, "documents"), threshold=0.25)
 
 
+@q("dedup_minhash_band_stats", DD.minhash_band_stats_oracle())
+def dedup_minhash_band_stats(spark, sf_dir):
+    """No-silent-caps companion to dedup_minhash_pairs (the band-LSH twin
+    of similarity_lsh_bucket_stats): per-band-bucket membership, the
+    max_bucket dropped flag, and the candidate pairs each dropped bucket
+    skips."""
+    return DD.minhash_band_stats(load_table(spark, sf_dir, "documents"))
+
+
 @q("dedup_simhash_pairs", DD.simhash_pairs_oracle())
 def dedup_simhash_pairs(spark, sf_dir):
     """SimHash collision pairs (hamming distance 0)."""
@@ -2401,6 +2410,15 @@ def similarity_topk_ivf_trained(spark, sf_dir):
 def similarity_pairs_lsh(spark, sf_dir):
     """LSH-bucketed near-neighbor pairs + exact re-rank (the 100 TB path)."""
     return SIM.cosine_pairs_lsh(load_table(spark, sf_dir, "embeddings"), bits=6, threshold=0.3)
+
+
+@q("similarity_topk_pq", SIM.pq_topk_oracle())
+def similarity_topk_pq(spark, sf_dir):
+    """Product-quantization ADC top-10 (operators/similarity.py pq_topk):
+    8 subspaces x 16 codewords -> 4-byte codes (64x smaller than float32),
+    scoring = 8 broadcast-table lookups per vector. Completes the ANN
+    ladder: brute force -> IVF -> trained IVF -> SQ8 -> PQ."""
+    return SIM.pq_topk(load_table(spark, sf_dir, "embeddings"))
 
 
 @q("similarity_lsh_bucket_stats", SIM.lsh_bucket_stats_oracle(bits=6))
@@ -3124,6 +3142,8 @@ _WINDOW_ORDER = [
     "docs_weighted_sample",     # per-doc quality-weighted sampling
     "docs_domain_cap",          # salted two-phase per-domain top-k cap
     "text_bm25_topk",           # BM25 lexical retrieval
+    "similarity_topk_pq",       # product-quantization ADC top-k
+    "dedup_minhash_band_stats", # band-LSH coverage-loss surface
     # -- materially changed this round --
     "docs_temperature_mixture",     # DECIMAL(38,0)/HUGEINT ratio math
     "similarity_topk_ivf",          # min_by argmax (no WindowExec)
@@ -3148,9 +3168,7 @@ _WINDOW_ORDER = [
     "docs_pack_sequences",
     "occ_ingest_filter",
     "points_features",
-    "points_salted_keys",
     "t1_mercator_z4",
-    "tiles_features_z1",
     "pyramid_rollup_z3",
     "tpch_q1_pricing_summary",
     "tpch_q5_local_supplier_volume",

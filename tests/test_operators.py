@@ -1035,6 +1035,27 @@ WHERE CAST(('0x' || substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1
         assert dd == len(out) == 40
 
 
+class TestPQTopK:
+    def test_pq_finds_obvious_neighbor(self, spark):
+        """With well-separated subspace structure the PQ/ADC ranking must
+        put the near-copy of the query first; codes are 4 bits/subspace."""
+        import random
+
+        from map_spark_sql_spark.operators.similarity import pq_topk
+
+        rng = random.Random(7)
+        dim, m, n_codes = 16, 4, 4
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(40)]
+        # vec 30 := near-copy of vec 5 (tiny perturbation, same codes)
+        rows[30] = (30, [x * 1.0001 for x in rows[5][1]])
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = pq_topk(df, k=3, m=m, n_codes=n_codes, dim=dim, query_id=5).collect()
+        assert got[0]["vec_id"] == 30 and got[0]["rank"] == 1
+        # deterministic under re-run
+        again = pq_topk(df, k=3, m=m, n_codes=n_codes, dim=dim, query_id=5).collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in again]
+
+
 class TestQuantizedTopK:
     def test_ranking_and_recall_flags(self, spark):
         from map_spark_sql_spark.operators.similarity import topk_quantized_sql
