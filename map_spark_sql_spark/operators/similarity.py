@@ -416,7 +416,14 @@ def cosine_pairs_lsh_oracle(
 ) -> str:
     """Mirrors :func:`cosine_pairs_lsh` INCLUDING the ``max_bucket``
     degenerate-bucket guard (SCALE.md: every bounded-stage guard must appear
-    in both engines or the gate diverges exactly when a bucket fills)."""
+    in both engines or the gate diverges exactly when a bucket fills).
+
+    The guard applies to ``sig`` BEFORE the bucket self-join (``kept`` CTE)
+    rather than as a ``bucket IN (...)`` predicate on the join output: the
+    100x rung showed DuckDB evaluating that form as a mark join AFTER
+    materializing the quadratic candidate set — ~40 min computing 300M
+    cosines the guard then discarded. Structurally pre-filtered, the same
+    query is seconds. Identical result set."""
     sig = lsh_signature_sql(vec_col, dim, bits, "duckdb")
     dot = (
         "list_sum(list_transform(list_zip(a_vec, b_vec), "
@@ -428,11 +435,11 @@ def cosine_pairs_lsh_oracle(
 WITH sig AS (SELECT {id_col}, {vec_col}, {sig} AS bucket FROM {table}),
 ok AS (SELECT bucket FROM sig GROUP BY bucket
        HAVING count(*) > 1 AND count(*) <= {max_bucket}),
+kept AS (SELECT s.* FROM sig s JOIN ok USING (bucket)),
 cand AS (SELECT a.{id_col} AS a_id, b.{id_col} AS b_id,
                 a.{vec_col} AS a_vec, b.{vec_col} AS b_vec
-         FROM sig a JOIN sig b USING (bucket)
-         WHERE a.{id_col} < b.{id_col}
-           AND bucket IN (SELECT bucket FROM ok))
+         FROM kept a JOIN kept b USING (bucket)
+         WHERE a.{id_col} < b.{id_col})
 SELECT a_id, b_id, round({dot} / ({na} * {nb}), 6) AS sim
 FROM cand WHERE round({dot} / ({na} * {nb}), 6) >= {threshold}
 """
