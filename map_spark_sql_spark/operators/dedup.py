@@ -355,11 +355,16 @@ def minhash_band_stats_oracle(
     )
     band_selects = []
     for b in range(bands):
-        members = " || ':' || ".join(
+        # concat_ws, NOT '||': the Spark side's concat_ws SKIPS the all-NULL
+        # signatures of NULL-text documents (band hash = md5('')), so those
+        # docs form one real — and guard-dropped — bucket per band. '||'
+        # would NULL the whole hash and hide that bucket from the oracle;
+        # the 100x rung (0.5% NULL texts) caught exactly that divergence.
+        members = ", ".join(
             f"CAST(m{b * rows_per + r} AS STRING)" for r in range(rows_per)
         )
         band_selects.append(
-            f"SELECT {id_col}, {b} AS band_id, md5({members}) AS band_hash FROM sig"
+            f"SELECT {id_col}, {b} AS band_id, md5(concat_ws(':', {members})) AS band_hash FROM sig"
         )
     bands_sql = " UNION ALL ".join(band_selects)
     return f"""
@@ -897,11 +902,14 @@ def minhash_pairs_oracle(
     )
     band_selects = []
     for b in range(bands):
-        members = " || ':' || ".join(
+        # concat_ws mirrors Spark's NULL-skip for all-NULL signatures (see
+        # minhash_band_stats_oracle) — with '||' the NULL-text bucket would
+        # be invisible to the oracle's max_bucket guard
+        members = ", ".join(
             f"CAST(m{b * rows_per + r} AS STRING)" for r in range(rows_per)
         )
         band_selects.append(
-            f"SELECT {id_col}, {b} AS band_id, md5({members}) AS band_hash FROM sig"
+            f"SELECT {id_col}, {b} AS band_id, md5(concat_ws(':', {members})) AS band_hash FROM sig"
         )
     bands_sql = " UNION ALL ".join(band_selects)
     eq_sum = " + ".join(
