@@ -535,7 +535,11 @@ def simhash_banded_pairs_oracle(
 
 
 def simhash_pairs(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 24
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 24,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Documents with identical SimHash signatures (hamming distance 0);
     for hamming <= k near-matching see :func:`simhash_banded_pairs`.
@@ -545,6 +549,18 @@ def simhash_pairs(
     ONE shuffle keyed by signature, and pair generation is a local explode.
     A self-join would recompute the signatures on both sides and shuffle
     twice.
+
+    ``max_bucket`` (default None = emit everything, the exact semantics)
+    drops signature buckets holding more than that many documents. A
+    colliding bucket of n docs materializes C(n, 2) pairs inside ONE
+    collected array row — the 100x rung's 5 000 NULL-text documents all
+    share signature 0 and would fan a single 12.5M-struct array out of one
+    task, which is an executor-killer at corpus scale; such a bucket means
+    the signature has degenerated (NULL/empty/boilerplate text), not that
+    12.5M near-dup pairs exist. The cap is mirrored into
+    :func:`simhash_pairs_oracle`, and the loss is observable (never
+    silent): :func:`simhash_bucket_stats` with the same (bits, max_bucket)
+    reports every dropped bucket and its skipped-pair count.
     """
     s = simhash(df, text_col, id_col, bits)
     buckets = (
@@ -552,6 +568,8 @@ def simhash_pairs(
         .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket)
     pairs = F.expr(
         "flatten(transform(ids, (a, i) -> "
         "transform(slice(ids, i + 2, size(ids) - i - 1), b -> struct(a, b))))"
@@ -933,15 +951,78 @@ WHERE round(({eq_sum}) / {float(num_hashes)}, 4) >= {threshold}
 
 
 def simhash_pairs_oracle(
-    table: str = "documents", text: str = "text", id_col: str = "doc_id", bits: int = 24
+    table: str = "documents",
+    text: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 24,
+    max_bucket: int | None = None,
 ) -> str:
+    """Mirrors :func:`simhash_pairs` INCLUDING the ``max_bucket`` guard when
+    set: kept buckets are computed FIRST and joined back before the pair
+    self-join (pre-filtering, not post-filtering — the same planner lesson
+    as the LSH pairs oracle: a post-join membership predicate can be
+    evaluated after the quadratic bucket blow-up it exists to prevent)."""
     sh = simhash_from_hashes_sql("_th", bits, "duckdb")
+    cap = f"AND count(*) <= {max_bucket}" if max_bucket is not None else ""
     return (
         f"WITH th AS (SELECT {id_col}, {token_hashes_sql(text, 'duckdb')} AS _th FROM {table}), "
-        f"s AS (SELECT {id_col}, {sh} AS simhash FROM th) "
+        f"s AS (SELECT {id_col}, {sh} AS simhash FROM th), "
+        f"keep AS (SELECT simhash FROM s GROUP BY simhash HAVING count(*) > 1 {cap}), "
+        f"k AS (SELECT s.* FROM s JOIN keep USING (simhash)) "
         f"SELECT a.{id_col} AS a_id, b.{id_col} AS b_id, a.simhash AS simhash "
-        f"FROM s a JOIN s b ON a.simhash = b.simhash AND a.{id_col} < b.{id_col}"
+        f"FROM k a JOIN k b ON a.simhash = b.simhash AND a.{id_col} < b.{id_col}"
     )
+
+
+def simhash_bucket_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 24,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Coverage diagnostic for :func:`simhash_pairs`' ``max_bucket`` guard
+    (completing the family with ``similarity.lsh_bucket_stats`` and
+    :func:`minhash_band_stats`): one row per colliding signature with its
+    membership count, whether the guard drops it, and the candidate pairs
+    skipped. One hash aggregate over the signature pass — no pair fan-out,
+    so it is safe to run even on the degenerate corpus whose blow-up the
+    guard exists to prevent."""
+    s = simhash(df, text_col, id_col, bits)
+    n = F.col("n_docs")
+    return (
+        s.groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(n > 1)
+        .select(
+            "simhash",
+            "n_docs",
+            (n > max_bucket).alias("dropped"),
+            F.when(n > max_bucket, (n * (n - 1) / 2).cast("long"))
+            .otherwise(F.lit(0))
+            .alias("pairs_skipped"),
+        )
+    )
+
+
+def simhash_bucket_stats_oracle(
+    table: str = "documents",
+    text: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 24,
+    max_bucket: int = 1000,
+) -> str:
+    sh = simhash_from_hashes_sql("_th", bits, "duckdb")
+    return f"""
+WITH th AS (SELECT {id_col}, {token_hashes_sql(text, 'duckdb')} AS _th FROM {table}),
+s AS (SELECT {id_col}, {sh} AS simhash FROM th),
+g AS (SELECT simhash, count(*) AS n_docs FROM s GROUP BY simhash HAVING count(*) > 1)
+SELECT simhash, n_docs,
+       n_docs > {max_bucket} AS dropped,
+       CAST(CASE WHEN n_docs > {max_bucket}
+                 THEN n_docs * (n_docs - 1) / 2 ELSE 0 END AS BIGINT) AS pairs_skipped
+FROM g
+"""
 
 
 # ---------------------------------------------------------------------------

@@ -1881,10 +1881,21 @@ def dedup_minhash_band_stats(spark, sf_dir):
     return DD.minhash_band_stats(load_table(spark, sf_dir, "documents"))
 
 
-@q("dedup_simhash_pairs", DD.simhash_pairs_oracle())
+@q("dedup_simhash_pairs", DD.simhash_pairs_oracle(max_bucket=1000))
 def dedup_simhash_pairs(spark, sf_dir):
-    """SimHash collision pairs (hamming distance 0)."""
-    return DD.simhash_pairs(load_table(spark, sf_dir, "documents"))
+    """SimHash collision pairs (hamming distance 0), with the degenerate-
+    bucket guard the 100x rung forced: 5 000 NULL-text docs share signature
+    0, and the uncapped in-bucket fan-out built a 12.5M-struct array in one
+    task. Coverage loss is surfaced by dedup_simhash_bucket_stats."""
+    return DD.simhash_pairs(load_table(spark, sf_dir, "documents"), max_bucket=1000)
+
+
+@q("dedup_simhash_bucket_stats", DD.simhash_bucket_stats_oracle(max_bucket=1000))
+def dedup_simhash_bucket_stats(spark, sf_dir):
+    """Coverage diagnostic for dedup_simhash_pairs' max_bucket guard: every
+    colliding signature with its size, dropped flag, and skipped-pair count
+    — caps must be observable, never silent."""
+    return DD.simhash_bucket_stats(load_table(spark, sf_dir, "documents"), max_bucket=1000)
 
 
 @q("dedup_simhash_banded", DD.simhash_banded_pairs_oracle(max_hamming=3))
@@ -2866,11 +2877,12 @@ def stream_docs_ingest(spark, sf_dir):
     import tempfile
 
     from map_spark_sql_spark.streaming import documents as STD
+    from map_spark_sql_spark.streaming import events as STE
 
     stream = STD.read_document_stream(spark, os.path.join(sf_dir, "documents.parquet"))
     out_dir = tempfile.mkdtemp(prefix="spark_stream_ingest_")
     query = STD.ingest_documents(stream, spark, out_dir, min_tokens=5)
-    query.awaitTermination(120)
+    STE.drain(query)
     return STD.read_corpus(spark, out_dir).select("doc_id", "content_md5")
 
 
@@ -2898,7 +2910,7 @@ def stream_cdc_upsert_latest(spark, sf_dir):
     stream = STE.read_event_stream(spark, os.path.join(sf_dir, "events.parquet"))
     snap_dir = tempfile.mkdtemp(prefix="spark_stream_cdc_")
     query = STE.upsert_to_snapshot(stream, spark, snap_dir, on=["user_id"], order_col="ts")
-    query.awaitTermination(120)
+    STE.drain(query)
     versions = sorted(
         (d for d in os.listdir(snap_dir) if d.startswith("v")),
         key=lambda d: int(d[1:]),
@@ -3150,6 +3162,8 @@ _WINDOW_ORDER = [
     "similarity_topk_ivf_trained",  # min_by argmax in kmeans_fit
     "similarity_centroid_confusion",  # min_by argmax
     "dedup_minhash_pairs",          # banded_pairs_from_signatures refactor
+    "dedup_simhash_pairs",          # max_bucket guard (100x NULL-bucket blow-up)
+    "dedup_simhash_bucket_stats",   # simhash coverage-loss surface
     "dedup_connected_components",   # graph module: star algorithm added
     "similarity_semantic_clusters",
     "corpus_curation",
@@ -3178,8 +3192,6 @@ _WINDOW_ORDER = [
     "events_latest_per_user",
     "dedup_simhash_banded",
     "text_lm_score",
-    "similarity_topk_bruteforce",
-    "docs_shuffle_shards",
 ]
 
 

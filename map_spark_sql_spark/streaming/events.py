@@ -292,8 +292,27 @@ def purchase_view_join(
     )
 
 
+def drain(query, timeout_sec: int = 600) -> None:
+    """Block until an availableNow query has processed ALL available input.
+
+    ``awaitTermination(t)`` returns False on timeout with the query still
+    running — a caller that then reads the sink gets a partial (or, for a
+    file sink whose first batch hasn't committed, nonexistent) result. The
+    100x rung hit exactly that: 500k docs didn't drain in the old 120s
+    window and the corpus read failed with PATH_NOT_FOUND. Fail loudly
+    instead of returning partial data; a real deployment would run the
+    query unbounded, so the timeout exists only to bound the test harness.
+    """
+    if not query.awaitTermination(timeout_sec):
+        query.stop()
+        raise RuntimeError(
+            f"streaming query {query.name or query.id} did not drain the "
+            f"available input within {timeout_sec}s; result would be partial"
+        )
+
+
 def run_to_memory(
-    result: DataFrame, name: str, timeout_sec: int = 120, output_mode: str = "complete"
+    result: DataFrame, name: str, timeout_sec: int = 600, output_mode: str = "complete"
 ) -> DataFrame:
     """Run a streaming plan over the currently-available data (availableNow)
     into an in-memory table and return it as a batch DataFrame."""
@@ -304,7 +323,7 @@ def run_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(timeout_sec)
+    drain(query, timeout_sec)
     spark = result.sparkSession
     return spark.table(name)
 

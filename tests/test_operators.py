@@ -92,6 +92,22 @@ class TestDedup:
         ids = {(r["a_id"], r["b_id"]) for r in DD.simhash_pairs(docs).collect()}
         assert (1, 2) in ids
 
+    def test_simhash_pairs_max_bucket_guard(self, spark):
+        """The degenerate-bucket guard drops oversized signature buckets
+        (the 100x NULL-text bucket of 5 000 docs would fan 12.5M structs out
+        of one array row) and the companion diagnostic reports exactly what
+        was skipped — caps are observable, never silent."""
+        rows = [(i, "identical degenerate text") for i in range(1, 6)]
+        rows += [(10, "another shared doc"), (11, "another shared doc")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        uncapped = DD.simhash_pairs(docs)
+        assert uncapped.count() == 10 + 1  # C(5,2) + the pair
+        capped = DD.simhash_pairs(docs, max_bucket=4)
+        assert {(r.a_id, r.b_id) for r in capped.collect()} == {(10, 11)}
+        stats = {r.n_docs: r for r in DD.simhash_bucket_stats(docs, max_bucket=4).collect()}
+        assert stats[5].dropped and stats[5].pairs_skipped == 10
+        assert not stats[2].dropped and stats[2].pairs_skipped == 0
+
     def test_simhash_banded_complete_vs_bruteforce(self, spark):
         """Pigeonhole banding must find EVERY pair within the hamming budget
         (it is a complete candidate generator, not probabilistic) and report
