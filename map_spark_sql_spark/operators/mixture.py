@@ -65,10 +65,16 @@ def mixture_sample(
     """Keep a deterministic per-source document sample sized to
     ``floor(token_budget * weight)`` tokens per source.
 
-    accept-ratio per-mille = min(1000, floor(1000 * target / actual_tokens));
-    a document survives iff its md5 bucket falls under its source's ratio.
+    accept-ratio ppm = min(1e6, (1e6 * target) DIV actual_tokens); a
+    document survives iff its md5 per-million bucket falls under its
+    source's ratio. Per-MILLION, not per-mille: the 100x rung measured the
+    per-mille rule flooring to 0 acceptance (0 kept rows corpus-wide) once
+    a source's token mass passed 1000x its target — the same underflow
+    :func:`temperature_mixture` hit at 10x. The ``1e6 * target`` product is
+    computed in DECIMAL(38,0)/HUGEINT so it cannot wrap int64 at real
+    pretraining budgets (~1e13 tokens), matching the temperature path.
     Sources absent from ``weights`` are dropped (weight 0). The expected
-    kept token mass per source is target (subject to per-mille rounding and
+    kept token mass per source is target (subject to ppm rounding and
     doc-size granularity — exact budgets need the packing operator
     downstream). Output: ``(doc_id, source, n_tokens)`` kept rows.
     """
@@ -80,20 +86,24 @@ def mixture_sample(
     w_df = docs.sparkSession.createDataFrame(w_rows, "source string, weight double")
     ratios = (
         counted.groupBy("source")
-        .agg(F.sum("n_tokens").alias("actual"))
+        .agg(F.sum("n_tokens").cast("long").alias("actual"))
         .join(w_df, "source")
         .select(
             "source",
             F.least(
-                F.lit(1000),
-                F.floor(1000.0 * F.floor(F.lit(token_budget) * F.col("weight")) / F.col("actual")),
-            ).alias("ratio_pm"),
+                F.lit(1000000).cast("long"),
+                F.expr(
+                    f"(CAST(1000000 AS DECIMAL(38,0)) * "
+                    f"CAST(floor({int(token_budget)} * weight) AS DECIMAL(38,0))) "
+                    f"DIV CAST(actual AS DECIMAL(38,0))"
+                ),
+            ).alias("ratio_ppm"),
         )
     )
-    bucket = F.expr(_bucket_pm_sql(id_col, "spark"))
+    bucket = F.expr(_bucket_ppm_sql(id_col, "spark"))
     return (
         counted.join(F.broadcast(ratios), "source")
-        .filter(bucket < F.col("ratio_pm"))
+        .filter(bucket < F.col("ratio_ppm"))
         .select(id_col, "source", "n_tokens")
     )
 
@@ -114,12 +124,15 @@ WITH counted AS (
 w AS ({_weights_rel_sql(weights, "duckdb")}),
 ratios AS (
   SELECT c.source,
-         least(1000, CAST(floor(1000.0 * floor({token_budget} * w.weight) / sum(c.n_tokens)) AS BIGINT)) AS ratio_pm
+         CAST(least(CAST(1000000 AS HUGEINT),
+               (CAST(1000000 AS HUGEINT) *
+                CAST(floor({int(token_budget)} * w.weight) AS HUGEINT))
+               // CAST(sum(c.n_tokens) AS HUGEINT)) AS BIGINT) AS ratio_ppm
   FROM counted c JOIN w ON c.source = w.source GROUP BY c.source, w.weight
 )
 SELECT c.{id_col}, c.source, c.n_tokens
 FROM counted c JOIN ratios r ON c.source = r.source
-WHERE {_bucket_pm_sql(f"c.{id_col}", "duckdb")} < r.ratio_pm
+WHERE {_bucket_ppm_sql(f"c.{id_col}", "duckdb")} < r.ratio_ppm
 """
 
 

@@ -3158,6 +3158,7 @@ _WINDOW_ORDER = [
     "dedup_minhash_band_stats", # band-LSH coverage-loss surface
     # -- materially changed this round --
     "docs_temperature_mixture",     # DECIMAL(38,0)/HUGEINT ratio math
+    "docs_mixture_sample",          # per-mille -> ppm acceptance (100x underflow)
     "similarity_topk_ivf",          # min_by argmax (no WindowExec)
     "similarity_topk_ivf_trained",  # min_by argmax in kmeans_fit
     "similarity_centroid_confusion",  # min_by argmax
@@ -3189,7 +3190,6 @@ _WINDOW_ORDER = [
     "window_top_order_per_customer",
     "events_tumbling_5min",
     "asof_purchase_last_view",
-    "events_latest_per_user",
     "dedup_simhash_banded",
     "text_lm_score",
 ]
