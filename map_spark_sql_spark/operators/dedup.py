@@ -897,6 +897,92 @@ FROM shared WHERE round(CAST(shared AS DOUBLE) / (a_sz + b_sz - shared), 4) >= {
 """
 
 
+def ngram_prune_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle: int = 3,
+    max_df: int = 200,
+) -> DataFrame:
+    """Coverage diagnostic for the ``max_df`` frequent-shingle pruning in
+    :func:`ngram_jaccard_pairs` / :func:`ngram_containment_pairs`: per
+    document, how many of its distinct shingles exist, how many the df cap
+    prunes, and whether the document is FULLY pruned (every shingle over
+    the cap — the doc is invisible to the inverted index and can never
+    appear in a pair).
+
+    Why it matters at scale: the 100x rung's dup-heavy corpus drove every
+    shingle of every large duplicate family over ``max_df``, and the
+    containment query returned 0 rows — correct under the documented
+    pruning semantics (exact dedup, which runs FIRST in the curation
+    funnel, owns those families), but a coverage collapse that must be
+    observable, never silent. ``sum(fully_pruned)`` is the headline number.
+
+    Scale shape: ``n_shingles`` is scan-local (no fan-out); the high-df
+    shingle set is tiny by construction (shingles shared by >max_df docs —
+    boilerplate) and is BROADCAST against the posting fan-out, so the only
+    wide shuffles are two partial-aggregable hash counts (by shingle, then
+    by doc).
+    """
+    base = _widen(df).select(
+        F.col(id_col),
+        F.array_distinct(
+            F.expr(base_hashes_from_words_sql(words_sql(text_col, "spark"), shingle, "spark"))
+        ).alias("hs"),
+    )
+    sized = base.select(
+        id_col, F.coalesce(F.size("hs"), F.lit(0)).cast("long").alias("n_shingles")
+    )
+    sh = (
+        base.select(id_col, F.explode_outer("hs").alias("h"))
+        .filter(F.col("h").isNotNull())
+    )
+    high_df = (
+        sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("dfreq"))
+        .filter(F.col("dfreq") > max_df)
+        .select("h")
+    )
+    pruned = (
+        sh.join(F.broadcast(high_df), "h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_pruned"))
+    )
+    n_sh, n_pr = F.col("n_shingles"), F.col("n_pruned")
+    return (
+        sized.join(pruned, id_col, "left")
+        .select(
+            id_col,
+            "n_shingles",
+            F.coalesce(n_pr, F.lit(0)).cast("long").alias("n_pruned"),
+            ((n_sh > 0) & (F.coalesce(n_pr, F.lit(0)) == n_sh)).alias("fully_pruned"),
+        )
+    )
+
+
+def ngram_prune_stats_oracle(
+    table: str = "documents",
+    text: str = "text",
+    id_col: str = "doc_id",
+    shingle: int = 3,
+    max_df: int = 200,
+) -> str:
+    hashes = base_hashes_sql(text, shingle, "duckdb")
+    return f"""
+WITH docs AS (SELECT {id_col}, list_distinct({hashes}) AS hs FROM {table}),
+sized AS (SELECT {id_col}, CAST(coalesce(len(hs), 0) AS BIGINT) AS n_shingles FROM docs),
+sh AS (SELECT {id_col}, unnest(hs) AS h FROM docs),
+dfr AS (SELECT h, count(*) AS dfreq FROM sh GROUP BY h),
+pruned AS (
+  SELECT s.{id_col}, count(*) AS n_pruned
+  FROM sh s JOIN dfr USING (h) WHERE dfr.dfreq > {max_df} GROUP BY s.{id_col})
+SELECT d.{id_col}, d.n_shingles,
+       CAST(coalesce(p.n_pruned, 0) AS BIGINT) AS n_pruned,
+       d.n_shingles > 0 AND coalesce(p.n_pruned, 0) = d.n_shingles AS fully_pruned
+FROM sized d LEFT JOIN pruned p USING ({id_col})
+"""
+
+
 def exact_dedup_oracle(table: str = "documents", text: str = "text", id_col: str = "doc_id") -> str:
     return (
         f"SELECT {content_hash_sql(text, 'duckdb')} AS content_md5, "

@@ -1921,6 +1921,16 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return DD.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
 
 
+@q("dedup_ngram_prune_stats", DD.ngram_prune_stats_oracle())
+def dedup_ngram_prune_stats(spark, sf_dir):
+    """Coverage diagnostic for the inverted-index family's max_df pruning:
+    per doc, shingle count, pruned count, and a fully-pruned flag (the doc
+    can never surface in a near-dup pair). The 100x rung's dup-heavy corpus
+    drove containment to 0 pairs purely through this pruning — that loss
+    must be observable, never silent."""
+    return DD.ngram_prune_stats(load_table(spark, sf_dir, "documents"))
+
+
 from map_spark_sql_spark.operators import graph as G
 from map_spark_sql_spark.operators import timeseries as TS
 

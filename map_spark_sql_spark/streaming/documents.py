@@ -63,7 +63,11 @@ def read_document_stream(
         import tempfile
 
         d = tempfile.mkdtemp(prefix="stream_src_")
-        os.symlink(path, os.path.join(d, os.path.basename(path)))
+        # abspath, or a relative source path becomes a symlink target
+        # resolved against the TEMP dir — a dangling link the file source
+        # silently lists as zero files (the stream then "drains" instantly
+        # having produced no batches at all)
+        os.symlink(os.path.abspath(path), os.path.join(d, os.path.basename(path)))
         path = d
     reader = spark.readStream.schema(DOCUMENT_SCHEMA)
     if max_files_per_trigger is not None:

@@ -84,7 +84,9 @@ def read_event_stream(spark: SparkSession, path: str, nanos: bool | None = None)
     # point at an ingest directory (or Kafka) and take the direct branch.
     if os.path.isfile(path):
         d = tempfile.mkdtemp(prefix="stream_src_")
-        os.symlink(path, os.path.join(d, os.path.basename(path)))
+        # abspath: a relative target would resolve against the temp dir and
+        # dangle (zero files listed, stream drains empty) — see documents.py
+        os.symlink(os.path.abspath(path), os.path.join(d, os.path.basename(path)))
         path = d
     if not nanos:
         return spark.readStream.schema(EVENT_SCHEMA).parquet(path)

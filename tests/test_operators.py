@@ -108,6 +108,20 @@ class TestDedup:
         assert stats[5].dropped and stats[5].pairs_skipped == 10
         assert not stats[2].dropped and stats[2].pairs_skipped == 0
 
+    def test_ngram_prune_stats(self, spark):
+        """Per-doc df-pruning coverage: a shingle shared by > max_df docs is
+        pruned; docs whose EVERY shingle is pruned are flagged fully_pruned
+        (invisible to the inverted index)."""
+        boiler = "the quick brown fox"       # 2 distinct 3-gram shingles
+        rows = [(i, boiler) for i in range(1, 5)]      # df=4 > max_df=3
+        rows.append((10, "a completely different sentence here"))
+        rows.append((11, None))                        # no shingles at all
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r for r in DD.ngram_prune_stats(docs, max_df=3).collect()}
+        assert out[1].n_shingles == 2 and out[1].n_pruned == 2 and out[1].fully_pruned
+        assert out[10].n_pruned == 0 and not out[10].fully_pruned
+        assert out[11].n_shingles == 0 and not out[11].fully_pruned
+
     def test_simhash_banded_complete_vs_bruteforce(self, spark):
         """Pigeonhole banding must find EVERY pair within the hamming budget
         (it is a complete candidate generator, not probabilistic) and report

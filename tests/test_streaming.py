@@ -250,3 +250,18 @@ def test_streaming_ingest_dedups_across_batches(spark, tmp_path):
     assert got == expected and len(got) > 0
     # the re-delivered and in-batch-duplicate rows are really gone
     assert not any(d >= 1000 for d, _ in got)
+
+
+def test_stream_source_accepts_relative_path(spark):
+    """Single-file fixtures reach the file-stream source through a temp-dir
+    symlink; a RELATIVE source path must be absolutized first or the link
+    target resolves against the temp dir and dangles — the source then
+    lists zero files and the stream 'drains' instantly with no batches
+    (how the 100x rung lost its entire ingest output)."""
+    import os
+
+    rel = os.path.relpath(f"{SF_DIR}/events.parquet")
+    assert not os.path.isabs(rel)
+    stream = read_event_stream(spark, rel)
+    out = run_to_memory(stream.groupBy().count(), "rel_path_probe")
+    assert out.collect()[0][0] > 0
