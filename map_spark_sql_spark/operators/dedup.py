@@ -415,6 +415,231 @@ def persist_minhash_signatures(
     return df.sparkSession.table(table_name)
 
 
+def repeated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 12,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated token spans — the signal behind exact
+    SUBSTRING deduplication (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better": verbatim multi-token spans repeated across
+    documents are memorization fuel even when whole-document dedup passes).
+    The suffix-array construction of the paper is replaced by the
+    shuffle-friendly approximation production Spark pipelines use: hash
+    every ``window``-token sliding span (stride 1), count distinct
+    documents per span hash, report spans appearing in >= ``min_docs``
+    docs.
+
+    Scale shape: the span fan-out is row-local (one md5 per span off a
+    staged words column — the no-CSE-in-lambda lesson) and linear in corpus
+    tokens; the single wide shuffle is a partial-aggregable count keyed by
+    span hash. Span hashes are uniform by construction, so no skew guard is
+    needed on the key — the whale case (one span in half the corpus) is
+    exactly what the partial aggregation absorbs map-side.
+
+    Output: ``(span_hash, n_docs, n_occurrences, example_doc)`` — the
+    example is the min doc id, the anchor a removal pass would keep.
+    """
+    spans = (
+        _widen(df)
+        .withColumn("_w", F.expr(words_sql(text_col, "spark")))
+        .filter(F.size("_w") >= window)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(_w) - {window} + 1), "
+                    f"i -> md5(concat_ws(' ', slice(_w, i, {window}))))"
+                )
+            ).alias("span_hash"),
+        )
+    )
+    return (
+        spans.groupBy("span_hash")
+        .agg(
+            F.countDistinct(F.col(id_col)).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min(F.col(id_col)).alias("example_doc"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def repeated_spans_oracle(
+    table: str = "documents",
+    text: str = "text",
+    id_col: str = "doc_id",
+    window: int = 12,
+    min_docs: int = 2,
+) -> str:
+    w = words_sql(text, "duckdb")
+    return f"""
+WITH docs AS (SELECT {id_col}, {w} AS w FROM {table} WHERE len({w}) >= {window}),
+spans AS (
+  SELECT {id_col},
+         md5(array_to_string(list_slice(w, i, i + {window} - 1), ' ')) AS span_hash
+  FROM docs, unnest(range(1, len(w) - {window} + 2)) AS t(i))
+SELECT span_hash,
+       count(DISTINCT {id_col}) AS n_docs,
+       count(*) AS n_occurrences,
+       min({id_col}) AS example_doc
+FROM spans GROUP BY span_hash HAVING count(DISTINCT {id_col}) >= {min_docs}
+"""
+
+
+def incremental_near_dedup(
+    batch: DataFrame,
+    standing_sig: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle: int = 2,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """NEAR-dup gate for an incoming batch against the standing corpus —
+    the MinHash/LSH twin of :func:`incremental_dedup` (which is exact):
+    each batch document is checked for band collisions against the
+    persisted signature table (:func:`persist_minhash_signatures`), the
+    candidates verified by estimated Jaccard, and the batch comes back
+    flagged ``(doc_id, is_near_dup, near_dup_of)`` with the smallest
+    matching standing id as the canonical duplicate target. Batch ids are
+    assumed disjoint from standing ids (an id in both is the UPDATE case —
+    MERGE territory, not dedup).
+
+    100 TB shape — the standing table is scanned but NEVER shuffled:
+
+    * the batch is a micro-batch by contract, so its band fan-out is
+      BROADCAST into the standing scan (collision join runs map-side);
+    * the ``max_bucket`` degenerate-bucket guard on the standing side is a
+      broadcast ANTI-join against the (tiny, partial-aggregable) over-cap
+      bucket list — not the window-count shape of
+      :func:`banded_pairs_from_signatures`, which would exchange the full
+      standing fan-out by band key;
+    * the only wide shuffle is the final per-batch-doc min aggregation,
+      keyed on batch ids (bounded by the batch size).
+
+    The estimated-Jaccard verify carries both signature arrays through the
+    collision join (same reasoning as banded_pairs_from_signatures: no
+    lookup re-join against the big table).
+    """
+    rows_per = num_hashes // bands
+    sig_arr = F.array(*[F.col(f"m{k}") for k in range(num_hashes)])
+
+    def _bands(sig: DataFrame, label: str) -> DataFrame:
+        structs = []
+        for b in range(bands):
+            members = [
+                F.col(f"m{b * rows_per + r}").cast("string") for r in range(rows_per)
+            ]
+            structs.append(
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    F.md5(F.concat_ws(":", *members)).alias("band_hash"),
+                )
+            )
+        return sig.select(
+            F.col(id_col).alias(f"{label}_id"),
+            sig_arr.alias(f"{label}_sig"),
+            F.explode(F.array(*structs)).alias("bd"),
+        ).select(f"{label}_id", f"{label}_sig", "bd.band_id", "bd.band_hash")
+
+    sbands = _bands(standing_sig, "s")
+    over_cap = (
+        sbands.groupBy("band_id", "band_hash")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > max_bucket)
+        .select("band_id", "band_hash")
+    )
+    sbands = sbands.join(
+        F.broadcast(over_cap), ["band_id", "band_hash"], "left_anti"
+    )
+
+    bsig = minhash_signatures(batch, text_col, id_col, num_hashes, shingle)
+    bbands = _bands(bsig, "b")
+
+    eq = F.expr(
+        f"round(aggregate(zip_with(b_sig, s_sig, "
+        f"(x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), 0, (s, x) -> s + x) "
+        f"/ {float(num_hashes)}, 4)"
+    )
+    matches = (
+        sbands.join(F.broadcast(bbands), ["band_id", "band_hash"])
+        .select("b_id", "s_id", eq.alias("est"))
+        .filter(F.col("est") >= threshold)
+        .groupBy("b_id")
+        .agg(F.min("s_id").alias("near_dup_of"))
+    )
+    return (
+        batch.select(F.col(id_col))
+        .join(matches, F.col(id_col) == F.col("b_id"), "left")
+        .select(
+            id_col,
+            F.col("near_dup_of").isNotNull().alias("is_near_dup"),
+            "near_dup_of",
+        )
+    )
+
+
+def incremental_near_dedup_oracle(
+    table: str = "documents",
+    text: str = "text",
+    id_col: str = "doc_id",
+    batch_pred: str = "doc_id % 5 = 0",
+    num_hashes: int = 16,
+    shingle: int = 2,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> str:
+    """DuckDB twin: standing = NOT(batch_pred) rows, batch = batch_pred
+    rows, same band construction (concat_ws NULL-skip), standing-side
+    bucket cap, est-Jaccard verify, min standing id per batch doc."""
+    rows_per = num_hashes // bands
+    sig_cols = ", ".join(
+        f"{perm_minhash_sql('_h', k, 'duckdb')} AS m{k}" for k in range(num_hashes)
+    )
+
+    def _bands_sql(src: str) -> str:
+        selects = []
+        for b in range(bands):
+            members = ", ".join(
+                f"CAST(m{b * rows_per + r} AS STRING)" for r in range(rows_per)
+            )
+            selects.append(
+                f"SELECT {id_col}, {b} AS band_id, md5(concat_ws(':', {members})) AS band_hash FROM {src}"
+            )
+        return " UNION ALL ".join(selects)
+
+    eq_sum = " + ".join(
+        f"CASE WHEN bs.m{k} = ss.m{k} THEN 1 ELSE 0 END" for k in range(num_hashes)
+    )
+    return f"""
+WITH hashed AS (SELECT {id_col}, {base_hashes_sql(text, shingle, 'duckdb')} AS _h FROM {table}),
+sig AS (SELECT {id_col}, {sig_cols} FROM hashed),
+ssig AS (SELECT * FROM sig WHERE NOT ({batch_pred})),
+bsig AS (SELECT * FROM sig WHERE {batch_pred}),
+sbands_all AS ({_bands_sql('ssig')}),
+over_cap AS (SELECT band_id, band_hash FROM sbands_all
+             GROUP BY band_id, band_hash HAVING count(*) > {max_bucket}),
+sbands AS (SELECT s.* FROM sbands_all s ANTI JOIN over_cap o
+           ON s.band_id = o.band_id AND s.band_hash = o.band_hash),
+bbands AS ({_bands_sql('bsig')}),
+cand AS (SELECT DISTINCT b.{id_col} AS b_id, s.{id_col} AS s_id
+         FROM bbands b JOIN sbands s USING (band_id, band_hash)),
+est AS (SELECT c.b_id, c.s_id, round(({eq_sum}) / {float(num_hashes)}, 4) AS est
+        FROM cand c JOIN bsig bs ON c.b_id = bs.{id_col}
+                    JOIN ssig ss ON c.s_id = ss.{id_col}),
+matches AS (SELECT b_id, min(s_id) AS near_dup_of FROM est
+            WHERE est >= {threshold} GROUP BY b_id)
+SELECT b.{id_col}, m.near_dup_of IS NOT NULL AS is_near_dup, m.near_dup_of
+FROM bsig b LEFT JOIN matches m ON b.{id_col} = m.b_id
+"""
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 24) -> DataFrame:
     return (
         _widen(df)

@@ -893,3 +893,84 @@ SELECT t.vec_id, t.approx_sim,
        CAST(x.vec_id IS NOT NULL AS BOOLEAN) AS in_exact_topk
 FROM quant_top t LEFT JOIN exact_top x ON t.vec_id = x.vec_id
 """
+
+
+# --- hybrid retrieval: reciprocal-rank fusion --------------------------------
+
+
+def rrf_fuse(
+    lexical: DataFrame,
+    dense: DataFrame,
+    k: int = 10,
+    c: int = 60,
+    lex_id: str = "doc_id",
+    dense_id: str = "vec_id",
+) -> DataFrame:
+    """Reciprocal-Rank Fusion (Cormack et al., SIGIR'09) of a lexical and a
+    dense retrieval ranking: ``score(d) = sum over lists of 1/(c + rank)``,
+    items missing from a list contribute 0 from it. RRF is the standard
+    hybrid-retrieval combiner because it needs no score calibration between
+    BM25's unbounded sums and cosine's [-1, 1] — only ranks.
+
+    Inputs are the retrievers' top-k outputs (``text.bm25_topk``,
+    ``similarity.cosine_topk`` + a rank column) — a few dozen rows each, so
+    the fusion itself is a broadcast-size full-outer join; ALL the scale
+    weight stays in the upstream retrievers, which are independently
+    scale-shaped. Cross-engine float determinism: each contribution is one
+    exact-integer-operand IEEE division and the sum has a fixed two-term
+    order, so no rounding step is needed (the text_lm_score lesson: the
+    round would be the only nondeterminism).
+
+    Output: ``(item_id, lex_rank, dense_rank, rrf_score, rank)``; final
+    ties break on item id.
+    """
+    from pyspark.sql import Window
+
+    lx = lexical.select(
+        F.col(lex_id).cast("long").alias("item_id"), F.col("rank").alias("lex_rank")
+    )
+    dn = dense.select(
+        F.col(dense_id).cast("long").alias("item_id"), F.col("rank").alias("dense_rank")
+    )
+    fused = (
+        lx.join(dn, "item_id", "full_outer")
+        .withColumn(
+            "rrf_score",
+            F.coalesce(1.0 / (F.lit(c) + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(c) + F.col("dense_rank")), F.lit(0.0)),
+        )
+    )
+    w = Window.orderBy(F.desc("rrf_score"), F.asc("item_id"))
+    return (
+        fused.orderBy(F.desc("rrf_score"), F.asc("item_id"))
+        .limit(k)
+        .select(
+            "item_id", "lex_rank", "dense_rank", "rrf_score",
+            F.row_number().over(w).alias("rank"),
+        )
+    )
+
+
+def hybrid_rrf_oracle(
+    bm25_sql: str,
+    cosine_sql_text: str,
+    k: int = 10,
+    c: int = 60,
+) -> str:
+    """Fusion twin: wraps the two retriever oracles as CTEs (the dense side
+    gets its rank via row_number, matching ``cosine_topk`` + rank)."""
+    return f"""
+WITH lex AS ({bm25_sql}),
+dense0 AS ({cosine_sql_text}),
+dense AS (
+  SELECT vec_id, CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+  FROM dense0),
+fused AS (
+  SELECT coalesce(l.doc_id, d.vec_id) AS item_id, l.rank AS lex_rank, d.rank AS dense_rank,
+         coalesce(1.0 / ({c} + l.rank), 0.0) + coalesce(1.0 / ({c} + d.rank), 0.0) AS rrf_score
+  FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.vec_id),
+topk AS (SELECT * FROM fused ORDER BY rrf_score DESC, item_id LIMIT {k})
+SELECT item_id, lex_rank, dense_rank, rrf_score,
+       CAST(row_number() OVER (ORDER BY rrf_score DESC, item_id) AS INTEGER) AS rank
+FROM topk
+"""

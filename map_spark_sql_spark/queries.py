@@ -2034,6 +2034,29 @@ def dedup_incremental(spark, sf_dir):
     return DD.incremental_dedup(batch, known)
 
 
+@q("dedup_incremental_near", DD.incremental_near_dedup_oracle())
+def dedup_incremental_near(spark, sf_dir):
+    """NEAR-dup gate for an incoming batch against the standing corpus'
+    MinHash signature table (the LSH twin of dedup_incremental): band
+    collisions broadcast the batch into the standing scan, est-Jaccard
+    verifies, min standing id is the canonical target. The standing table
+    is scanned but never shuffled — the production steady-state shape over
+    a persist_minhash_signatures materialization."""
+    docs = load_table(spark, sf_dir, "documents")
+    standing = docs.filter(F.expr("NOT (doc_id % 5 = 0)"))
+    batch = docs.filter(F.expr("doc_id % 5 = 0"))
+    return DD.incremental_near_dedup(batch, DD.minhash_signatures(standing))
+
+
+@q("dedup_repeated_spans", DD.repeated_spans_oracle())
+def dedup_repeated_spans(spark, sf_dir):
+    """Cross-document repeated 12-token spans (the exact-substring-dedup
+    signal, Lee et al.): sliding-window span hashes, distinct-doc counts,
+    spans in >= 2 docs. One partial-aggregable shuffle keyed on the
+    uniform span hash."""
+    return DD.repeated_spans(load_table(spark, sf_dir, "documents"))
+
+
 def _quality_gate_sql(d: str) -> str:
     """Per-source adaptive quality gate: keep docs at or above their own
     source's p25 token count — thresholds that track each source's
@@ -2403,6 +2426,26 @@ def similarity_topk_bruteforce(spark, sf_dir):
     """Brute-force cosine top-10 (TakeOrderedAndProject; per-partition heaps)."""
     _register_views(spark, sf_dir)
     return spark.sql(_sim_query_sql("spark"))
+
+
+@q(
+    "retrieval_hybrid_rrf",
+    SIM.hybrid_rrf_oracle(TX.bm25_topk_oracle(_BM25_TERMS, k=50), _sim_query_sql("duckdb")),
+)
+def retrieval_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval via Reciprocal-Rank Fusion: BM25 top-50 (lexical)
+    fused with brute-force cosine top-10 (dense) on rank alone — no score
+    calibration between the two scales. The fusion join is broadcast-size;
+    all scale weight stays in the upstream retrievers."""
+    from pyspark.sql import Window
+
+    lex = TX.bm25_topk(load_table(spark, sf_dir, "documents"), _BM25_TERMS, k=50)
+    _register_views(spark, sf_dir)
+    dense = spark.sql(_sim_query_sql("spark")).withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("sim"), F.asc("vec_id"))),
+    )
+    return SIM.rrf_fuse(lex, dense, k=10)
 
 
 @q("similarity_topk_ivf", SIM.cosine_topk_ivf_oracle())

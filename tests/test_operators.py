@@ -108,6 +108,59 @@ class TestDedup:
         assert stats[5].dropped and stats[5].pairs_skipped == 10
         assert not stats[2].dropped and stats[2].pairs_skipped == 0
 
+    def test_incremental_near_dedup(self, spark):
+        """Batch near-dups against the standing signature table: a batch doc
+        whose signature collides with a standing doc (re-posted boilerplate
+        — identical text, the guaranteed-collision case; word-level edits
+        collide probabilistically by LSH design) is flagged with the
+        standing id; a novel doc passes."""
+        standing = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog at dawn"),
+             (2, "completely unrelated standing content about spark plans")],
+            "doc_id long, text string",
+        )
+        batch = spark.createDataFrame(
+            [(100, "the quick brown fox jumps over the lazy dog at dawn"),
+             (101, "entirely novel text with no standing counterpart words")],
+            "doc_id long, text string",
+        )
+        sig = DD.minhash_signatures(standing)
+        out = {r.doc_id: r for r in DD.incremental_near_dedup(batch, sig).collect()}
+        assert out[100].is_near_dup and out[100].near_dup_of == 1
+        assert not out[101].is_near_dup and out[101].near_dup_of is None
+
+    def test_repeated_spans(self, spark):
+        """A 12-token span shared verbatim by two docs is reported with
+        n_docs=2 and the min doc id as anchor; unique text yields nothing."""
+        shared = " ".join(f"w{i}" for i in range(12))
+        docs = spark.createDataFrame(
+            [(1, shared + " tail one here"), (2, "lead in text " + shared),
+             (3, " ".join(f"u{i}" for i in range(20)))],
+            "doc_id long, text string",
+        )
+        out = DD.repeated_spans(docs, window=12).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r.n_docs == 2 and r.n_occurrences == 2 and r.example_doc == 1
+
+    def test_rrf_fuse(self, spark):
+        """RRF: an item ranked in both lists outranks single-list items even
+        when it tops neither; missing-list contribution is 0."""
+        from map_spark_sql_spark.operators.similarity import rrf_fuse
+
+        lex = spark.createDataFrame(
+            [(1, 1), (3, 2), (5, 3)], "doc_id long, rank int"
+        )
+        dense = spark.createDataFrame(
+            [(2, 1), (3, 2), (7, 3)], "vec_id long, rank int"
+        )
+        out = rrf_fuse(lex, dense, k=5, c=60)
+        rows = out.collect()
+        assert rows[0].item_id == 3 and rows[0].rank == 1  # in both lists
+        assert abs(rows[0].rrf_score - 2 / 62) < 1e-12
+        by_id = {r.item_id: r for r in rows}
+        assert by_id[1].dense_rank is None and abs(by_id[1].rrf_score - 1 / 61) < 1e-12
+
     def test_ngram_prune_stats(self, spark):
         """Per-doc df-pruning coverage: a shingle shared by > max_df docs is
         pruned; docs whose EVERY shingle is pruned are flagged fully_pruned
