@@ -120,6 +120,94 @@ def ingest_documents(
     )
 
 
+def ingest_documents_near(
+    stream: DataFrame,
+    spark: SparkSession,
+    out_dir: str,
+    min_tokens: int = 5,
+    num_hashes: int = 16,
+    shingle: int = 2,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> "object":
+    """NEAR-dup-aware streaming ingestion: like :func:`ingest_documents`
+    but the standing state is the MinHash SIGNATURE table and the gate is
+    :func:`~map_spark_sql_spark.operators.dedup.incremental_near_dedup` —
+    a recrawl whose boilerplate was lightly edited still dedups, which the
+    exact digest table structurally cannot do.
+
+    Layout under ``out_dir``:
+
+    - ``corpus/``     — accepted documents, append-only
+    - ``signatures/`` — ``(doc_id, m0..m{k-1})`` per accepted doc (the
+      persisted signature table; on a lakehouse this is the
+      ``persist_minhash_signatures`` materialization)
+    - ``_checkpoint/`` — stream progress
+
+    Contract notes: the gate screens each batch AGAINST THE STANDING
+    CORPUS only; near-duplicates arriving within one micro-batch both pass
+    (in-batch near-dedup is a quadratic-in-batch problem that belongs to
+    the periodic batch funnel — the steady-state micro-batch is small and
+    re-screened by the next full curation run). Crash replay between the
+    two appends re-admits rather than loses rows; ``read_corpus_near``
+    collapses re-admissions on doc_id.
+    """
+    from map_spark_sql_spark.operators.dedup import (
+        incremental_near_dedup,
+        minhash_signatures,
+    )
+
+    corpus_dir = os.path.join(out_dir, "corpus")
+    sig_dir = os.path.join(out_dir, "signatures")
+    sig_schema = ", ".join(["doc_id long"] + [f"m{k} long" for k in range(num_hashes)])
+
+    gated = stream.filter(F.expr(_quality_predicate("text", "spark", min_tokens)))
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        if os.path.isdir(sig_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(sig_dir)
+        ):
+            standing = spark.read.parquet(sig_dir)
+        else:
+            standing = spark.createDataFrame([], sig_schema)
+        verdict = incremental_near_dedup(
+            batch, standing,
+            num_hashes=num_hashes, shingle=shingle, bands=bands,
+            threshold=threshold, max_bucket=max_bucket,
+        ).filter(~F.col("is_near_dup")).select("doc_id")
+        kept = batch.join(verdict, "doc_id", "left_semi")
+        kept.persist()
+        try:
+            kept.write.mode("append").parquet(corpus_dir)
+            minhash_signatures(
+                kept, num_hashes=num_hashes, shingle=shingle
+            ).write.mode("append").parquet(sig_dir)
+        finally:
+            kept.unpersist()
+
+    return (
+        gated.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_corpus_near(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Read the near-dedup corpus, collapsing crash-replay re-admissions:
+    one row per doc_id."""
+    from pyspark.sql.window import Window
+
+    df = spark.read.parquet(os.path.join(out_dir, "corpus"))
+    w = Window.partitionBy("doc_id").orderBy("source")
+    return (
+        df.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__")
+    )
+
+
 def read_corpus(spark: SparkSession, out_dir: str) -> DataFrame:
     """Read the accepted corpus, collapsing any crash-replay re-admissions
     (see ``_apply``): one row per content digest, min doc_id wins."""

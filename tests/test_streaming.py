@@ -265,3 +265,47 @@ def test_stream_source_accepts_relative_path(spark):
     stream = read_event_stream(spark, rel)
     out = run_to_memory(stream.groupBy().count(), "rel_path_probe")
     assert out.collect()[0][0] > 0
+
+
+def test_streaming_near_ingest_drops_edited_recrawl(spark, tmp_path):
+    """Near-dup streaming ingestion: batch 2 re-delivers batch-1 content
+    under NEW doc_ids (identical text — the recrawl case the exact digest
+    would also catch) plus genuinely new docs; the signature-table gate
+    must drop the recrawls and admit the fresh docs, and the signature
+    table must hold exactly one row per admitted doc."""
+    import time
+
+    from map_spark_sql_spark.streaming.documents import (
+        ingest_documents_near,
+        read_corpus_near,
+        read_document_stream,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").limit(40)
+    base = docs.filter("doc_id < 20")
+    recrawl = docs.filter("doc_id < 10").withColumn(  # same text, new ids
+        "doc_id", F.col("doc_id") + 5000
+    )
+    fresh = docs.filter("doc_id >= 20")
+
+    src = str(tmp_path / "feed")
+    base.coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    recrawl.unionByName(fresh).coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "near_ingested")
+    q = ingest_documents_near(
+        read_document_stream(spark, src, max_files_per_trigger=1), spark, out
+    )
+    q.awaitTermination(180)
+
+    got_ids = {r.doc_id for r in read_corpus_near(spark, out).select("doc_id").collect()}
+    from map_spark_sql_spark.plans.curation import _quality_predicate
+    gate = _quality_predicate("text", "spark", 5)
+    expected = {
+        r.doc_id for r in base.unionByName(fresh).filter(F.expr(gate)).collect()
+    }
+    assert got_ids == expected
+    assert not any(i >= 5000 for i in got_ids)  # every recrawl dropped
+    sigs = spark.read.parquet(f"{out}/signatures")
+    assert sigs.count() == len(expected) and sigs.select("doc_id").distinct().count() == len(expected)
