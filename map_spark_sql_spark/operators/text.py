@@ -322,6 +322,52 @@ SELECT doc_id, term, tf, df, tfidf, rnk FROM ranked WHERE rnk <= {k}
 """
 
 
+# --- linear quality classifier ------------------------------------------------
+
+
+def quality_classifier_sql(text: str, d: str) -> str:
+    """Integer-exact linear quality classifier over the
+    :func:`quality_stats_sql` features — the shape of the fasttext-style
+    quality filters production corpora use (a trained linear model over
+    cheap surface features), with fixed hand-set weights so both engines
+    compute the IDENTICAL logit.
+
+    Every term is integer arithmetic on integer-scaled features (the
+    text_lm_score discipline: no float op anywhere, so no cross-engine ulp
+    drift and nothing to round). Weights favor mid-length prose — tokens
+    up to a cap, stopword density, light punctuation — and penalize digit
+    soup and degenerate mean token length. Swapping in trained weights is
+    a constant change; the plumbing is the operator.
+    """
+    q = quality_stats_sql(text, d)
+    return (
+        f"CAST(150 * least({q['n_tokens']}, 400) + 900 * {q['stopword_pm']} "
+        f"- 80 * {q['n_digits']} + 40 * {q['n_punct']} "
+        f"- 120 * abs({q['mean_token_len_x10']} - 55) - 60000 AS BIGINT)"
+    )
+
+
+def quality_classify(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Score + decide: ``(doc_id, quality_logit, accepted)``; scan-local,
+    no shuffle — the filter stage composes with everything downstream.
+    NULL text propagates NULL logit/verdict (both engines)."""
+    z = F.expr(quality_classifier_sql(text_col, "spark"))
+    return df.select(
+        F.col(id_col),
+        z.alias("quality_logit"),
+        (z >= 0).alias("accepted"),
+    )
+
+
+def quality_classify_oracle(table: str = "documents") -> str:
+    z = quality_classifier_sql("text", "duckdb")
+    return (
+        f"SELECT doc_id, {z} AS quality_logit, {z} >= 0 AS accepted FROM {table}"
+    )
+
+
 # --- PII redaction -----------------------------------------------------------
 
 # Dialect-shared patterns (Java regex and RE2 agree on this subset). Ordered:

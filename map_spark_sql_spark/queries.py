@@ -2199,6 +2199,13 @@ def text_quality_stats(spark, sf_dir):
     return TX.quality_stats(load_table(spark, sf_dir, "documents"))
 
 
+@q("text_quality_classifier", TX.quality_classify_oracle())
+def text_quality_classifier(spark, sf_dir):
+    """Linear quality classifier (fasttext-filter shape): integer-exact
+    logit over the quality features + accept verdict; scan-local."""
+    return TX.quality_classify(load_table(spark, sf_dir, "documents"))
+
+
 @q(
     "text_token_counts",
     "SELECT doc_id, "
