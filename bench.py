@@ -53,6 +53,12 @@ HEADLINE = [
     "tiles_encode_blob_md5",
     "points_encode_blob_md5",
     "similarity_centroid_confusion",
+    # round-5 late additions: retrieval fusion, incremental near-dup gate,
+    # repeated-span scan, classifier filter
+    "retrieval_hybrid_rrf",
+    "dedup_incremental_near",
+    "dedup_repeated_spans",
+    "text_quality_classifier",
 ]
 
 
