@@ -95,3 +95,142 @@ SELECT {group_col}, TRUE AS hll_within_bound,
        count(*) AS n_rows
 FROM {table} GROUP BY {group_col}
 """
+
+
+# --- count-min heavy hitters --------------------------------------------------
+
+
+def _cm_bucket_sql(key: str, j: int, width: int, d: str) -> str:
+    """Row-j count-min bucket for a key expression: md5-derived, so BOTH
+    engines compute the identical hash family (the property that upgrades
+    this sketch from bound-verdict verification to a full hash gate)."""
+    if d == "spark":
+        return (
+            f"CAST(conv(substring(md5(concat('{j}', ':', CAST({key} AS STRING))), 1, 8), 16, 10) "
+            f"AS BIGINT) % {width}"
+        )
+    return (
+        f"CAST(('0x' || substr(md5('{j}' || ':' || CAST({key} AS VARCHAR)), 1, 8)) AS BIGINT) % {width}"
+    )
+
+
+def count_min_counters(
+    df: DataFrame,
+    key_col: str = "user_id",
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Build the count-min sketch counter table ``(j, bucket, cnt)`` —
+    ``depth x width`` cells regardless of corpus size.
+
+    This is THE fixed-size mergeable frequency state at 100 TB: the
+    explode fans each row into ``depth`` (j, bucket) cells, the map-side
+    partial aggregation collapses every partition to at most depth*width
+    rows before the (only) shuffle, and merging two sketches is cell-wise
+    addition — so the same counters work for streaming foreachBatch
+    accumulation. No per-key state exists anywhere.
+    """
+    from map_spark_sql_spark.sources.readers import widen as _widen
+
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.expr(_cm_bucket_sql(key_col, j, width, "spark")).alias("bucket"),
+            )
+            for j in range(depth)
+        ]
+    )
+    # widen: the md5 fan-out is CPU-bound per row; a one-file scan would
+    # serialize it on a single task (no-op at real scale)
+    return (
+        _widen(df).select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.j").alias("j"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def count_min_heavy_hitters(
+    df: DataFrame,
+    key_col: str = "user_id",
+    depth: int = 4,
+    width: int = 1024,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k heavy hitters by count-min estimate: ``est(key) = min over j
+    of counter[j][h_j(key)]`` — never under the true count, over by at most
+    ~e*N/width with high probability.
+
+    The candidate keys here come from an exact per-key pass (which also
+    yields ``exact_n``, making the overcount visible in the result); at
+    100 TB the candidate set comes from a sample or a prior round instead,
+    and the ESTIMATE path — broadcast of the depth*width counter table
+    against the candidates — is unchanged. Ties and output order pin on
+    (est desc, key).
+
+    Output: ``(key, cm_est, exact_n, overcount)``.
+    """
+    counters = count_min_counters(df, key_col, depth, width)
+    keys = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("exact_n"))
+    probes = keys.select(
+        key_col,
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.expr(_cm_bucket_sql(key_col, j, width, "spark")).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select(key_col, "exact_n", "c.j", "c.bucket")
+    est = (
+        probes.join(F.broadcast(counters), ["j", "bucket"])
+        .groupBy(key_col, "exact_n")
+        .agg(F.min("cnt").alias("cm_est"))
+    )
+    return (
+        est.select(
+            key_col,
+            "cm_est",
+            "exact_n",
+            (F.col("cm_est") - F.col("exact_n")).alias("overcount"),
+        )
+        .orderBy(F.desc("cm_est"), F.asc(key_col))
+        .limit(k)
+    )
+
+
+def count_min_heavy_hitters_oracle(
+    table: str = "events",
+    key_col: str = "user_id",
+    depth: int = 4,
+    width: int = 1024,
+    k: int = 20,
+) -> str:
+    """DuckDB twin rebuilding the IDENTICAL md5 hash family — counters,
+    estimates, and ranking all hash-gate exactly."""
+    cell_selects = " UNION ALL ".join(
+        f"SELECT {j} AS j, {_cm_bucket_sql(key_col, j, width, 'duckdb')} AS bucket FROM {table}"
+        for j in range(depth)
+    )
+    probe_selects = " UNION ALL ".join(
+        f"SELECT {key_col}, exact_n, {j} AS j, "
+        f"{_cm_bucket_sql(key_col, j, width, 'duckdb')} AS bucket FROM keys"
+        for j in range(depth)
+    )
+    return f"""
+WITH cells AS ({cell_selects}),
+counters AS (SELECT j, bucket, count(*) AS cnt FROM cells GROUP BY j, bucket),
+keys AS (SELECT {key_col}, count(*) AS exact_n FROM {table} GROUP BY {key_col}),
+probes AS ({probe_selects}),
+est AS (
+  SELECT p.{key_col}, p.exact_n, min(c.cnt) AS cm_est
+  FROM probes p JOIN counters c USING (j, bucket)
+  GROUP BY p.{key_col}, p.exact_n)
+SELECT {key_col}, cm_est, exact_n, cm_est - exact_n AS overcount
+FROM est ORDER BY cm_est DESC, {key_col} LIMIT {k}
+"""

@@ -2256,6 +2256,16 @@ def events_sketch_stats(spark, sf_dir):
     return SK.sketch_bound_verdicts(load_table(spark, sf_dir, "events"))
 
 
+@q("events_heavy_hitters_cm", SK.count_min_heavy_hitters_oracle())
+def events_heavy_hitters_cm(spark, sf_dir):
+    """Count-min heavy hitters: top-20 users by sketch estimate. The md5
+    hash family is engine-portable, so unlike HLL/GK this sketch gets a
+    FULL hash gate — counters, estimates, overcounts, and ranking all
+    reproduce exactly in the oracle. The counter table is depth x width
+    cells regardless of corpus size (mergeable streaming state)."""
+    return SK.count_min_heavy_hitters(load_table(spark, sf_dir, "events"))
+
+
 @q(
     "docs_hash_split",
     f"SELECT doc_id, {SP.hash_bucket_sql('doc_id', 'duckdb')} AS bucket, "
@@ -3237,21 +3247,25 @@ _WINDOW_ORDER = [
     "stream_events_sessions",
     "stream_docs_ingest",
     "stream_cdc_upsert_latest",
-    "tiles_mercator_z16",
     "text_vocab_build",
     "dedup_incremental",
     "docs_pack_sequences",
-    "occ_ingest_filter",
     "points_features",
-    "t1_mercator_z4",
     "pyramid_rollup_z3",
-    "tpch_q1_pricing_summary",
-    "tpch_q5_local_supplier_volume",
     "window_top_order_per_customer",
-    "events_tumbling_5min",
     "asof_purchase_last_view",
     "dedup_simhash_banded",
     "text_lm_score",
+    # -- late round-5 additions (never driver-certified; continuity reps
+    #    occ_ingest_filter / t1_mercator_z4 / tpch_q1 / tpch_q5 /
+    #    events_tumbling_5min / tiles_mercator_z16 rotated out — each
+    #    driver-green in earlier rounds, tiles_z16 as recently as r4) --
+    "dedup_ngram_prune_stats",
+    "retrieval_hybrid_rrf",
+    "dedup_incremental_near",
+    "dedup_repeated_spans",
+    "text_quality_classifier",
+    "events_heavy_hitters_cm",
 ]
 
 

@@ -457,6 +457,24 @@ class TestMultimodal:
 
 
 class TestSketches:
+    def test_count_min_never_undercounts(self, spark):
+        """CM property: est >= exact for every key; the whale key ranks
+        first; a deliberately tiny width forces visible collisions while
+        the estimate stays an upper bound."""
+        from map_spark_sql_spark.operators import sketches as SK
+
+        rows = [(i % 7,) for i in range(400)] + [(999,)] * 300  # whale key
+        df = spark.createDataFrame(rows, "user_id long")
+        out = SK.count_min_heavy_hitters(df, depth=4, width=8, k=10).collect()
+        assert out[0].user_id == 999 and out[0].exact_n == 300
+        assert all(r.overcount >= 0 for r in out)
+        counters = SK.count_min_counters(df, depth=4, width=8)
+        assert counters.count() <= 4 * 8  # fixed-size state
+        # each row of the sketch holds ALL n events
+        sums = {r.j: r.s for r in counters.groupBy("j").agg(
+            F.sum("cnt").alias("s")).collect()}
+        assert set(sums.values()) == {700}
+
     def test_sketch_error_bounds(self, spark):
         from map_spark_sql_spark.operators import sketches as SK
         from map_spark_sql_spark.sources.readers import load_table
