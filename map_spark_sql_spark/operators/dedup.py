@@ -1508,3 +1508,85 @@ WITH sizes AS (SELECT {h} AS content_md5, count(*) AS copies FROM {table}
 SELECT copies, count(*) AS n_clusters, CAST(sum(copies) AS BIGINT) AS n_docs
 FROM sizes GROUP BY copies
 """
+
+
+# ---------------------------------------------------------------------------
+# quality-aware cluster representative selection
+# ---------------------------------------------------------------------------
+
+
+def cluster_keepers(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Pick the KEEPER of every near-dup cluster by quality, not by id: label
+    the corpus with :func:`~map_spark_sql_spark.operators.graph.connected_components`
+    over the n-gram Jaccard pair graph, score every document with the
+    integer-exact linear quality classifier, and keep the highest-scoring
+    document per cluster (ties -> lower doc_id). This upgrades the curation
+    funnel's min-id keeper policy to the keep-the-best-copy policy real
+    pipelines want — the near-dup cluster often contains one clean original
+    and N mangled scrapes.
+
+    100 TB shape: the pair graph and components are the existing guarded
+    shapes; scoring is scan-local integer arithmetic; the rollup is a single
+    hash aggregate on cluster_id using ``max_by`` with a (score, -id) struct
+    key — partial-aggregable, no window, no sort shuffle. Singletons are
+    their own keepers (components include all vertices).
+
+    Output: ``(cluster_id, cluster_size, keeper_id, keeper_score)`` — all
+    exact integers.
+    """
+    from map_spark_sql_spark.operators import graph as G
+    from map_spark_sql_spark.operators.text import quality_classifier_sql
+
+    pairs = ngram_jaccard_pairs(df, text_col=text_col, id_col=id_col).select(
+        "a_id", "b_id"
+    )
+    labels = G.connected_components(
+        pairs, vertices=df.select(id_col), id_col=id_col
+    )
+    scored = df.select(
+        F.col(id_col),
+        F.expr(quality_classifier_sql(text_col, "spark")).alias("score"),
+    )
+    return (
+        labels.join(scored, id_col)
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cluster_size"),
+            F.expr(f"max_by({id_col}, struct(score, -{id_col}))").alias("keeper_id"),
+            F.max("score").alias("keeper_score"),
+        )
+    )
+
+
+def cluster_keepers_oracle(
+    table: str = "documents", text: str = "text", id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of :func:`cluster_keepers`: the recursive-CTE component
+    closure, the same integer classifier, and the argmax as a
+    row_number() window with the identical (score DESC, id ASC) order."""
+    from map_spark_sql_spark.operators.graph import connected_components_oracle
+    from map_spark_sql_spark.operators.text import quality_classifier_sql
+
+    cc = connected_components_oracle(
+        pairs_sql=f"SELECT a_id, b_id FROM ({ngram_jaccard_pairs_oracle()}) jp",
+        vertices_sql=f"SELECT {id_col} FROM {table}",
+        id_col=id_col,
+    )
+    z = quality_classifier_sql(text, "duckdb")
+    return f"""
+WITH labels AS ({cc}),
+scored AS (SELECT {id_col}, {z} AS score FROM {table}),
+joined AS (SELECT l.cluster_id, l.{id_col}, s.score
+           FROM labels l JOIN scored s USING ({id_col})),
+agg AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size,
+               max(score) AS keeper_score
+        FROM joined GROUP BY cluster_id),
+ranked AS (SELECT cluster_id, {id_col},
+                  row_number() OVER (PARTITION BY cluster_id
+                                     ORDER BY score DESC, {id_col}) AS rn
+           FROM joined)
+SELECT a.cluster_id, a.cluster_size, r.{id_col} AS keeper_id, a.keeper_score
+FROM agg a JOIN ranked r ON a.cluster_id = r.cluster_id AND r.rn = 1
+"""

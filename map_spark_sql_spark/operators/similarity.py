@@ -319,6 +319,92 @@ ORDER BY sim DESC, e.{id_col} LIMIT {k}
 """
 
 
+# --- two-stage (matryoshka-style) prefix re-rank ------------------------------
+
+
+def _prefix_sql(col: str, p: int, d: str) -> str:
+    """First ``p`` dimensions of an array column (1-based in both dialects)."""
+    return f"slice({col}, 1, {p})" if d == "spark" else f"{col}[1:{p}]"
+
+
+def cosine_topk_two_stage(
+    df: DataFrame,
+    k: int = 10,
+    prefix_dims: int = 8,
+    shortlist: int = 50,
+    query_id: int = 0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Two-stage ANN: rank the corpus by a CHEAP coarse score — the raw dot
+    product of the first ``prefix_dims`` dimensions (the matryoshka /
+    truncated-embedding trick) — keep a ``shortlist``, then re-rank only the
+    shortlist with the exact full-dimension cosine. With prefix-truncation-
+    trained embeddings the prefix preserves most of the ordering, so
+    recall@k stays high while stage 1 reads and multiplies
+    ``dim / prefix_dims`` fewer floats per row.
+
+    Scale shape: stage 1 is a zero-shuffle TakeOrderedAndProject over the
+    scan (per-partition ``shortlist``-row heaps, driver merge of
+    #partitions heaps); stage 2 touches ``shortlist`` rows total. The
+    coarse dot is a per-row left-to-right fold of ``prefix_dims`` IEEE
+    products, so its value — and therefore the shortlist boundary — is
+    bit-identical across engines; all ties break on id.
+    """
+    q = df.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("qe"))
+    coarse = F.expr(
+        dot_cols_sql(
+            _prefix_sql(vec_col, prefix_dims, "spark"),
+            _prefix_sql("qe", prefix_dims, "spark"),
+            "spark",
+        )
+    )
+    short = (
+        df.filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .withColumn("coarse", coarse)
+        .orderBy(F.desc("coarse"), F.col(id_col))
+        .limit(shortlist)
+    )
+    sim = F.round(F.expr(cosine_cols_sql(vec_col, "qe", "spark")), 6)
+    return (
+        short.select(F.col(id_col), sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def cosine_topk_two_stage_oracle(
+    k: int = 10,
+    prefix_dims: int = 8,
+    shortlist: int = 50,
+    query_id: int = 0,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB twin of :func:`cosine_topk_two_stage` — identical coarse
+    ordering (same fold order over the same prefix), shortlist, and exact
+    re-rank."""
+    d = "duckdb"
+    coarse = dot_cols_sql(
+        _prefix_sql(f"e.{vec_col}", prefix_dims, d), _prefix_sql("q.qe", prefix_dims, d), d
+    )
+    sim = cosine_cols_sql(f"s.{vec_col}", "s.qe", d)
+    return f"""
+WITH q AS (SELECT {vec_col} AS qe FROM {table} WHERE {id_col} = {query_id}),
+short AS (
+  SELECT e.{id_col}, e.{vec_col}, q.qe
+  FROM {table} e CROSS JOIN q
+  WHERE e.{id_col} <> {query_id}
+  ORDER BY {coarse} DESC, e.{id_col}
+  LIMIT {shortlist})
+SELECT s.{id_col} AS {id_col}, round({sim}, 6) AS sim
+FROM short s
+ORDER BY sim DESC, s.{id_col} LIMIT {k}
+"""
+
+
 # --- LSH (random hyperplane) ------------------------------------------------
 
 

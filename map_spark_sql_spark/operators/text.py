@@ -692,6 +692,130 @@ GROUP BY e.{id_col}
     )
 
 
+# --- boilerplate stripping (corpus-frequent segment removal) ------------------
+
+
+def _segments_sql(w: str, n: int, d: str) -> str:
+    """0-based NON-overlapping ``n``-word segments as (pos, seg) structs from
+    a staged words-array column (the HOF-staging rule: never inline the
+    split). The trailing short segment is kept (clamped slice); segments
+    that render to '' (only possible from empty/degenerate word arrays) are
+    filtered here in BOTH dialects so the two engines see the same relation.
+    """
+    if d == "spark":
+        nseg = f"(size({w}) + {n - 1}) DIV {n}"
+        return (
+            f"filter(transform(sequence(0, CAST(greatest({nseg}, 1) AS INT) - 1), "
+            f"i -> struct(CAST(i AS INT) AS pos, "
+            f"concat_ws(' ', slice({w}, i*{n}+1, {n})) AS seg)), "
+            f"s -> s.seg <> '')"
+        )
+    nseg = f"(len({w}) + {n - 1}) // {n}"
+    return (
+        f"list_filter(list_transform(range(CAST({nseg} AS INT)), "
+        f"i -> {{'pos': CAST(i AS INT), "
+        f"'seg': array_to_string({w}[(i*{n}+1):(i*{n}+{n})], ' ')}}), "
+        f"s -> s.seg <> '')"
+    )
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_doc_frac: float = 0.01,
+) -> DataFrame:
+    """Gopher/MassiveText-style boilerplate REMOVAL — the transformation the
+    :func:`boilerplate_ngrams` / :func:`boilerplate_doc_stats` diagnostics
+    gate on. Documents are cut into non-overlapping ``n``-word segments,
+    segments whose document frequency reaches ``min_doc_frac`` of the corpus
+    (nav bars, cookie banners, licence footers) are dropped, and the
+    survivors are reassembled in original order into ``clean_text``.
+
+    100 TB shape: one explode shuffle for the DISTINCT (doc, segment)
+    relation, the (small, high-df by construction) boilerplate set broadcast
+    back onto the exploded segments, one groupBy(doc) rollup. Reassembly is
+    array_sort(collect_list(struct(pos, seg))) — bounded by a single
+    document's length, never corpus-wide. The scalar doc count joins as a
+    1-row broadcast, so the threshold never round-trips the driver.
+
+    Output ``(doc_id, n_segments, n_kept, clean_text)`` — exact integers and
+    deterministic strings only, so the row set is engine-portable without
+    rounding. NULL-text documents are excluded (nothing to strip), matching
+    the rest of the boilerplate family.
+    """
+    from map_spark_sql_spark.operators.dedup import words_sql
+
+    base = df.where(F.col(text_col).isNotNull()).withColumn(
+        "_w", F.expr(words_sql(text_col, "spark"))
+    )
+    segs = base.select(
+        F.col(id_col), F.explode(F.expr(_segments_sql("_w", n, "spark"))).alias("s")
+    ).select(F.col(id_col), F.col("s.pos").alias("pos"), F.col("s.seg").alias("seg"))
+    ex = segs.select(id_col, "seg").distinct()
+    freq = ex.groupBy("seg").agg(F.count(F.lit(1)).alias("doc_freq"))
+    total = ex.agg(F.countDistinct(id_col).alias("_n_docs"))
+    # floor the threshold at 2 docs: a segment seen in ONE document is never
+    # boilerplate, and without the floor a tiny corpus (ceil(frac*n) = 1)
+    # would strip every segment — destructive transforms get no degenerate
+    # regime (same guard, same ceil product, in the oracle).
+    boiler = (
+        freq.crossJoin(F.broadcast(total))
+        .where(
+            F.col("doc_freq")
+            >= F.greatest(F.lit(2), F.ceil(F.lit(min_doc_frac) * F.col("_n_docs")))
+        )
+        .select("seg", F.lit(1).alias("_b"))
+    )
+    kept = segs.join(F.broadcast(boiler), "seg", "left")
+    return kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.sum(F.when(F.col("_b").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.expr(
+                "transform(array_sort(collect_list("
+                "CASE WHEN _b IS NULL THEN struct(pos, seg) END)), s -> s.seg)"
+            ),
+        ).alias("clean_text"),
+    )
+
+
+def strip_boilerplate_oracle(
+    table: str = "documents",
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_doc_frac: float = 0.01,
+) -> str:
+    """DuckDB twin of :func:`strip_boilerplate`: identical segmentation,
+    threshold (same IEEE ``ceil(frac * n_docs)`` product), and ordered
+    reassembly via ``string_agg(.. ORDER BY pos) FILTER``."""
+    from map_spark_sql_spark.operators.dedup import words_sql
+
+    w = words_sql(text, "duckdb")
+    seg_list = _segments_sql("w", n, "duckdb")
+    return f"""
+WITH base AS (SELECT {id_col}, {w} AS w FROM {table} WHERE {text} IS NOT NULL),
+segs0 AS (SELECT {id_col}, unnest({seg_list}) AS s FROM base),
+segs AS (SELECT {id_col}, s.pos AS pos, s.seg AS seg FROM segs0),
+ex AS (SELECT DISTINCT {id_col}, seg FROM segs),
+tot AS (SELECT count(DISTINCT {id_col}) AS n_docs FROM ex),
+boiler AS (SELECT seg FROM ex GROUP BY seg
+           HAVING count(*) >= (SELECT greatest(2, ceil({min_doc_frac} * n_docs)) FROM tot))
+SELECT s.{id_col} AS {id_col},
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(count(*) FILTER (WHERE b.seg IS NULL) AS BIGINT) AS n_kept,
+       coalesce(string_agg(s.seg, ' ' ORDER BY s.pos)
+                FILTER (WHERE b.seg IS NULL), '') AS clean_text
+FROM segs s LEFT JOIN boiler b ON s.seg = b.seg
+GROUP BY s.{id_col}
+"""
+
+
 # --- unigram LM quality scoring ----------------------------------------------
 
 

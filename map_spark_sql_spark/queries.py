@@ -2502,6 +2502,16 @@ def similarity_topk_pq(spark, sf_dir):
     return SIM.pq_topk(load_table(spark, sf_dir, "embeddings"))
 
 
+@q("similarity_topk_two_stage", SIM.cosine_topk_two_stage_oracle())
+def similarity_topk_two_stage(spark, sf_dir):
+    """Two-stage matryoshka-style ANN: coarse rank on the raw dot of the
+    first 8 of 64 dims (8x fewer multiplies, zero-shuffle
+    TakeOrderedAndProject), exact full-dim cosine re-rank of the 50-row
+    shortlist. The coarse fold is order-fixed IEEE, so the shortlist
+    boundary is engine-identical."""
+    return SIM.cosine_topk_two_stage(load_table(spark, sf_dir, "embeddings"))
+
+
 @q("similarity_lsh_bucket_stats", SIM.lsh_bucket_stats_oracle(bits=6))
 def similarity_lsh_bucket_stats(spark, sf_dir):
     """No-silent-caps companion to similarity_pairs_lsh/knn_graph: per-
@@ -3055,6 +3065,27 @@ def text_boilerplate_doc_stats(spark, sf_dir):
     """Per-document boilerplate contamination permille vs the corpus
     boilerplate set (broadcast membership join; gate input)."""
     return TX.boilerplate_doc_stats(load_table(spark, sf_dir, "documents"))
+
+
+@q("text_strip_boilerplate", TX.strip_boilerplate_oracle())
+def text_strip_boilerplate(spark, sf_dir):
+    """Boilerplate REMOVAL (the transformation the two diagnostics above
+    gate on): corpus-frequent non-overlapping 3-word segments are dropped
+    and each document is reassembled in order as clean_text — Gopher-style
+    line dedup re-expressed over whitespace segments. Broadcast membership
+    join + per-doc array_sort(collect_list) rollup; exact integers and
+    deterministic strings only."""
+    return TX.strip_boilerplate(load_table(spark, sf_dir, "documents"))
+
+
+@q("dedup_cluster_keepers", DD.cluster_keepers_oracle())
+def dedup_cluster_keepers(spark, sf_dir):
+    """Quality-aware keeper per near-dup cluster: connected components over
+    the n-gram Jaccard pair graph, integer-exact linear classifier scores,
+    keeper = max_by(doc, struct(score, -doc_id)) — a partial-aggregable
+    hash agg, no window. Upgrades the funnel's min-id policy to
+    keep-the-best-copy."""
+    return DD.cluster_keepers(load_table(spark, sf_dir, "documents"))
 
 
 @q("text_lm_score", TX.lm_score_oracle())

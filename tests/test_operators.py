@@ -1369,3 +1369,109 @@ class TestTemperatureProperties:
         # tau=1 reproduces natural shares; smaller tau upweights `small`
         assert small_share(0.25) >= small_share(0.5) >= small_share(1.0)
         assert small_share(0.25) > 0.15  # visibly above the natural 9%
+
+
+class TestStripBoilerplate:
+    """Round-5 boilerplate removal: non-overlapping 3-word segments,
+    corpus-frequent segments stripped, ordered reassembly."""
+
+    @pytest.fixture(scope="class")
+    def strip_docs(self, spark):
+        t = "terms of service"
+        rows = [
+            (1, t + " alpha beta gamma"),
+            (2, t + " delta epsilon zeta"),
+            (3, t + " eta theta iota"),
+            (4, t + " kappa lambda mu"),
+            (5, "unique doc five with six words"),
+            (6, t),            # all boilerplate -> empty clean_text
+            (7, t + " tail"),  # clamped short trailing segment
+            (8, None),         # dropped
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_strips_frequent_segment_keeps_rest_in_order(self, strip_docs):
+        rows = {
+            r["doc_id"]: r
+            for r in TX.strip_boilerplate(strip_docs, min_doc_frac=0.5).collect()
+        }
+        # threshold ceil(0.5 * 7 docs) = 4; "terms of service" df = 6 >= 4
+        assert rows[1]["n_segments"] == 2 and rows[1]["n_kept"] == 1
+        assert rows[1]["clean_text"] == "alpha beta gamma"
+        assert rows[5]["n_kept"] == 2
+        assert rows[5]["clean_text"] == "unique doc five with six words"
+        assert rows[6]["n_kept"] == 0 and rows[6]["clean_text"] == ""
+        assert rows[7]["clean_text"] == "tail"  # short segment survives
+        assert 8 not in rows  # NULL text excluded
+
+    def test_nothing_frequent_is_identity(self, spark):
+        df = spark.createDataFrame(
+            [(1, "aa bb cc dd"), (2, "ee ff gg hh")], "doc_id long, text string"
+        )
+        rows = {r["doc_id"]: r for r in TX.strip_boilerplate(df).collect()}
+        assert rows[1]["clean_text"] == "aa bb cc dd"
+        assert rows[1]["n_segments"] == rows[1]["n_kept"] == 2
+
+
+class TestTwoStageTopK:
+    """Round-5 two-stage prefix-rerank ANN."""
+
+    @pytest.fixture(scope="class")
+    def vecs(self, spark):
+        rows = [
+            (0, [1.0, 0.0, 0.0, 0.0]),  # query
+            (1, [0.9, 0.1, 0.0, 0.0]),  # coarse 0.9, cos ~0.9938
+            (2, [0.8, 0.0, 0.6, 0.0]),  # coarse 0.8, cos 0.8
+            (3, [0.5, 0.0, 0.0, 0.0]),  # coarse 0.5, cos 1.0 (colinear)
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_full_shortlist_matches_bruteforce_order(self, vecs):
+        got = [
+            r["vec_id"]
+            for r in SIM.cosine_topk_two_stage(
+                vecs, k=3, prefix_dims=2, shortlist=10
+            ).collect()
+        ]
+        assert got == [3, 1, 2]  # exact cosine order, prefix only pre-ranks
+
+    def test_tight_shortlist_bounds_recall(self, vecs):
+        got = [
+            r["vec_id"]
+            for r in SIM.cosine_topk_two_stage(
+                vecs, k=2, prefix_dims=2, shortlist=2
+            ).collect()
+        ]
+        # coarse keeps {1, 2}; the colinear id 3 is sacrificed -> the
+        # approximation is visible and deterministic
+        assert got == [1, 2]
+
+
+class TestClusterKeepers:
+    """Round-5 quality-aware cluster representative selection."""
+
+    @pytest.fixture(scope="class")
+    def keeper_docs(self, spark):
+        rows = [
+            (10, "the quick brown fox jumps over the lazy dog"),
+            (11, "the quick brown fox jumps over the lazy dog again and again today"),
+            (12, "an identical pair of documents right here now"),
+            (13, "an identical pair of documents right here now"),
+            (14, "a lone document about nothing in particular"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_keeper_is_highest_quality_ties_to_min_id(self, keeper_docs):
+        logits = {
+            r["doc_id"]: r["quality_logit"]
+            for r in TX.quality_classify(keeper_docs).collect()
+        }
+        rows = {r["cluster_id"]: r for r in DD.cluster_keepers(keeper_docs).collect()}
+        assert sum(r["cluster_size"] for r in rows.values()) == 5
+        near = rows[10]  # 10/11 share >=0.2 trigram jaccard
+        assert near["cluster_size"] == 2
+        assert near["keeper_id"] == max((logits[i], -i) for i in (10, 11))[1] * -1
+        assert near["keeper_score"] == max(logits[10], logits[11])
+        exact = rows[12]  # identical texts -> equal scores -> min id wins
+        assert exact["cluster_size"] == 2 and exact["keeper_id"] == 12
+        assert rows[14]["cluster_size"] == 1 and rows[14]["keeper_id"] == 14
