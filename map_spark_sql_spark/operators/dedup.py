@@ -1534,18 +1534,22 @@ def cluster_keepers(
     their own keepers (components include all vertices).
 
     Output: ``(cluster_id, cluster_size, keeper_id, keeper_score)`` — all
-    exact integers.
+    exact integers. NULL-text documents are excluded up front: they have no
+    shingles (never cluster) and a NULL classifier score, and NULL-inside-
+    struct ordering is exactly the kind of engine-specific edge this package
+    refuses to depend on.
     """
     from map_spark_sql_spark.operators import graph as G
     from map_spark_sql_spark.operators.text import quality_classifier_sql
 
-    pairs = ngram_jaccard_pairs(df, text_col=text_col, id_col=id_col).select(
+    base = df.where(F.col(text_col).isNotNull())
+    pairs = ngram_jaccard_pairs(base, text_col=text_col, id_col=id_col).select(
         "a_id", "b_id"
     )
     labels = G.connected_components(
-        pairs, vertices=df.select(id_col), id_col=id_col
+        pairs, vertices=base.select(id_col), id_col=id_col
     )
-    scored = df.select(
+    scored = base.select(
         F.col(id_col),
         F.expr(quality_classifier_sql(text_col, "spark")).alias("score"),
     )
@@ -1571,13 +1575,13 @@ def cluster_keepers_oracle(
 
     cc = connected_components_oracle(
         pairs_sql=f"SELECT a_id, b_id FROM ({ngram_jaccard_pairs_oracle()}) jp",
-        vertices_sql=f"SELECT {id_col} FROM {table}",
+        vertices_sql=f"SELECT {id_col} FROM {table} WHERE {text} IS NOT NULL",
         id_col=id_col,
     )
     z = quality_classifier_sql(text, "duckdb")
     return f"""
 WITH labels AS ({cc}),
-scored AS (SELECT {id_col}, {z} AS score FROM {table}),
+scored AS (SELECT {id_col}, {z} AS score FROM {table} WHERE {text} IS NOT NULL),
 joined AS (SELECT l.cluster_id, l.{id_col}, s.score
            FROM labels l JOIN scored s USING ({id_col})),
 agg AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size,

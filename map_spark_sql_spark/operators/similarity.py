@@ -780,39 +780,18 @@ def _sq8_dot_sql(qa: str, qb: str, d: str) -> str:
 # --- PQ (product quantization + asymmetric distance) -------------------------
 
 
-def pq_topk(
+def _pq_codes_lut(
     df: DataFrame,
-    k: int = 10,
-    m: int = 8,
-    n_codes: int = 16,
-    dim: int = 64,
-    query_id: int = 0,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-) -> DataFrame:
-    """Product-quantization top-k with asymmetric distance computation —
-    the last rung of the ANN ladder (brute force -> IVF -> trained IVF ->
-    SQ8 -> PQ). The vector splits into ``m`` subspaces of ``dim/m``
-    components; each subvector is replaced by the id of its nearest
-    codeword (deterministic codebook: the sub-slices of the first
-    ``n_codes`` vectors by id — the same seeding convention as the IVF
-    coarse quantizer); a query scores a database vector as the SUM of its
-    per-subspace dot products with the vector's codewords (ADC: the query
-    stays exact, only the database side is quantized).
-
-    Why it matters at 100 TB: codes are ``m * log2(n_codes)`` bits per
-    vector (here 8 x 4 = 4 bytes vs 256 bytes of float32 — 64x smaller),
-    and scoring is ``m`` lookups into a broadcast table of
-    ``m * n_codes`` precomputed dots instead of a ``dim``-wide float dot.
-
-    Plan shape: codebook and lookup table are tiny broadcasts (m*n_codes
-    rows); code assignment is one broadcast join + min_by hash aggregate
-    per subspace batch (the N x (m*n_codes) fan-out collapses map-side);
-    scoring is a broadcast lookup join + per-vector sum; the final top-k is
-    TakeOrderedAndProject. No shuffle ever carries the full vectors except
-    the one hash agg keyed on (id, subspace). All tie-breaks on the lower
-    code/vector id. Output: ``(vec_id, approx_score, rank)``.
-    """
+    m: int,
+    n_codes: int,
+    dim: int,
+    query_id: int,
+    vec_col: str,
+    id_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared PQ machinery: the per-(vector, subspace) code assignment and
+    the query's ADC lookup table. Deterministic codebook = sub-slices of
+    the first ``n_codes`` vectors by id (the IVF seeding convention)."""
     sub = dim // m
     spark_sess = df.sparkSession
 
@@ -862,6 +841,43 @@ def pq_topk(
             ).alias("pdot"),
         )
     )
+    return codes, lut
+
+
+def pq_topk(
+    df: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    query_id: int = 0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product-quantization top-k with asymmetric distance computation —
+    the last rung of the ANN ladder (brute force -> IVF -> trained IVF ->
+    SQ8 -> PQ). The vector splits into ``m`` subspaces of ``dim/m``
+    components; each subvector is replaced by the id of its nearest
+    codeword (deterministic codebook: the sub-slices of the first
+    ``n_codes`` vectors by id — the same seeding convention as the IVF
+    coarse quantizer); a query scores a database vector as the SUM of its
+    per-subspace dot products with the vector's codewords (ADC: the query
+    stays exact, only the database side is quantized).
+
+    Why it matters at 100 TB: codes are ``m * log2(n_codes)`` bits per
+    vector (here 8 x 4 = 4 bytes vs 256 bytes of float32 — 64x smaller),
+    and scoring is ``m`` lookups into a broadcast table of
+    ``m * n_codes`` precomputed dots instead of a ``dim``-wide float dot.
+
+    Plan shape: codebook and lookup table are tiny broadcasts (m*n_codes
+    rows); code assignment is one broadcast join + min_by hash aggregate
+    per subspace batch (the N x (m*n_codes) fan-out collapses map-side);
+    scoring is a broadcast lookup join + per-vector sum; the final top-k is
+    TakeOrderedAndProject. No shuffle ever carries the full vectors except
+    the one hash agg keyed on (id, subspace). All tie-breaks on the lower
+    code/vector id. Output: ``(vec_id, approx_score, rank)``.
+    """
+    codes, lut = _pq_codes_lut(df, m, n_codes, dim, query_id, vec_col, id_col)
 
     from pyspark.sql import Window
 
@@ -926,6 +942,152 @@ lut AS (
 scored AS (
   SELECT a.{id_col}, round(sum(l.pdot), 6) AS approx_score
   FROM assign a JOIN lut l ON a.msub = l.msub AND a.code = l.code
+  WHERE a.{id_col} <> {query_id}
+  GROUP BY a.{id_col}),
+topk AS (SELECT * FROM scored ORDER BY approx_score DESC, {id_col} LIMIT {k})
+SELECT {id_col}, approx_score,
+       CAST(row_number() OVER (ORDER BY approx_score DESC, {id_col}) AS INTEGER) AS rank
+FROM topk
+"""
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    query_id: int = 0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ — the combination production ANN indexes actually deploy
+    (FAISS IVFPQ): the IVF coarse quantizer prunes the corpus to the
+    ``nprobe`` probed partitions, and PQ's asymmetric distance computation
+    scores only the survivors from 4-byte codes. At 100 TB this is the
+    only shape that wins on BOTH axes: the probe keeps
+    ~nprobe/n_centroids of the rows, PQ keeps 1/64th of the bytes per
+    scored row, and neither stage ever materializes a full-precision
+    distance matrix.
+
+    The codebook here quantizes raw vectors (not residuals against the
+    coarse centroid, which real IVF-PQ uses for tighter error bounds) so
+    the code table is shared verbatim with :func:`pq_topk` — the residual
+    refinement is a constant change inside ``_pq_codes_lut``; the
+    plumbing, plan shape, and oracle contract are the operator.
+
+    Plan shape: both quantizers assign via broadcast cross join +
+    ``min_by`` hash aggregate (map-side combined, no window); the probe
+    set and ADC lookup table are tiny broadcasts; the candidate
+    restriction is a hash join on id BEFORE the scoring join so pruned
+    rows never touch the LUT; top-k is TakeOrderedAndProject. Ties break
+    on the lower centroid/code/vector id everywhere.
+    Output: ``(vec_id, approx_score, rank)``.
+    """
+    cent = df.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    )
+    ccos = F.expr(cosine_cols_sql(vec_col, "cvec", "spark"))
+    assign = (
+        df.crossJoin(F.broadcast(cent))
+        .withColumn("ccos", ccos)
+        .groupBy(id_col)
+        .agg(F.expr("min_by(cid, struct(-ccos, cid))").alias("cid"))
+    )
+    q = df.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("qe"))
+    qcos_c = F.expr(cosine_cols_sql("cvec", "qe", "spark"))
+    probes = (
+        cent.crossJoin(F.broadcast(q))
+        .withColumn("qcos", qcos_c)
+        .orderBy(F.desc("qcos"), F.col("cid"))
+        .limit(nprobe)
+        .select("cid")
+    )
+    cand_ids = assign.join(F.broadcast(probes), "cid").select(id_col)
+
+    codes, lut = _pq_codes_lut(df, m, n_codes, dim, query_id, vec_col, id_col)
+
+    from pyspark.sql import Window
+
+    scored = (
+        codes.join(cand_ids, id_col)
+        .join(F.broadcast(lut), ["msub", "code"])
+        .groupBy(id_col)
+        .agg(F.round(F.sum("pdot"), 6).alias("approx_score"))
+        .filter(F.col(id_col) != query_id)
+    )
+    w = Window.orderBy(F.desc("approx_score"), F.asc(id_col))
+    return (
+        scored.orderBy(F.desc("approx_score"), F.asc(id_col))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
+    )
+
+
+def ivfpq_topk_oracle(
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    query_id: int = 0,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB twin of :func:`ivfpq_topk`: the IVF oracle's assignment/probe
+    CTEs chained with the PQ oracle's codebook/assignment/LUT CTEs, the
+    candidate restriction applied before scoring, identical tie-breaks."""
+    sub = dim // m
+    d = "duckdb"
+    ccos = cosine_cols_sql(vec_col, "cvec", d)
+    qcos_c = cosine_cols_sql("cvec", "qe", d)
+    return f"""
+WITH cent AS (SELECT {id_col} AS cid, {vec_col} AS cvec FROM {table}
+              WHERE {id_col} < {n_centroids}),
+q AS (SELECT {vec_col} AS qe FROM {table} WHERE {id_col} = {query_id}),
+iassign0 AS (
+  SELECT e.{id_col}, c.cid,
+         row_number() OVER (PARTITION BY e.{id_col} ORDER BY {ccos} DESC, c.cid) AS rn
+  FROM {table} e CROSS JOIN cent c),
+iassign AS (SELECT {id_col}, cid FROM iassign0 WHERE rn = 1),
+probes AS (
+  SELECT cid FROM cent CROSS JOIN q ORDER BY {qcos_c} DESC, cid LIMIT {nprobe}),
+cands AS (SELECT {id_col} FROM iassign JOIN probes USING (cid)),
+subs AS (SELECT unnest(generate_series(0, {m - 1})) AS msub),
+cb AS (
+  SELECT s.msub, e.{id_col} AS code,
+         list_transform(list_slice(e.{vec_col}, s.msub * {sub} + 1, s.msub * {sub} + {sub}),
+                        x -> CAST(x AS DOUBLE)) AS cw
+  FROM {table} e CROSS JOIN subs s WHERE e.{id_col} < {n_codes}),
+sliced AS (
+  SELECT e.{id_col}, s.msub,
+         list_slice(e.{vec_col}, s.msub * {sub} + 1, s.msub * {sub} + {sub}) AS sv
+  FROM {table} e CROSS JOIN subs s),
+pcand AS (
+  SELECT {id_col}, msub, code,
+         list_sum(list_transform(list_zip(sv, cw),
+             t -> (CAST(t[1] AS DOUBLE) - t[2]) * (CAST(t[1] AS DOUBLE) - t[2]))) AS l2
+  FROM sliced JOIN cb USING (msub)),
+passign AS (
+  SELECT {id_col}, msub, code FROM (
+    SELECT {id_col}, msub, code,
+           row_number() OVER (PARTITION BY {id_col}, msub ORDER BY l2, code) AS rn
+    FROM pcand) r
+  WHERE rn = 1),
+lut AS (
+  SELECT cb.msub, cb.code,
+         list_sum(list_transform(list_zip(cb.cw,
+             list_slice(q.qe, cb.msub * {sub} + 1, cb.msub * {sub} + {sub})),
+             t -> t[1] * CAST(t[2] AS DOUBLE))) AS pdot
+  FROM cb CROSS JOIN q),
+scored AS (
+  SELECT a.{id_col}, round(sum(l.pdot), 6) AS approx_score
+  FROM passign a JOIN cands USING ({id_col}) JOIN lut l
+    ON a.msub = l.msub AND a.code = l.code
   WHERE a.{id_col} <> {query_id}
   GROUP BY a.{id_col}),
 topk AS (SELECT * FROM scored ORDER BY approx_score DESC, {id_col} LIMIT {k})

@@ -816,6 +816,77 @@ GROUP BY s.{id_col}
 """
 
 
+# --- character-entropy quality signal -----------------------------------------
+
+
+def char_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document character-distribution Shannon entropy — the cheap
+    compressibility proxy (Gopher's compression-ratio filter family):
+    near-zero entropy flags degenerate repetition ('aaaa...'), unusually
+    high entropy flags binary-ish/encoded junk; prose sits in a stable band.
+
+    Zero-shuffle: the char histogram is built per row with staged
+    higher-order functions (split -> array_distinct -> per-char counts; each
+    HOF result staged as a column because Catalyst does not CSE inside
+    lambdas), so the whole operator is a projection over the scan — no
+    explode, no exchange, embarrassingly scan-local at any corpus size.
+
+    Cross-engine determinism (the text_lm_score discipline): each distinct
+    char contributes ``round(-ln(cnt/n) * 1e6) * cnt`` — an exact BIGINT —
+    and the per-document sum of integers is order-independent, so
+    array_distinct ordering differences between engines cannot matter.
+    ``mean_entropy_nats`` is the raw division of identical integers.
+    Output: ``(doc_id, n_chars_split, n_distinct_chars, sum_ent_micro,
+    mean_entropy_nats)``; NULL and empty texts are excluded (no
+    distribution to measure).
+    """
+    ent = (
+        "aggregate(_cnt, CAST(0 AS BIGINT), (s, k) -> s + "
+        "CAST(round(-ln(CAST(k AS DOUBLE) / size(_c)) * 1000000) AS BIGINT) * k)"
+    )
+    return (
+        df.where(F.col(text_col).isNotNull() & (F.length(text_col) > 0))
+        .withColumn("_c", F.expr(f"split({text_col}, '')"))
+        .withColumn("_dc", F.expr("array_distinct(_c)"))
+        .withColumn("_cnt", F.expr("transform(_dc, c -> size(filter(_c, x -> x = c)))"))
+        .select(
+            F.col(id_col),
+            F.expr("size(_c)").cast("long").alias("n_chars_split"),
+            F.expr("size(_dc)").cast("long").alias("n_distinct_chars"),
+            F.expr(ent).alias("sum_ent_micro"),
+        )
+        .withColumn(
+            "mean_entropy_nats",
+            F.col("sum_ent_micro") / 1000000.0 / F.col("n_chars_split"),
+        )
+    )
+
+
+def char_entropy_oracle(
+    table: str = "documents", text: str = "text", id_col: str = "doc_id"
+) -> str:
+    return f"""
+WITH s AS (SELECT {id_col}, string_split({text}, '') AS ch
+           FROM {table} WHERE {text} IS NOT NULL AND length({text}) > 0),
+d AS (SELECT {id_col}, ch, list_distinct(ch) AS dc FROM s),
+c AS (SELECT {id_col}, ch, dc,
+             list_transform(dc, cc -> len(list_filter(ch, x -> x = cc))) AS cnt
+      FROM d)
+SELECT {id_col},
+       CAST(len(ch) AS BIGINT) AS n_chars_split,
+       CAST(len(dc) AS BIGINT) AS n_distinct_chars,
+       CAST(list_sum(list_transform(cnt, k ->
+            CAST(round(-ln(CAST(k AS DOUBLE) / len(ch)) * 1000000) AS BIGINT) * k))
+            AS BIGINT) AS sum_ent_micro,
+       CAST(list_sum(list_transform(cnt, k ->
+            CAST(round(-ln(CAST(k AS DOUBLE) / len(ch)) * 1000000) AS BIGINT) * k))
+            AS BIGINT) / 1000000.0 / len(ch) AS mean_entropy_nats
+FROM c
+"""
+
+
 # --- unigram LM quality scoring ----------------------------------------------
 
 

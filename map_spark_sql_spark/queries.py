@@ -2502,6 +2502,15 @@ def similarity_topk_pq(spark, sf_dir):
     return SIM.pq_topk(load_table(spark, sf_dir, "embeddings"))
 
 
+@q("similarity_topk_ivfpq", SIM.ivfpq_topk_oracle())
+def similarity_topk_ivfpq(spark, sf_dir):
+    """IVF-PQ combined ANN (the FAISS-style production index): coarse
+    probe prunes rows to nprobe/n_centroids of the corpus, PQ ADC scores
+    the survivors from 4-byte codes — both quantizers min_by hash aggs,
+    candidate restriction applied before the LUT join."""
+    return SIM.ivfpq_topk(load_table(spark, sf_dir, "embeddings"))
+
+
 @q("similarity_topk_two_stage", SIM.cosine_topk_two_stage_oracle())
 def similarity_topk_two_stage(spark, sf_dir):
     """Two-stage matryoshka-style ANN: coarse rank on the raw dot of the
@@ -3086,6 +3095,16 @@ def dedup_cluster_keepers(spark, sf_dir):
     hash agg, no window. Upgrades the funnel's min-id policy to
     keep-the-best-copy."""
     return DD.cluster_keepers(load_table(spark, sf_dir, "documents"))
+
+
+@q("text_char_entropy", TX.char_entropy_oracle())
+def text_char_entropy(spark, sf_dir):
+    """Character-distribution entropy per document (compressibility proxy:
+    low = degenerate repetition, high = encoded junk). Zero-shuffle — the
+    char histogram is staged HOF columns over the scan; per-char terms are
+    quantized to integer micro-nats so the order-independent integer sum is
+    engine-exact."""
+    return TX.char_entropy(load_table(spark, sf_dir, "documents"))
 
 
 @q("text_lm_score", TX.lm_score_oracle())

@@ -1475,3 +1475,55 @@ class TestClusterKeepers:
         exact = rows[12]  # identical texts -> equal scores -> min id wins
         assert exact["cluster_size"] == 2 and exact["keeper_id"] == 12
         assert rows[14]["cluster_size"] == 1 and rows[14]["keeper_id"] == 14
+
+
+class TestCharEntropy:
+    """Round-5 character-entropy quality signal (zero-shuffle HOF path)."""
+
+    def test_known_distribution_micro_nats(self, spark):
+        df = spark.createDataFrame(
+            [(1, "aabbbbcc"), (2, "aaaa"), (3, None), (4, "")],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in TX.char_entropy(df).collect()}
+        r1 = rows[1]  # counts 2/4/2 of 8: 2*ln4 + 4*ln2 + 2*ln4 micro-nats
+        assert r1["n_chars_split"] == 8 and r1["n_distinct_chars"] == 3
+        assert r1["sum_ent_micro"] == 2 * 1386294 + 4 * 693147 + 2 * 1386294
+        assert abs(r1["mean_entropy_nats"] - 1.0397205) < 1e-6
+        assert rows[2]["sum_ent_micro"] == 0  # degenerate repetition
+        assert 3 not in rows and 4 not in rows  # NULL/empty excluded
+
+
+class TestIVFPQTopK:
+    def test_probe_restricts_then_pq_ranks(self, spark):
+        """IVF-PQ must (a) find the obvious near-copy when its partition is
+        probed and (b) return a subset of plain PQ's scoring universe —
+        every result id must belong to a probed coarse partition."""
+        import random
+
+        from map_spark_sql_spark.operators.similarity import (
+            cosine_cols_sql,
+            ivfpq_topk,
+            pq_topk,
+        )
+
+        rng = random.Random(11)
+        dim, m, n_codes, n_cent = 16, 4, 4, 4
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(40)]
+        rows[30] = (30, [x * 1.0001 for x in rows[5][1]])
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = ivfpq_topk(
+            df, k=5, n_centroids=n_cent, nprobe=2, m=m, n_codes=n_codes,
+            dim=dim, query_id=5,
+        ).collect()
+        assert got[0]["vec_id"] == 30 and got[0]["rank"] == 1
+        # candidate restriction: every returned id sits in a probed partition
+        full = {
+            r["vec_id"]: r["approx_score"]
+            for r in pq_topk(
+                df, k=40, m=m, n_codes=n_codes, dim=dim, query_id=5
+            ).collect()
+        }
+        for r in got:
+            assert full[r["vec_id"]] == r["approx_score"]  # same ADC scores
+        assert len(got) <= 5

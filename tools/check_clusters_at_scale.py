@@ -22,8 +22,9 @@ partition of the vertex set, per-cluster min id equals the label, every
 edge's endpoints share a label) so a failure localizes to a stage.
 
 Usage: python tools/check_clusters_at_scale.py [sf_dir] [query ...]
-Queries covered: dedup_connected_components, similarity_semantic_clusters,
-corpus_curation, corpus_curation_report (default: all four).
+Queries covered: dedup_connected_components, dedup_cluster_keepers,
+similarity_semantic_clusters, corpus_curation, corpus_curation_report
+(default: all five).
 """
 
 from __future__ import annotations
@@ -122,6 +123,7 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else ".scratch/sf100x"
     only = set(sys.argv[2:]) or {
         "dedup_connected_components",
+        "dedup_cluster_keepers",
         "similarity_semantic_clusters",
         "corpus_curation",
         "corpus_curation_report",
@@ -152,6 +154,38 @@ def main() -> int:
         ok &= compare(
             "dedup_connected_components", got, list(labels.items()), t_spark, t_duck
         )
+
+    if "dedup_cluster_keepers" in only:
+        from map_spark_sql_spark.operators.text import quality_classifier_sql
+
+        t0 = time.time()
+        edges = con.execute(
+            f"SELECT a_id, b_id FROM ({DD.ngram_jaccard_pairs_oracle()}) jp"
+        ).fetchall()
+        verts = [
+            r[0]
+            for r in con.execute(
+                "SELECT doc_id FROM documents WHERE text IS NOT NULL"
+            ).fetchall()
+        ]
+        labels = union_find_labels(edges, verts)
+        assert_invariants(labels, edges, verts)
+        z = quality_classifier_sql("text", "duckdb")
+        scores = dict(
+            con.execute(
+                f"SELECT doc_id, {z} FROM documents WHERE text IS NOT NULL"
+            ).fetchall()
+        )
+        # mirror max_by(doc, struct(score, -doc_id)): max score, ties -> min id
+        agg: dict = {}
+        for v, c in labels.items():
+            size, best = agg.get(c, (0, None))
+            cand = (scores[v], -v)
+            agg[c] = (size + 1, cand if best is None else max(best, cand))
+        want = [(c, size, -best[1], best[0]) for c, (size, best) in agg.items()]
+        t_duck = time.time() - t0
+        got, t_spark = run_spark("dedup_cluster_keepers")
+        ok &= compare("dedup_cluster_keepers", got, want, t_spark, t_duck)
 
     if "similarity_semantic_clusters" in only:
         t0 = time.time()
