@@ -1594,3 +1594,198 @@ ranked AS (SELECT cluster_id, {id_col},
 SELECT a.cluster_id, a.cluster_size, r.{id_col} AS keeper_id, a.keeper_score
 FROM agg a JOIN ranked r ON a.cluster_id = r.cluster_id AND r.rn = 1
 """
+
+
+# --- corpus-wide keep-first segment dedup (CCNet-style) -----------------------
+
+
+def global_segment_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """CCNet-style corpus-wide EXACT segment dedup with keep-first
+    semantics: every duplicated ``n``-word segment survives only at its
+    first occurrence in corpus order (lowest ``(doc_id, pos)``) and is
+    dropped everywhere else — including later repeats inside the same
+    document. This is the complement of ``text.strip_boilerplate``: the
+    boilerplate pass removes high-document-frequency segments *everywhere*,
+    this pass keeps exactly one copy of *every* repeated segment (CCNet
+    dedups paragraphs corpus-wide this way before any quality scoring).
+
+    100 TB shape: one explode shuffle keyed on segment content for the
+    keep-first hash aggregate (``min`` of the occurrence key — no window,
+    no sort), one co-partitioned shuffle join of the occurrence table back
+    to the keeper table on the same key (the aggregate's output
+    partitioning is reused), one groupBy(doc) reassembly bounded by a
+    single document's length. Nothing broadcasts a corpus-sized set.
+
+    Cross-engine determinism: the occurrence key packs ``(doc_id, pos)``
+    into one BIGINT (``doc_id * 2^31 + pos``), so "first occurrence" is a
+    plain integer ``min`` in both engines — no struct-ordering or
+    NULL-inside-struct semantics anywhere. Safe while doc_id < 2^32 and
+    pos < 2^31 (pos is bounded by words-per-document / n).
+
+    Output: ``(doc_id, n_segments, n_kept, dedup_text)`` — exact integers
+    and a deterministic string. NULL-text documents are excluded (nothing
+    to deduplicate), matching the segment-family convention.
+    """
+    from map_spark_sql_spark.operators.text import _segments_sql
+
+    base = df.where(F.col(text_col).isNotNull()).withColumn(
+        "_w", F.expr(words_sql(text_col, "spark"))
+    )
+    segs = (
+        base.select(
+            F.col(id_col),
+            F.explode(F.expr(_segments_sql("_w", n, "spark"))).alias("s"),
+        )
+        .select(F.col(id_col), F.col("s.pos").alias("pos"), F.col("s.seg").alias("seg"))
+        .withColumn(
+            "okey", F.col(id_col) * F.lit(2147483648).cast("long") + F.col("pos")
+        )
+    )
+    first = segs.groupBy("seg").agg(F.min("okey").alias("first_okey"))
+    kept = segs.join(first, "seg").withColumn(
+        "_keep", F.col("okey") == F.col("first_okey")
+    )
+    return kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.sum(F.when(F.col("_keep"), 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.expr(
+                "transform(array_sort(collect_list("
+                "CASE WHEN _keep THEN struct(pos, seg) END)), s -> s.seg)"
+            ),
+        ).alias("dedup_text"),
+    )
+
+
+def global_segment_dedup_oracle(
+    table: str = "documents",
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> str:
+    """DuckDB twin of :func:`global_segment_dedup`: identical segmentation,
+    the same packed-BIGINT occurrence key, ordered reassembly via
+    ``string_agg(.. ORDER BY pos) FILTER``."""
+    from map_spark_sql_spark.operators.text import _segments_sql
+
+    w = words_sql(text, "duckdb")
+    seg_list = _segments_sql("w", n, "duckdb")
+    return f"""
+WITH base AS (SELECT {id_col}, {w} AS w FROM {table} WHERE {text} IS NOT NULL),
+segs0 AS (SELECT {id_col}, unnest({seg_list}) AS s FROM base),
+segs AS (SELECT {id_col}, s.pos AS pos, s.seg AS seg,
+                {id_col} * 2147483648 + s.pos AS okey
+         FROM segs0),
+first AS (SELECT seg, min(okey) AS first_okey FROM segs GROUP BY seg)
+SELECT s.{id_col} AS {id_col},
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(count(*) FILTER (WHERE s.okey = f.first_okey) AS BIGINT) AS n_kept,
+       coalesce(string_agg(s.seg, ' ' ORDER BY s.pos)
+                FILTER (WHERE s.okey = f.first_okey), '') AS dedup_text
+FROM segs s JOIN first f USING (seg)
+GROUP BY s.{id_col}
+"""
+
+
+# --- LSH recall diagnostic ----------------------------------------------------
+
+
+def minhash_recall(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle: int = 2,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+    max_df: int = 200,
+) -> DataFrame:
+    """Candidate-recall audit for the MinHash/LSH pipeline: how many of the
+    TRUE near-duplicate pairs (exact n-gram Jaccard >= ``threshold`` over
+    the same shingle space, as :func:`ngram_jaccard_pairs` computes them)
+    does the banding stage actually surface as candidates? LSH is a
+    probabilistic filter — deploying it without measuring recall against
+    exact Jaccard on a sample is how silent coverage loss ships. This is
+    the no-silent-caps principle applied to the algorithm itself, not just
+    the ``max_bucket`` guard (:func:`minhash_band_stats` covers that one).
+
+    The candidate set is the banding stage at estimate-threshold 0 — i.e.
+    every pair that shares any band bucket, before the signature-similarity
+    filter — so the measured quantity is the recall of the *candidate
+    generation*, the only stage that can lose a pair irrecoverably.
+
+    Scale shape: both pair relations are the existing scale-shaped
+    operators; the intersection is one hash join on (a_id, b_id); the three
+    counts are 1-row aggregates cross-joined (broadcast). Recall is exact
+    integer ppm (``1000000 * matched DIV exact``; an empty exact set reads
+    as perfect recall in both engines).
+
+    Output: one row ``(n_exact, n_candidates, n_matched, recall_ppm)``.
+    """
+    exact = ngram_jaccard_pairs(
+        df, text_col=text_col, id_col=id_col, shingle=shingle,
+        threshold=threshold, max_df=max_df,
+    ).select("a_id", "b_id")
+    cand = minhash_pairs(
+        df, text_col=text_col, id_col=id_col, num_hashes=num_hashes,
+        shingle=shingle, bands=bands, threshold=0.0, max_bucket=max_bucket,
+    ).select("a_id", "b_id")
+    n_exact = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    n_match = (
+        exact.join(cand, ["a_id", "b_id"])
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matched"))
+    )
+    return (
+        n_exact.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_match))
+        .withColumn(
+            "recall_ppm",
+            F.expr(
+                "CAST(CASE WHEN n_exact = 0 THEN 1000000 "
+                "ELSE (1000000 * n_matched) DIV n_exact END AS BIGINT)"
+            ),
+        )
+    )
+
+
+def minhash_recall_oracle(
+    table: str = "documents",
+    text: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle: int = 2,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+    max_df: int = 200,
+) -> str:
+    """DuckDB twin of :func:`minhash_recall`: the two existing pair oracles
+    composed, intersection on (a_id, b_id), integer-ppm recall."""
+    exact_sql = ngram_jaccard_pairs_oracle(
+        table=table, text=text, id_col=id_col, shingle=shingle,
+        threshold=threshold, max_df=max_df,
+    )
+    cand_sql = minhash_pairs_oracle(
+        table=table, text=text, id_col=id_col, num_hashes=num_hashes,
+        shingle=shingle, bands=bands, threshold=0.0, max_bucket=max_bucket,
+    )
+    return f"""
+WITH exact_p AS (SELECT a_id, b_id FROM ({exact_sql}) e),
+cand_p AS (SELECT a_id, b_id FROM ({cand_sql}) c),
+ne AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact_p),
+nc AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cand_p),
+nm AS (SELECT CAST(count(*) AS BIGINT) AS n_matched
+       FROM exact_p JOIN cand_p USING (a_id, b_id))
+SELECT n_exact, n_candidates, n_matched,
+       CAST(CASE WHEN n_exact = 0 THEN 1000000
+            ELSE (1000000 * n_matched) // n_exact END AS BIGINT) AS recall_ppm
+FROM ne CROSS JOIN nc CROSS JOIN nm
+"""

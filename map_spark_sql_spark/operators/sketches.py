@@ -234,3 +234,122 @@ est AS (
 SELECT {key_col}, cm_est, exact_n, cm_est - exact_n AS overcount
 FROM est ORDER BY cm_est DESC, {key_col} LIMIT {k}
 """
+
+
+# --- Bloom-filter digest membership prefilter ----------------------------------
+
+
+def _bloom_pos_sql(key: str, j: int, m: int, d: str) -> str:
+    """Bit position j for a key expression — the count-min md5 hash family
+    (``_cm_bucket_sql``) reused with the bloom's own salt prefix, so both
+    engines compute the identical k positions and the whole operator is a
+    full hash gate, not a bound verdict."""
+    if d == "spark":
+        return (
+            f"CAST(conv(substring(md5(concat('bf{j}', ':', CAST({key} AS STRING))), 1, 8), 16, 10) "
+            f"AS BIGINT) % {m}"
+        )
+    return (
+        f"CAST(('0x' || substr(md5('bf{j}' || ':' || CAST({key} AS VARCHAR)), 1, 8)) AS BIGINT) % {m}"
+    )
+
+
+def bloom_prefilter(
+    standing: DataFrame,
+    batch: DataFrame,
+    k: int = 3,
+    m: int = 65536,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bloom-filter membership prefilter for batch-over-corpus dedup: build
+    a k-hash Bloom filter over the STANDING corpus's content digests, probe
+    every BATCH document against it, and report the exact truth alongside —
+    ``(doc_id, bloom_hit, present, false_positive)``.
+
+    Why this exists at 100 TB: ``incremental_dedup``'s anti join must
+    shuffle the whole batch against the digest table every run. The Bloom
+    filter is at most ``m`` set-bit rows (a few KB broadcast) REGARDLESS of
+    standing-corpus size, so the probe is scan-local + tiny broadcast join,
+    and only bloom-maybe rows (true members + false positives) need the
+    exact digest join at all. Bloom guarantees no false negatives — a
+    bloom-miss row is definitely new and skips the shuffle entirely. The
+    ``present``/``false_positive`` columns keep the FP rate observable
+    (no-silent-caps): sizing rule m >= ~14n bits for ~0.1% FP at k=3; an
+    undersized filter degrades to "everything hits" visibly, never to a
+    wrong dedup.
+
+    Plan shape: one distinct-positions aggregate over the standing scan
+    (<= m rows out), broadcast to the batch's exploded probe positions,
+    one groupBy(doc) rollup, and one broadcast-able distinct-digest join
+    for the exact flag. NULL-text rows are excluded on both sides (no
+    digest to hash).
+
+    Hash family: md5-derived positions (``_bloom_pos_sql``) — identical in
+    both engines, so the output row set is engine-exact.
+    """
+    from map_spark_sql_spark.operators.dedup import content_hash
+
+    s = standing.where(F.col(text_col).isNotNull()).select(
+        content_hash(text_col).alias("_dg")
+    )
+    positions = F.array(
+        *[F.expr(_bloom_pos_sql("_dg", j, m, "spark")) for j in range(k)]
+    )
+    bits = (
+        s.select(F.explode(positions).alias("pos"))
+        .distinct()
+        .withColumn("_set", F.lit(1))
+    )
+    b = batch.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), content_hash(text_col).alias("_dg")
+    )
+    probes = b.select(id_col, "_dg", F.explode(positions).alias("pos"))
+    hits = (
+        probes.join(F.broadcast(bits), "pos", "left")
+        .groupBy(id_col, "_dg")
+        .agg((F.sum(F.coalesce("_set", F.lit(0))) == k).alias("bloom_hit"))
+    )
+    known = s.distinct().withColumn("_known", F.lit(1))
+    return (
+        hits.join(known, hits["_dg"] == known["_dg"], "left")
+        .select(
+            F.col(id_col),
+            F.col("bloom_hit"),
+            F.col("_known").isNotNull().alias("present"),
+            (F.col("bloom_hit") & F.col("_known").isNull()).alias("false_positive"),
+        )
+    )
+
+
+def bloom_prefilter_oracle(
+    standing_sql: str,
+    batch_sql: str,
+    k: int = 3,
+    m: int = 65536,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`bloom_prefilter` — identical md5 hash family,
+    identical set-bit construction. ``standing_sql``/``batch_sql`` yield
+    relations with ``({id_col}, {text})``."""
+    from map_spark_sql_spark.operators.dedup import content_hash_sql
+
+    h = content_hash_sql(text, "duckdb")
+    pos_exprs = ", ".join(_bloom_pos_sql("_dg", j, m, "duckdb") for j in range(k))
+    return f"""
+WITH s AS (SELECT {h} AS _dg FROM ({standing_sql}) st WHERE {text} IS NOT NULL),
+bits AS (SELECT DISTINCT unnest([{pos_exprs}]) AS pos FROM s),
+b AS (SELECT {id_col}, {h} AS _dg FROM ({batch_sql}) bt WHERE {text} IS NOT NULL),
+probes AS (SELECT {id_col}, _dg, unnest([{pos_exprs}]) AS pos FROM b),
+hits AS (
+  SELECT p.{id_col}, p._dg,
+         (count(*) FILTER (WHERE bi.pos IS NOT NULL)) = {k} AS bloom_hit
+  FROM probes p LEFT JOIN bits bi ON p.pos = bi.pos
+  GROUP BY p.{id_col}, p._dg),
+known AS (SELECT DISTINCT _dg FROM s)
+SELECT h.{id_col}, h.bloom_hit,
+       kn._dg IS NOT NULL AS present,
+       (h.bloom_hit AND kn._dg IS NULL) AS false_positive
+FROM hits h LEFT JOIN known kn ON h._dg = kn._dg
+"""

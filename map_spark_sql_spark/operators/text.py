@@ -1038,3 +1038,111 @@ SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_tokens,
        string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY pos) AS ids
 FROM joined GROUP BY {id_col}
 """
+
+
+# --- DSIR-style importance weights ---------------------------------------------
+
+
+def dsir_weights(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023), the
+    unigram instantiation: weight every document by how much more likely
+    its tokens are under the TARGET distribution (here: the corpus's own
+    quality-classifier accepts — the stand-in for "looks like Wikipedia")
+    than under the RAW distribution (the whole corpus). Documents with
+    positive weight look target-like; resampling by these weights shifts
+    the mixture toward the target domain without a learned model.
+
+    Per token t (add-1 smoothing over the JOINT vocabulary V):
+
+        lam(t) = ln((n_target(t)+1) / (N_target+V))
+               - ln((n_raw(t)+1)    / (N_raw+V))
+
+    quantized to integer micro-nats per distinct token BEFORE the
+    per-document sum (the text_lm_score discipline: only ~|V| distinct
+    ``ln`` evaluations exist; the accumulated per-doc value is an exact
+    integer, immune to float summation order).
+
+    Scale shape: ONE token explode feeds both distributions — the target
+    count is a conditional sum over the same exploded relation, not a
+    second scan; the feature table shuffles on token, joins back to the
+    token stream co-partitioned, and the three scalars (N_t, N_r, V) ride
+    a 1-row broadcast. Per-doc rollup is the usual (doc) shuffle. No
+    Python, no windows, no driver state.
+
+    Output: ``(doc_id, n_tokens, dsir_micro, mean_dsir)`` — NULL-text
+    documents excluded (no tokens to weigh).
+    """
+    words = f"filter({_words(f'lower({text_col})', 'spark')}, t -> t <> '')"
+    accept = F.expr(quality_classifier_sql(text_col, "spark")) >= 0
+    toks = (
+        df.where(F.col(text_col).isNotNull())
+        .withColumn("_acc", accept)
+        .select(F.col(id_col), F.col("_acc"), F.explode(F.expr(words)).alias("term"))
+    )
+    feat = toks.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("n_raw"),
+        F.sum(F.when(F.col("_acc"), 1).otherwise(0)).cast("long").alias("n_tgt"),
+    )
+    # scalar names must not collide case-insensitively with the per-term
+    # columns (Spark resolution is case-insensitive: N_tgt would be
+    # ambiguous against n_tgt after the join)
+    totals = feat.agg(
+        F.sum("n_raw").cast("long").alias("tot_raw"),
+        F.sum("n_tgt").cast("long").alias("tot_tgt"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+    )
+    lam = F.expr(
+        "CAST(round((ln(CAST(n_tgt + 1 AS DOUBLE) / CAST(tot_tgt + vocab AS DOUBLE)) - "
+        "ln(CAST(n_raw + 1 AS DOUBLE) / CAST(tot_raw + vocab AS DOUBLE))) * 1000000) AS BIGINT)"
+    )
+    return (
+        toks.join(feat, "term")
+        .crossJoin(F.broadcast(totals))
+        .select(F.col(id_col), lam.alias("lam_u"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("lam_u").cast("long").alias("dsir_micro"),
+        )
+        .withColumn(
+            # raw division of identical exact integers — bit-identical in
+            # both engines (the lm_score rule: no final round())
+            "mean_dsir",
+            F.col("dsir_micro") / 1000000.0 / F.col("n_tokens"),
+        )
+    )
+
+
+def dsir_weights_oracle(
+    table: str = "documents", text: str = "text", id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of :func:`dsir_weights`: same joint-vocabulary add-1
+    smoothing, same per-token integer micro-nat quantization."""
+    words = _words(f"lower({text})", "duckdb")
+    z = quality_classifier_sql(text, "duckdb")
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, ({z}) >= 0 AS _acc,
+         unnest(list_filter({words}, t -> t <> '')) AS term
+  FROM {table} WHERE {text} IS NOT NULL
+),
+feat AS (SELECT term, CAST(count(*) AS BIGINT) AS n_raw,
+                CAST(count(*) FILTER (WHERE _acc) AS BIGINT) AS n_tgt
+         FROM toks GROUP BY term),
+totals AS (SELECT CAST(sum(n_raw) AS BIGINT) AS tot_raw,
+                  CAST(sum(n_tgt) AS BIGINT) AS tot_tgt,
+                  CAST(count(*) AS BIGINT) AS vocab FROM feat),
+scored AS (
+  SELECT t.{id_col},
+         CAST(round((ln(CAST(f.n_tgt + 1 AS DOUBLE) / CAST(tt.tot_tgt + tt.vocab AS DOUBLE)) -
+                     ln(CAST(f.n_raw + 1 AS DOUBLE) / CAST(tt.tot_raw + tt.vocab AS DOUBLE))) * 1000000)
+              AS BIGINT) AS lam_u
+  FROM toks t JOIN feat f USING (term) CROSS JOIN totals tt
+)
+SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(lam_u) AS BIGINT) AS dsir_micro,
+       CAST(sum(lam_u) AS BIGINT) / 1000000.0 / count(*) AS mean_dsir
+FROM scored GROUP BY {id_col}
+"""

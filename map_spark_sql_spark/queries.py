@@ -3107,6 +3107,53 @@ def text_char_entropy(spark, sf_dir):
     return TX.char_entropy(load_table(spark, sf_dir, "documents"))
 
 
+@q("dedup_segments_global", DD.global_segment_dedup_oracle())
+def dedup_segments_global(spark, sf_dir):
+    """CCNet-style corpus-wide keep-first segment dedup: every duplicated
+    n-word segment survives only at its lowest (doc_id, pos) occurrence;
+    documents are reassembled in order. Keep-first is a plain integer min
+    over a packed (doc_id, pos) BIGINT key — hash aggregate, no window —
+    and the keeper join reuses the aggregate's partitioning."""
+    return DD.global_segment_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@q("dedup_minhash_recall", DD.minhash_recall_oracle())
+def dedup_minhash_recall(spark, sf_dir):
+    """LSH candidate-recall audit: exact n-gram Jaccard pairs at threshold
+    vs the band-bucket candidate set (estimate filter off), intersected on
+    (a_id, b_id); recall as exact integer ppm. The no-silent-caps principle
+    applied to the algorithm itself — banding recall is measured, not
+    assumed."""
+    return DD.minhash_recall(load_table(spark, sf_dir, "documents"))
+
+
+_BLOOM_STANDING = "SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0"
+_BLOOM_BATCH = "SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0"
+
+
+@q("docs_bloom_prefilter", SK.bloom_prefilter_oracle(_BLOOM_STANDING, _BLOOM_BATCH))
+def docs_bloom_prefilter(spark, sf_dir):
+    """Bloom-filter membership prefilter for batch-over-corpus dedup: the
+    standing corpus's digests set <= m bits (a broadcast-size set REGARDLESS
+    of corpus size); each batch doc probes k md5-derived positions. No false
+    negatives — bloom-miss rows skip the exact digest shuffle entirely; the
+    present/false_positive columns keep the FP rate observable."""
+    docs = load_table(spark, sf_dir, "documents")
+    return SK.bloom_prefilter(
+        docs.filter("doc_id % 5 != 0"), docs.filter("doc_id % 5 = 0")
+    )
+
+
+@q("docs_dsir_weights", TX.dsir_weights_oracle())
+def docs_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (unigram instantiation): per-token
+    log-ratio of target (quality-accept) vs raw corpus unigram LMs with
+    add-1 smoothing over the joint vocabulary, quantized to integer
+    micro-nats per distinct token, summed exactly per document. One token
+    explode feeds both distributions; scalars ride a 1-row broadcast."""
+    return TX.dsir_weights(load_table(spark, sf_dir, "documents"))
+
+
 @q("text_lm_score", TX.lm_score_oracle())
 def text_lm_score(spark, sf_dir):
     """Unigram-LM perplexity filter: the corpus trains its own unigram

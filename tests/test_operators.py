@@ -1527,3 +1527,126 @@ class TestIVFPQTopK:
         for r in got:
             assert full[r["vec_id"]] == r["approx_score"]  # same ADC scores
         assert len(got) <= 5
+
+
+class TestGlobalSegmentDedup:
+    """Round-5 CCNet-style corpus-wide keep-first segment dedup."""
+
+    def test_keep_first_across_and_within_docs(self, spark):
+        # n=3 word segments; "a b c" appears in docs 1 (pos 0), 2 (pos 0) and
+        # TWICE in doc 3 — only doc 1 pos 0 survives. Unique segments stay.
+        df = spark.createDataFrame(
+            [
+                (1, "a b c x y z"),
+                (2, "a b c q r s"),
+                (3, "a b c a b c"),
+                (4, None),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in DD.global_segment_dedup(df, n=3).collect()}
+        assert rows[1]["n_segments"] == 2 and rows[1]["n_kept"] == 2
+        assert rows[1]["dedup_text"] == "a b c x y z"
+        assert rows[2]["n_kept"] == 1 and rows[2]["dedup_text"] == "q r s"
+        assert rows[3]["n_kept"] == 0 and rows[3]["dedup_text"] == ""
+        assert 4 not in rows  # NULL text excluded
+
+    def test_trailing_short_segment_kept(self, spark):
+        df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+        r = DD.global_segment_dedup(df, n=3).collect()[0]
+        assert r["n_segments"] == 2 and r["dedup_text"] == "a b c d"
+
+
+class TestBloomPrefilter:
+    def test_no_false_negatives_and_flags(self, spark):
+        from map_spark_sql_spark.operators.sketches import bloom_prefilter
+
+        standing = spark.createDataFrame(
+            [(i, f"standing doc number {i}") for i in range(50)],
+            "doc_id long, text string",
+        )
+        batch = spark.createDataFrame(
+            # 100/101 duplicate standing 7/13; 102 is new; 103 NULL
+            [
+                (100, "standing doc number 7"),
+                (101, "standing doc number 13"),
+                (102, "entirely new content"),
+                (103, None),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in bloom_prefilter(standing, batch).collect()}
+        assert rows[100]["present"] and rows[100]["bloom_hit"]  # no false negative
+        assert rows[101]["present"] and rows[101]["bloom_hit"]
+        assert not rows[102]["present"]
+        assert rows[102]["false_positive"] == rows[102]["bloom_hit"]
+        assert 103 not in rows  # NULL text excluded
+        for r in rows.values():  # invariant: present implies bloom_hit
+            assert not (r["present"] and not r["bloom_hit"])
+
+
+class TestMinhashRecall:
+    def test_exact_duplicates_are_recalled(self, spark):
+        words = "the quick brown fox jumps over the lazy dog again and again"
+        df = spark.createDataFrame(
+            [(1, words), (2, words), (3, "completely different text here now"),
+             (4, "another unrelated document body entirely")],
+            "doc_id long, text string",
+        )
+        r = DD.minhash_recall(df, max_df=10).collect()[0]
+        # identical docs: jaccard = 1.0 >= 0.5, and identical signatures
+        # share every band -> the pair must be exact, candidate, and matched
+        assert r["n_exact"] >= 1 and r["n_matched"] >= 1
+        assert r["n_matched"] <= r["n_exact"]
+        assert r["recall_ppm"] == (1000000 * r["n_matched"]) // r["n_exact"]
+
+    def test_empty_exact_set_reads_perfect(self, spark):
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma delta"), (2, "wholly distinct words only")],
+            "doc_id long, text string",
+        )
+        r = DD.minhash_recall(df).collect()[0]
+        assert r["n_exact"] == 0 and r["recall_ppm"] == 1000000
+
+
+class TestDsirWeights:
+    def test_matches_pure_python_mirror(self, spark):
+        import math
+
+        texts = {
+            1: "the cat sat on the mat",
+            2: "cat cat cat cat",
+            3: "dog dog the mat",
+        }
+        df = spark.createDataFrame(
+            [(k, v) for k, v in texts.items()] + [(4, None)],
+            "doc_id long, text string",
+        )
+        accepted = {
+            r["doc_id"]: r["accepted"]
+            for r in TX.quality_classify(df.where("text is not null")).collect()
+        }
+        # pure-python mirror of the add-1 smoothed unigram log-ratio
+        n_raw, n_tgt = {}, {}
+        for d, t in texts.items():
+            for w in t.lower().split(" "):
+                n_raw[w] = n_raw.get(w, 0) + 1
+                if accepted[d]:
+                    n_tgt[w] = n_tgt.get(w, 0) + 1
+        V, Nr, Nt = len(n_raw), sum(n_raw.values()), sum(n_tgt.values())
+        lam = {
+            w: round(
+                (math.log((n_tgt.get(w, 0) + 1) / (Nt + V))
+                 - math.log((n_raw[w] + 1) / (Nr + V))) * 1e6
+            )
+            for w in n_raw
+        }
+        want = {
+            d: sum(lam[w] for w in t.lower().split(" "))
+            for d, t in texts.items()
+        }
+        rows = {r["doc_id"]: r for r in TX.dsir_weights(df).collect()}
+        assert 4 not in rows
+        for d, t in texts.items():
+            assert rows[d]["dsir_micro"] == want[d], d
+            assert rows[d]["n_tokens"] == len(t.split(" "))
