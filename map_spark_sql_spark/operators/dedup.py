@@ -1614,12 +1614,13 @@ def global_segment_dedup(
     this pass keeps exactly one copy of *every* repeated segment (CCNet
     dedups paragraphs corpus-wide this way before any quality scoring).
 
-    100 TB shape: one explode shuffle keyed on segment content for the
-    keep-first hash aggregate (``min`` of the occurrence key — no window,
-    no sort), one co-partitioned shuffle join of the occurrence table back
-    to the keeper table on the same key (the aggregate's output
-    partitioning is reused), one groupBy(doc) reassembly bounded by a
-    single document's length. Nothing broadcasts a corpus-sized set.
+    100 TB shape: ONE explode shuffle keyed on segment content, with
+    keep-first computed as ``min(okey) over (partition by seg)`` on that
+    exchange — the groupBy+join formulation would evaluate the segment
+    explode (the expensive string pass) once per join side, since column
+    pruning defeats exchange reuse between the two branches. Then one
+    groupBy(doc) reassembly bounded by a single document's length.
+    Nothing broadcasts a corpus-sized set.
 
     Cross-engine determinism: the occurrence key packs ``(doc_id, pos)``
     into one BIGINT (``doc_id * 2^31 + pos``), so "first occurrence" is a
@@ -1646,9 +1647,18 @@ def global_segment_dedup(
             "okey", F.col(id_col) * F.lit(2147483648).cast("long") + F.col("pos")
         )
     )
-    first = segs.groupBy("seg").agg(F.min("okey").alias("first_okey"))
-    kept = segs.join(first, "seg").withColumn(
-        "_keep", F.col("okey") == F.col("first_okey")
+    # Keep-first as min-over-window on the one seg exchange, NOT
+    # groupBy + self-join: the join formulation evaluates the segment
+    # explode — the expensive string pass over the whole corpus — once per
+    # side (column pruning gives the two exchange subplans different
+    # schemas, so neither static nor AQE exchange reuse fires; verified on
+    # the executed plan). Same single-shuffle-over-two-shuffles reasoning
+    # as banded_pairs_from_signatures' bucket guard.
+    from pyspark.sql import Window
+
+    kept = segs.withColumn(
+        "_keep",
+        F.col("okey") == F.min("okey").over(Window.partitionBy("seg")),
     )
     return kept.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_segments"),

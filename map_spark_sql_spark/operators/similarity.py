@@ -1222,3 +1222,207 @@ SELECT item_id, lex_rank, dense_rank, rrf_score,
        CAST(row_number() OVER (ORDER BY rrf_score DESC, item_id) AS INTEGER) AS rank
 FROM topk
 """
+
+
+# --- IVF recall sweep (measure, don't guess) ----------------------------------
+
+
+def ivf_recall(
+    df: DataFrame,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobes: tuple[int, ...] = (1, 2, 4),
+    n_queries: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall@k sweep for the IVF family: for a panel of ``n_queries``
+    query vectors and each ``nprobe`` setting, how many of the TRUE
+    (brute-force) top-k neighbors does the probe-pruned search return?
+    nprobe is THE accuracy/cost dial of every deployed IVF index, and the
+    recall curve is how it gets set — the ANN twin of
+    ``dedup.minhash_recall`` (the no-silent-caps principle applied to the
+    pruning itself).
+
+    One pass each, shared across the whole sweep: centroid assignment is
+    the usual broadcast-cross-join + ``min_by`` hash agg; the exact scores
+    are ONE corpus scan against the broadcast query panel (corpus x
+    n_queries rows, never corpus x corpus); the probe ranking is a
+    window over the tiny (n_queries x n_centroids) relation; each nprobe
+    tier then filters the SAME scored-candidate relation — no per-tier
+    rescan. Rankings use round(cos, 6) with id tie-break (the ivfpq_topk
+    convention) so window order is engine-exact.
+
+    Output: ``(query_id, nprobe, n_exact, n_matched, recall_ppm)`` —
+    n_queries x len(nprobes) rows, exact integers.
+    """
+    from pyspark.sql import Window
+
+    cent = df.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    )
+    qs = df.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qe")
+    )
+
+    # corpus -> nearest centroid (shared by every tier)
+    ccos = F.expr(cosine_cols_sql(vec_col, "cvec", "spark"))
+    assign = (
+        df.crossJoin(F.broadcast(cent))
+        .withColumn("ccos", ccos)
+        .groupBy(id_col)
+        .agg(F.expr("min_by(cid, struct(-ccos, cid))").alias("cid"))
+    )
+
+    # query -> centroid probe ranks (tiny relation, partitioned window)
+    qcos_c = F.expr(cosine_cols_sql("cvec", "qe", "spark"))
+    wprobe = Window.partitionBy("query_id").orderBy(
+        F.desc("qcos"), F.asc("cid")
+    )
+    probes = (
+        qs.crossJoin(F.broadcast(cent))
+        .withColumn("qcos", F.round(qcos_c, 6))
+        .withColumn("crank", F.row_number().over(wprobe))
+        .select("query_id", "cid", "crank")
+    )
+
+    # ONE exact scoring pass: corpus x query panel
+    qcos = F.expr(cosine_cols_sql(vec_col, "qe", "spark"))
+    scored = (
+        df.crossJoin(F.broadcast(qs))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(F.col(id_col), F.col("query_id"), F.round(qcos, 6).alias("cos"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc(id_col))
+    exact_topk = (
+        scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= k)
+        .select("query_id", id_col)
+    )
+
+    # IVF candidates: scored rows whose vector sits in a probed partition;
+    # each nprobe tier re-ranks the same relation (crank filter), no rescan
+    max_np = max(nprobes)
+    cands = (
+        scored.join(assign, id_col)
+        .join(F.broadcast(probes), ["query_id", "cid"])
+        .filter(F.col("crank") <= max_np)
+    )
+    np_lit = F.array(*[F.lit(int(p)) for p in sorted(nprobes)])
+    tiers = cands.select(
+        "query_id", id_col, "cos", "crank",
+        F.explode(np_lit).alias("nprobe"),
+    ).filter(F.col("crank") <= F.col("nprobe"))
+    wt = Window.partitionBy("query_id", "nprobe").orderBy(
+        F.desc("cos"), F.asc(id_col)
+    )
+    ivf_topk = (
+        tiers.withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "nprobe", id_col)
+    )
+
+    grid = qs.select("query_id").crossJoin(
+        F.broadcast(
+            df.sparkSession.range(1).select(F.explode(np_lit).alias("nprobe"))
+        )
+    )
+    n_exact = exact_topk.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    n_match = (
+        ivf_topk.join(exact_topk, ["query_id", id_col])
+        .groupBy("query_id", "nprobe")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matched"))
+    )
+    return (
+        grid.join(n_exact, "query_id", "left")
+        .join(n_match, ["query_id", "nprobe"], "left")
+        .select(
+            "query_id",
+            F.col("nprobe").cast("int").alias("nprobe"),
+            F.coalesce("n_exact", F.lit(0)).cast("long").alias("n_exact"),
+            F.coalesce("n_matched", F.lit(0)).cast("long").alias("n_matched"),
+        )
+        .withColumn(
+            "recall_ppm",
+            F.expr(
+                "CAST(CASE WHEN n_exact = 0 THEN 1000000 "
+                "ELSE (1000000 * n_matched) DIV n_exact END AS BIGINT)"
+            ),
+        )
+    )
+
+
+def ivf_recall_oracle(
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobes: tuple[int, ...] = (1, 2, 4),
+    n_queries: int = 4,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB twin of :func:`ivf_recall` — identical round(cos, 6) ranking,
+    identical tie-breaks, same shared-candidate tier construction."""
+    d = "duckdb"
+    ccos = cosine_cols_sql(vec_col, "cvec", d)
+    qcos_c = cosine_cols_sql("cvec", "qe", d)
+    qcos = cosine_cols_sql(vec_col, "qe", d)
+    np_list = ", ".join(str(int(p)) for p in sorted(nprobes))
+    max_np = max(nprobes)
+    return f"""
+WITH cent AS (SELECT {id_col} AS cid, {vec_col} AS cvec FROM {table}
+              WHERE {id_col} < {n_centroids}),
+qs AS (SELECT {id_col} AS query_id, {vec_col} AS qe FROM {table}
+       WHERE {id_col} < {n_queries}),
+assign0 AS (
+  SELECT e.{id_col}, c.cid,
+         row_number() OVER (PARTITION BY e.{id_col} ORDER BY {ccos} DESC, c.cid) AS rn
+  FROM {table} e CROSS JOIN cent c),
+assign AS (SELECT {id_col}, cid FROM assign0 WHERE rn = 1),
+probes AS (
+  SELECT query_id, cid,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round({qcos_c}, 6) DESC, cid) AS crank
+  FROM qs CROSS JOIN cent),
+scored AS (
+  SELECT e.{id_col}, q.query_id, round({qcos}, 6) AS cos
+  FROM {table} e CROSS JOIN qs q WHERE e.{id_col} <> q.query_id),
+exact_topk AS (
+  SELECT query_id, {id_col} FROM (
+    SELECT query_id, {id_col},
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, {id_col}) AS rn
+    FROM scored) r WHERE rn <= {k}),
+cands AS (
+  SELECT s.query_id, s.{id_col}, s.cos, p.crank
+  FROM scored s JOIN assign a USING ({id_col})
+       JOIN probes p ON p.query_id = s.query_id AND p.cid = a.cid
+  WHERE p.crank <= {max_np}),
+tiers AS (
+  SELECT c.query_id, c.{id_col}, c.cos, np.nprobe
+  FROM cands c CROSS JOIN (SELECT unnest([{np_list}]) AS nprobe) np
+  WHERE c.crank <= np.nprobe),
+ivf_topk AS (
+  SELECT query_id, nprobe, {id_col} FROM (
+    SELECT query_id, nprobe, {id_col},
+           row_number() OVER (PARTITION BY query_id, nprobe
+                              ORDER BY cos DESC, {id_col}) AS rn
+    FROM tiers) r WHERE rn <= {k}),
+grid AS (SELECT query_id, nprobe FROM qs
+         CROSS JOIN (SELECT unnest([{np_list}]) AS nprobe) np),
+ne AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+       FROM exact_topk GROUP BY query_id),
+nm AS (SELECT i.query_id, i.nprobe, CAST(count(*) AS BIGINT) AS n_matched
+       FROM ivf_topk i JOIN exact_topk x
+         ON i.query_id = x.query_id AND i.{id_col} = x.{id_col}
+       GROUP BY i.query_id, i.nprobe)
+SELECT g.query_id, CAST(g.nprobe AS INTEGER) AS nprobe,
+       CAST(coalesce(ne.n_exact, 0) AS BIGINT) AS n_exact,
+       CAST(coalesce(nm.n_matched, 0) AS BIGINT) AS n_matched,
+       CAST(CASE WHEN coalesce(ne.n_exact, 0) = 0 THEN 1000000
+            ELSE (1000000 * coalesce(nm.n_matched, 0)) // ne.n_exact END
+            AS BIGINT) AS recall_ppm
+FROM grid g LEFT JOIN ne USING (query_id)
+            LEFT JOIN nm ON nm.query_id = g.query_id AND nm.nprobe = g.nprobe
+"""

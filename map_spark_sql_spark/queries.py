@@ -2511,6 +2511,16 @@ def similarity_topk_ivfpq(spark, sf_dir):
     return SIM.ivfpq_topk(load_table(spark, sf_dir, "embeddings"))
 
 
+@q("similarity_ivf_recall", SIM.ivf_recall_oracle())
+def similarity_ivf_recall(spark, sf_dir):
+    """Recall@k sweep for IVF over an nprobe grid — the accuracy/cost dial
+    of every deployed IVF index, measured instead of assumed (ANN twin of
+    dedup_minhash_recall). One centroid assignment, one exact scoring pass
+    against the broadcast query panel; each nprobe tier filters the shared
+    candidate relation."""
+    return SIM.ivf_recall(load_table(spark, sf_dir, "embeddings"))
+
+
 @q("similarity_topk_two_stage", SIM.cosine_topk_two_stage_oracle())
 def similarity_topk_two_stage(spark, sf_dir):
     """Two-stage matryoshka-style ANN: coarse rank on the raw dot of the

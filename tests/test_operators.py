@@ -1650,3 +1650,26 @@ class TestDsirWeights:
         for d, t in texts.items():
             assert rows[d]["dsir_micro"] == want[d], d
             assert rows[d]["n_tokens"] == len(t.split(" "))
+
+
+class TestIvfRecall:
+    def test_recall_monotone_in_nprobe_and_full_at_max(self, spark):
+        """More probes can only add candidates, so recall is monotone in
+        nprobe; probing EVERY partition makes IVF exhaustive (recall 1)."""
+        import random
+
+        rng = random.Random(3)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = SIM.ivf_recall(
+            df, k=5, n_centroids=4, nprobes=(1, 2, 4), n_queries=3
+        ).collect()
+        assert len(out) == 9  # 3 queries x 3 tiers
+        by_q = {}
+        for r in out:
+            assert 0 <= r["n_matched"] <= r["n_exact"] == 5
+            assert r["recall_ppm"] == (1000000 * r["n_matched"]) // r["n_exact"]
+            by_q.setdefault(r["query_id"], {})[r["nprobe"]] = r["n_matched"]
+        for q, tiers in by_q.items():
+            assert tiers[1] <= tiers[2] <= tiers[4], q
+            assert tiers[4] == 5, q  # nprobe = n_centroids -> exhaustive
