@@ -3349,30 +3349,36 @@ _WINDOW_ORDER = [
     "similarity_knn_graph",
     # -- continuity representatives (driver-green in earlier rounds) --
     "multimodal_featurize",
-    "events_sketch_stats",
     "stream_events_tumbling_5min",
-    "stream_events_sessions",
-    "stream_docs_ingest",
     "stream_cdc_upsert_latest",
-    "text_vocab_build",
-    "dedup_incremental",
-    "docs_pack_sequences",
     "points_features",
-    "pyramid_rollup_z3",
     "window_top_order_per_customer",
-    "asof_purchase_last_view",
-    "dedup_simhash_banded",
-    "text_lm_score",
     # -- late round-5 additions (never driver-certified; continuity reps
     #    occ_ingest_filter / t1_mercator_z4 / tpch_q1 / tpch_q5 /
-    #    events_tumbling_5min / tiles_mercator_z16 rotated out — each
-    #    driver-green in earlier rounds, tiles_z16 as recently as r4) --
+    #    events_tumbling_5min / tiles_mercator_z16 / events_sketch_stats /
+    #    stream_events_sessions / stream_docs_ingest / text_vocab_build /
+    #    dedup_incremental / docs_pack_sequences / pyramid_rollup_z3 /
+    #    asof_purchase_last_view / dedup_simhash_banded / text_lm_score
+    #    rotated out — each driver-green in earlier rounds, most as
+    #    recently as r4) --
     "dedup_ngram_prune_stats",
     "retrieval_hybrid_rrf",
     "dedup_incremental_near",
     "dedup_repeated_spans",
     "text_quality_classifier",
     "events_heavy_hitters_cm",
+    # -- newest round-5 additions (certified locally at sf0.001/0.01/0.1;
+    #    the first five also at the 100x rung) --
+    "text_strip_boilerplate",
+    "dedup_cluster_keepers",
+    "similarity_topk_two_stage",
+    "similarity_topk_ivfpq",
+    "text_char_entropy",
+    "dedup_segments_global",
+    "dedup_minhash_recall",
+    "docs_bloom_prefilter",
+    "docs_dsir_weights",
+    "similarity_ivf_recall",
 ]
 
 
