@@ -59,6 +59,11 @@ HEADLINE = [
     "dedup_incremental_near",
     "dedup_repeated_spans",
     "text_quality_classifier",
+    # newest round-5 additions: corpus-wide keep-first dedup (window-over-
+    # one-exchange path), bloom membership prefilter, DSIR token-join path
+    "dedup_segments_global",
+    "docs_bloom_prefilter",
+    "docs_dsir_weights",
 ]
 
 

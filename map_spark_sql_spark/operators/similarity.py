@@ -1426,3 +1426,133 @@ SELECT g.query_id, CAST(g.nprobe AS INTEGER) AS nprobe,
 FROM grid g LEFT JOIN ne USING (query_id)
             LEFT JOIN nm ON nm.query_id = g.query_id AND nm.nprobe = g.nprobe
 """
+
+
+# --- MMR diversified re-rank ---------------------------------------------------
+
+
+def mmr_rerank(
+    df: DataFrame,
+    k: int = 5,
+    pool_size: int = 16,
+    lam: float = 0.7,
+    query_id: int = 0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
+    greedily pick ``k`` results from the top-``pool_size`` relevance pool,
+    each step maximizing ``lam * rel - (1 - lam) * max_sim_to_selected`` —
+    the standard diversity pass RAG retrieval stacks run after ANN, so near
+    -duplicate hits don't crowd the context window.
+
+    Iterative by nature (each pick changes the penalty of the rest), so the
+    shape follows :func:`kmeans_fit`: a small constant number of chained
+    DataFrame rounds, each round a broadcast of the (<= k-row) selected set
+    against the (<= pool_size-row) localCheckpointed pool, argmax via
+    TakeOrderedAndProject. At 100 TB the ONLY corpus-sized pass is the
+    relevance pool's top-``pool_size`` scan; everything after operates on
+    constant-size relations. Determinism: rel and pairwise sims rounded to
+    6 decimals before any comparison, ties on the lower id; the first pick
+    has no selected set, so its penalty term is exactly 0.
+
+    Output: ``(rank, vec_id, relevance, mmr_score)``, one row per pick in
+    selection order.
+    """
+    q = df.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("qe"))
+    rel = F.round(F.expr(cosine_cols_sql(vec_col, "qe", "spark")), 6)
+    pool = (
+        df.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != query_id)
+        .select(F.col(id_col), F.col(vec_col).alias("v"), rel.alias("rel"))
+        .orderBy(F.desc("rel"), F.asc(id_col))
+        .limit(pool_size)
+        .localCheckpoint()  # eager: the pool is re-read every round
+    )
+    sim = F.round(F.expr(cosine_cols_sql("v", "sv", "spark")), 6)
+    selected = None
+    for step in range(1, k + 1):
+        if selected is None:
+            pick = (
+                pool.orderBy(F.desc("rel"), F.asc(id_col))
+                .limit(1)
+                .select(
+                    F.lit(step).alias("rank"),
+                    F.col(id_col),
+                    "v",
+                    "rel",
+                    (F.lit(lam) * F.col("rel")).alias("mmr_score"),
+                )
+            )
+        else:
+            rem = pool.join(selected.select(id_col), id_col, "left_anti")
+            penalty = (
+                rem.crossJoin(
+                    F.broadcast(selected.select(F.col("v").alias("sv")))
+                )
+                .withColumn("sim", sim)
+                .groupBy(id_col)
+                .agg(F.max("sim").alias("max_sim"))
+            )
+            pick = (
+                rem.join(penalty, id_col)
+                .withColumn(
+                    "mmr_score",
+                    F.lit(lam) * F.col("rel")
+                    - F.lit(1.0 - lam) * F.col("max_sim"),
+                )
+                .orderBy(F.desc("mmr_score"), F.asc(id_col))
+                .limit(1)
+                .select(F.lit(step).alias("rank"), F.col(id_col), "v", "rel", "mmr_score")
+            )
+        selected = pick if selected is None else selected.unionByName(pick)
+        # keep each round's plan flat (the kmeans lineage-cut discipline)
+        selected = selected.localCheckpoint()
+    return selected.select("rank", id_col, F.col("rel").alias("relevance"), "mmr_score")
+
+
+def mmr_rerank_oracle(
+    k: int = 5,
+    pool_size: int = 16,
+    lam: float = 0.7,
+    query_id: int = 0,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB twin of :func:`mmr_rerank`: the greedy loop unrolled into one
+    CTE chain per pick (the kmeans_cent_sql convention — a bounded, known-k
+    iteration is expressible as SQL by unrolling)."""
+    d = "duckdb"
+    qcos = cosine_cols_sql(vec_col, "qe", d)
+    pcos = cosine_cols_sql("p.v", "s.v", d)
+    one_minus = 1.0 - lam
+    ctes = [
+        f"""q AS (SELECT {vec_col} AS qe FROM {table} WHERE {id_col} = {query_id}),
+pool AS (
+  SELECT {id_col}, {vec_col} AS v, round({qcos}, 6) AS rel
+  FROM {table} CROSS JOIN q
+  WHERE {id_col} <> {query_id}
+  ORDER BY rel DESC, {id_col} LIMIT {pool_size}),
+s1 AS (SELECT 1 AS rank, {id_col}, v, rel,
+              CAST({lam!r} AS DOUBLE) * rel AS mmr_score
+       FROM pool ORDER BY rel DESC, {id_col} LIMIT 1),
+sel1 AS (SELECT * FROM s1)"""
+    ]
+    for i in range(2, k + 1):
+        prev = i - 1
+        ctes.append(f"""c{i} AS (
+  SELECT p.{id_col}, p.v, p.rel, max(round({pcos}, 6)) AS max_sim
+  FROM pool p CROSS JOIN sel{prev} s
+  WHERE p.{id_col} NOT IN (SELECT {id_col} FROM sel{prev})
+  GROUP BY p.{id_col}, p.v, p.rel),
+s{i} AS (SELECT {i} AS rank, {id_col}, v, rel,
+                CAST({lam!r} AS DOUBLE) * rel
+                - CAST({one_minus!r} AS DOUBLE) * max_sim AS mmr_score
+         FROM c{i} ORDER BY mmr_score DESC, {id_col} LIMIT 1),
+sel{i} AS (SELECT * FROM sel{prev} UNION ALL SELECT * FROM s{i})""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT rank, {id_col}, rel AS relevance, mmr_score FROM sel{k}"
+    )

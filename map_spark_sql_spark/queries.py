@@ -2511,6 +2511,16 @@ def similarity_topk_ivfpq(spark, sf_dir):
     return SIM.ivfpq_topk(load_table(spark, sf_dir, "embeddings"))
 
 
+@q("similarity_mmr_rerank", SIM.mmr_rerank_oracle())
+def similarity_mmr_rerank(spark, sf_dir):
+    """Maximal Marginal Relevance diversity re-rank over the top-relevance
+    pool — the post-ANN diversity pass of RAG stacks. Greedy and inherently
+    iterative, so it runs as k chained constant-size rounds (kmeans
+    discipline: localCheckpoint lineage cuts, broadcast selected set); the
+    oracle unrolls the same loop into a CTE chain."""
+    return SIM.mmr_rerank(load_table(spark, sf_dir, "embeddings"))
+
+
 @q("similarity_ivf_recall", SIM.ivf_recall_oracle())
 def similarity_ivf_recall(spark, sf_dir):
     """Recall@k sweep for IVF over an nprobe grid — the accuracy/cost dial
@@ -3348,7 +3358,6 @@ _WINDOW_ORDER = [
     "corpus_curation_report",
     "similarity_knn_graph",
     # -- continuity representatives (driver-green in earlier rounds) --
-    "multimodal_featurize",
     "stream_events_tumbling_5min",
     "stream_cdc_upsert_latest",
     "points_features",
@@ -3379,6 +3388,7 @@ _WINDOW_ORDER = [
     "docs_bloom_prefilter",
     "docs_dsir_weights",
     "similarity_ivf_recall",
+    "similarity_mmr_rerank",
 ]
 
 

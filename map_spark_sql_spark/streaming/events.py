@@ -414,3 +414,66 @@ def upsert_to_snapshot(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def accumulate_count_min(
+    stream: DataFrame,
+    spark: SparkSession,
+    snapshot_dir: str,
+    key_col: str = "user_id",
+    depth: int = 4,
+    width: int = 1024,
+) -> "object":
+    """Streaming count-min accumulation: maintain ONE depth x width counter
+    table over an unbounded stream via ``foreachBatch`` — the mergeable-
+    sketch property (cell-wise addition) doing exactly what it exists for.
+    Per-key streaming state would grow without bound; the sketch is a fixed
+    few-KB table FOREVER, while still answering frequency queries with the
+    count-min guarantee (never under, over by ~e*N/width whp).
+
+    Each micro-batch computes its own counters (operators/sketches —
+    map-side combined, at most depth*width rows reach the shuffle), then
+    full-outer-merges into the running snapshot with coalesce(a,0) +
+    coalesce(b,0). Snapshot versioning is MVCC-by-directory, the
+    upsert_to_snapshot convention (on Delta/Iceberg the body collapses to
+    a native MERGE). Because addition is associative+commutative, the
+    result is batch-order independent AND equals the one-shot batch
+    counters over the union of the feed — which is what the test pins.
+
+    Returns the started StreamingQuery (caller awaits termination).
+    """
+    import os
+
+    from map_spark_sql_spark.operators.sketches import count_min_counters
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        delta = count_min_counters(batch, key_col, depth, width)
+        prev = os.path.join(snapshot_dir, f"v{batch_id - 1}")
+        cur = os.path.join(snapshot_dir, f"v{batch_id}")
+        if os.path.isdir(prev):
+            prev_df = spark.read.parquet(prev)
+            merged = (
+                prev_df.withColumnRenamed("cnt", "cnt_a")
+                .join(
+                    delta.withColumnRenamed("cnt", "cnt_b"),
+                    ["j", "bucket"],
+                    "full_outer",
+                )
+                .select(
+                    "j",
+                    "bucket",
+                    (
+                        F.coalesce("cnt_a", F.lit(0)) + F.coalesce("cnt_b", F.lit(0))
+                    ).alias("cnt"),
+                )
+            )
+        else:
+            merged = delta
+        merged.write.mode("overwrite").parquet(cur)
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", os.path.join(snapshot_dir, "_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1673,3 +1673,27 @@ class TestIvfRecall:
         for q, tiers in by_q.items():
             assert tiers[1] <= tiers[2] <= tiers[4], q
             assert tiers[4] == 5, q  # nprobe = n_centroids -> exhaustive
+
+
+class TestMmrRerank:
+    def test_diversity_beats_pure_relevance(self, spark):
+        """A near-duplicate of the top hit must NOT take rank 2 when a
+        moderately-relevant but diverse vector exists."""
+        base = [0.95, 0.10, 0.0, 0.0]
+        near = [0.95, 0.11, 0.0, 0.0]    # ~= base: high rel, sim-to-#1 ~ 1
+        diverse = [0.7, 0.0, 0.7, 0.0]   # lower rel, much lower sim to #1
+        rows = [
+            (0, [1.0, 0.0, 0.0, 0.0]),   # query (NOT equal to any candidate,
+            (1, base),                   # else rel == penalty for everyone
+            (2, near),                   # and MMR degenerates to id order)
+            (3, diverse),
+            (4, [0.0, 1.0, 0.0, 0.0]),   # irrelevant
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = SIM.mmr_rerank(df, k=3, pool_size=4, lam=0.5).collect()
+        assert [r["rank"] for r in out] == [1, 2, 3]
+        assert out[0]["vec_id"] == 1          # pure relevance first
+        assert out[1]["vec_id"] == 3          # diversity displaces the near-dup
+        assert out[2]["vec_id"] == 2
+        # first pick's penalty term is exactly zero
+        assert abs(out[0]["mmr_score"] - 0.5 * out[0]["relevance"]) < 1e-12

@@ -309,3 +309,48 @@ def test_streaming_near_ingest_drops_edited_recrawl(spark, tmp_path):
     assert not any(i >= 5000 for i in got_ids)  # every recrawl dropped
     sigs = spark.read.parquet(f"{out}/signatures")
     assert sigs.count() == len(expected) and sigs.select("doc_id").distinct().count() == len(expected)
+
+
+def test_streaming_count_min_accumulation_equals_batch(spark, tmp_path):
+    """Mergeable-sketch property end-to-end: count-min counters accumulated
+    per micro-batch (cell-wise full-outer add) must EQUAL the one-shot batch
+    counters over the whole feed — fixed-size streaming frequency state."""
+    import os
+    import time
+
+    from map_spark_sql_spark.operators.sketches import count_min_counters
+    from map_spark_sql_spark.streaming.events import (
+        accumulate_count_min,
+        read_event_stream,
+    )
+
+    events = load_table(spark, SF_DIR, "events")
+    half1 = events.filter("event_id % 2 = 0")
+    half2 = events.filter("event_id % 2 = 1")
+    src = str(tmp_path / "feed")
+    half1.coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    half2.coalesce(1).write.mode("append").parquet(src)
+
+    snap = str(tmp_path / "cm")
+    q = accumulate_count_min(
+        read_event_stream(spark, src).select("user_id"),
+        spark,
+        snap,
+        depth=4,
+        width=256,
+    )
+    q.awaitTermination(120)
+
+    versions = sorted(
+        d for d in os.listdir(snap) if d.startswith("v") and d[1:].isdigit()
+    )
+    final = spark.read.parquet(os.path.join(snap, versions[-1]))
+    got = {(r.j, r.bucket): r.cnt for r in final.collect()}
+    want = {
+        (r.j, r.bucket): r.cnt
+        for r in count_min_counters(events, "user_id", 4, 256).collect()
+    }
+    assert got == want and len(got) > 0
+    # total mass check: every event counted once per hash row
+    assert sum(got.values()) == 4 * events.count()
