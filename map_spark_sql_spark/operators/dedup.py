@@ -1799,3 +1799,84 @@ SELECT n_exact, n_candidates, n_matched,
             ELSE (1000000 * n_matched) // n_exact END AS BIGINT) AS recall_ppm
 FROM ne CROSS JOIN nc CROSS JOIN nm
 """
+
+
+# --- dedup-method agreement matrix ----------------------------------------------
+
+
+def method_agreement(
+    docs: DataFrame,
+    emb: DataFrame,
+    cosine_threshold: float = 0.8,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Agreement matrix between the three near-dup detectors: MinHash/LSH
+    (lexical, set-of-shingles), SimHash (lexical, weighted-token), and
+    embedding-cosine LSH (semantic). One row per region of the 3-way Venn
+    diagram — ``(in_minhash, in_simhash, in_embedding, n_pairs)`` — the
+    corpus-hygiene diagnostic that tells you whether your cheap lexical
+    passes are already catching what the expensive semantic pass would,
+    and which method finds pairs the others are blind to (the standard
+    question before paying for embedding inference over a whole crawl).
+
+    Scale shape: the three pair sets are each individually guarded
+    (band/bucket caps, ``max_bucket``); the agreement overlay is two
+    full-outer joins on (a_id, b_id) — well-distributed keys by
+    construction — and a 7-row-max final aggregate. Nothing here adds a
+    corpus-sized stage beyond the detectors themselves, so the diagnostic
+    costs what one extra run of each detector costs.
+    """
+    from map_spark_sql_spark.operators.similarity import cosine_pairs_lsh
+
+    m = minhash_pairs(docs, max_bucket=max_bucket).select("a_id", "b_id").distinct()
+    s = (
+        simhash_pairs(docs, max_bucket=max_bucket)
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    e = (
+        cosine_pairs_lsh(emb, threshold=cosine_threshold, max_bucket=max_bucket)
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    j = (
+        m.withColumn("mf", F.lit(1))
+        .join(s.withColumn("sf", F.lit(1)), ["a_id", "b_id"], "full_outer")
+        .join(e.withColumn("ef", F.lit(1)), ["a_id", "b_id"], "full_outer")
+    )
+    return (
+        j.groupBy(
+            F.coalesce("mf", F.lit(0)).alias("in_minhash"),
+            F.coalesce("sf", F.lit(0)).alias("in_simhash"),
+            F.coalesce("ef", F.lit(0)).alias("in_embedding"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def method_agreement_oracle(
+    cosine_threshold: float = 0.8,
+    max_bucket: int = 1000,
+) -> str:
+    """Composes the three existing pair oracles (each already mirroring its
+    engine-side guard) with the same full-outer overlay."""
+    from map_spark_sql_spark.operators.similarity import cosine_pairs_lsh_oracle
+
+    return f"""
+WITH m AS (SELECT DISTINCT a_id, b_id FROM ({minhash_pairs_oracle(max_bucket=max_bucket)}) mp),
+s AS (SELECT DISTINCT a_id, b_id FROM ({simhash_pairs_oracle(max_bucket=max_bucket)}) sp),
+e AS (SELECT DISTINCT a_id, b_id FROM ({cosine_pairs_lsh_oracle(threshold=cosine_threshold, max_bucket=max_bucket)}) ep),
+j AS (
+  SELECT coalesce(m2.a_id, s2.a_id, e2.a_id) AS a_id,
+         coalesce(m2.b_id, s2.b_id, e2.b_id) AS b_id,
+         CASE WHEN m2.a_id IS NOT NULL THEN 1 ELSE 0 END AS in_minhash,
+         CASE WHEN s2.a_id IS NOT NULL THEN 1 ELSE 0 END AS in_simhash,
+         CASE WHEN e2.a_id IS NOT NULL THEN 1 ELSE 0 END AS in_embedding
+  FROM m m2
+  FULL OUTER JOIN s s2 ON m2.a_id = s2.a_id AND m2.b_id = s2.b_id
+  FULL OUTER JOIN e e2 ON coalesce(m2.a_id, s2.a_id) = e2.a_id
+                      AND coalesce(m2.b_id, s2.b_id) = e2.b_id
+)
+SELECT in_minhash, in_simhash, in_embedding, count(*) AS n_pairs
+FROM j GROUP BY in_minhash, in_simhash, in_embedding
+"""

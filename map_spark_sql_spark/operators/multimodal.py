@@ -206,6 +206,8 @@ def resize_media(media: DataFrame, max_dim: int = 64) -> DataFrame:
         for pdf in batches:
             out_rows = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:  # missing object: skip, like featurize
+                    continue
                 m = decode_media(payload)
                 scale = min(1.0, max_dim / max(m["width"], m["height"], 1))
                 w2 = max(1, int(m["width"] * scale))
@@ -243,6 +245,8 @@ def sample_frames(media: DataFrame, frame_size: int = 256, every_nth: int = 4) -
         for pdf in batches:
             rows = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:  # missing object: skip, like featurize
+                    continue
                 body = decode_media(payload)["body"]
                 n = len(body) // frame_size + (1 if len(body) % frame_size else 0)
                 for i in range(0, n, every_nth):

@@ -1556,3 +1556,72 @@ sel{i} AS (SELECT * FROM sel{prev} UNION ALL SELECT * FROM s{i})""")
         + ",\n".join(ctes)
         + f"\nSELECT rank, {id_col}, rel AS relevance, mmr_score FROM sel{k}"
     )
+
+
+# --- metadata-filtered vector search --------------------------------------------
+
+
+def topk_filtered(
+    emb: DataFrame,
+    docs: DataFrame,
+    k: int = 10,
+    query_id: int = 0,
+    lang: str = "en",
+    min_chars: int = 120,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Metadata-filtered vector search: cosine top-k restricted to vectors
+    whose document satisfies a predicate (here ``lang = X AND n_chars >= Y``)
+    — the "filtered ANN" query every retrieval stack needs the moment vectors
+    carry metadata (tenant, language, license, date).
+
+    This is the PRE-filtering strategy: the predicate is applied to the
+    metadata table first and survivors join the vector table, versus
+    post-filtering (top-k first, filter after), which silently returns
+    fewer than k rows whenever the filter is selective. Scale shape:
+
+    - the predicate reaches the ``documents`` parquet scan as PushedFilters,
+      and only (doc_id, lang, n_chars) are read — never ``text``;
+    - the survivor-id join is a plain equi-join AQE sizes at runtime
+      (broadcast when the filter is selective, shuffled-hash when not) —
+      exactly the situation AQE's runtime statistics exist for, so we do
+      NOT pin a strategy;
+    - top-k stays TakeOrderedAndProject (per-partition heaps, no global
+      sort), identical to :func:`cosine_topk`.
+    """
+    q = emb.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("qe"))
+    keep = docs.filter(
+        (F.col("lang") == lang) & (F.col("n_chars") >= min_chars)
+    ).select(F.col("doc_id").alias(id_col))
+    sim = F.round(F.expr(cosine_cols_sql(vec_col, "qe", "spark")), 6)
+    return (
+        emb.filter(F.col(id_col) != query_id)
+        .join(keep, id_col)
+        .crossJoin(F.broadcast(q))
+        .select(F.col(id_col), sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def topk_filtered_oracle(
+    k: int = 10,
+    query_id: int = 0,
+    lang: str = "en",
+    min_chars: int = 120,
+    table: str = "embeddings",
+    meta_table: str = "documents",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    cos = cosine_cols_sql(f"e.{vec_col}", "q.qe", "duckdb")
+    return f"""
+SELECT e.{id_col}, round({cos}, 6) AS sim
+FROM {table} e
+JOIN {meta_table} d ON d.doc_id = e.{id_col}
+CROSS JOIN (SELECT {vec_col} AS qe FROM {table} WHERE {id_col} = {query_id}) q
+WHERE d.lang = '{lang}' AND d.n_chars >= {min_chars} AND e.{id_col} <> {query_id}
+ORDER BY sim DESC, e.{id_col}
+LIMIT {k}
+"""

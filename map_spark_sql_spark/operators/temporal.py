@@ -101,3 +101,75 @@ def interval_band_join(
     )
     cond = (F.col(value_col) >= F.col("lo")) & (F.col(value_col) < F.col("hi"))
     return df.join(F.broadcast(band_df), cond).drop("lo", "hi")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    start_l: str,
+    end_l: str,
+    start_r: str,
+    end_r: str,
+    keys: Sequence[str] = (),
+    bin_seconds: int = 600,
+) -> DataFrame:
+    """Big x big interval-overlap join via time binning — the range-join
+    case :func:`interval_band_join` cannot handle (neither side is
+    broadcastable, so Catalyst's only native plan for a pure inequality
+    condition is a broadcast-nested-loop or a cartesian product).
+
+    Both sides explode each CLOSED interval ``[start, end]`` into the
+    coarse time bins it touches (``sequence(floor(us/w), floor(ue/w))``
+    over truncated unix seconds), equi-join on ``(*keys, bin)``, then
+    filter the exact overlap predicate ``start_l <= end_r AND start_r <=
+    end_l``. A pair sharing n bins would match n times, so each pair is
+    emitted ONLY in its owner bin — ``floor(unix(greatest(start_l,
+    start_r))/w)``, the first bin where both intervals are live — which
+    makes the join exactly-once without a distinct (no second shuffle).
+    Truncated-seconds binning is safe because flooring is monotone: the
+    owner bin is always inside both explode ranges; exactness comes from
+    the full-precision timestamp filter, never from the bins.
+
+    Scale shape: per-row fan-out is ``len(interval)/bin_seconds + 1``, so
+    pick ``bin_seconds`` near the P95 interval length (fan-out ~2); ONE
+    shuffle keyed by ``(*keys, bin)`` — time bins distribute uniformly by
+    construction, and an equi-key (tenant, user) co-partitions further.
+    There is no quadratic stage: bin population bounds candidate pairs the
+    same way LSH buckets bound near-dup candidates.
+    """
+    w = int(bin_seconds)
+
+    def binned(df: DataFrame, s: str, e: str) -> DataFrame:
+        return df.withColumn(
+            "_bin",
+            F.explode(
+                F.sequence(
+                    (F.unix_timestamp(F.col(s)) / w).cast("long"),
+                    (F.unix_timestamp(F.col(e)) / w).cast("long"),
+                )
+            ),
+        )
+
+    l = binned(left, start_l, end_l).alias("l")
+    r = binned(right, start_r, end_r).alias("r")
+    on = [F.col(f"l.{k}") == F.col(f"r.{k}") for k in keys] + [
+        F.col("l._bin") == F.col("r._bin")
+    ]
+    owner = (
+        F.unix_timestamp(F.greatest(F.col(f"l.{start_l}"), F.col(f"r.{start_r}"))) / w
+    ).cast("long")
+    out = (
+        l.join(r, on)
+        .filter(
+            (F.col(f"l.{start_l}") <= F.col(f"r.{end_r}"))
+            & (F.col(f"r.{start_r}") <= F.col(f"l.{end_l}"))
+            & (F.col("l._bin") == owner)
+        )
+    )
+    lcols = [F.col(f"l.{c}").alias(c) for c in left.columns]
+    rcols = [
+        F.col(f"r.{c}").alias(c if c not in left.columns else f"r_{c}")
+        for c in right.columns
+        if c not in keys
+    ]
+    return out.select(*lcols, *rcols)

@@ -1732,6 +1732,44 @@ def asof_purchase_last_view(spark, sf_dir):
 
 
 @q(
+    "events_interval_overlap",
+    # the oracle states the semantics directly as an inequality join —
+    # DuckDB's IEJoin handles it natively; Spark has no native big x big
+    # range join, which is exactly what the binned operator provides.
+    """
+SELECT p.user_id, p.event_id AS purchase_id, e.event_id AS error_id
+FROM events p JOIN events e ON p.user_id = e.user_id
+WHERE p.event_type = 'purchase' AND e.event_type = 'error'
+  AND p.ts <= e.ts + INTERVAL 10 MINUTE
+  AND e.ts <= p.ts + INTERVAL 30 MINUTE
+""",
+)
+def events_interval_overlap(spark, sf_dir):
+    """Big x big interval-overlap join (purchase fulfillment windows
+    [ts, ts+30m] x same-user error windows [ts, ts+10m]) via the binned
+    equi-join + owner-bin exactly-once trick — one shuffle keyed
+    (user_id, time_bin), no broadcast-nested-loop, no cartesian stage."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_start"),
+        F.expr("ts + INTERVAL 30 MINUTES").alias("p_end"),
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("e_start"),
+        F.expr("ts + INTERVAL 10 MINUTES").alias("e_end"),
+    )
+    out = TP.interval_overlap_join(
+        p, e, "p_start", "p_end", "e_start", "e_end",
+        keys=["user_id"], bin_seconds=600,
+    )
+    return out.select("user_id", "purchase_id", "error_id")
+
+
+@q(
     "events_sessions_batch",
     """
 WITH marked AS (
@@ -2511,6 +2549,19 @@ def similarity_topk_ivfpq(spark, sf_dir):
     return SIM.ivfpq_topk(load_table(spark, sf_dir, "embeddings"))
 
 
+@q("similarity_topk_filtered", SIM.topk_filtered_oracle())
+def similarity_topk_filtered(spark, sf_dir):
+    """Metadata-filtered vector search (pre-filtering strategy): cosine
+    top-k over only the vectors whose document passes lang/length
+    predicates. The predicate reaches the documents scan as PushedFilters
+    reading just (doc_id, lang, n_chars); the survivor join is left to AQE
+    (broadcast when selective); top-k stays TakeOrderedAndProject."""
+    return SIM.topk_filtered(
+        load_table(spark, sf_dir, "embeddings"),
+        load_table(spark, sf_dir, "documents"),
+    )
+
+
 @q("similarity_mmr_rerank", SIM.mmr_rerank_oracle())
 def similarity_mmr_rerank(spark, sf_dir):
     """Maximal Marginal Relevance diversity re-rank over the top-relevance
@@ -2625,6 +2676,87 @@ def multimodal_featurize(spark, sf_dir):
     media = MM.media_from_documents(load_table(spark, sf_dir, "documents"))
     return MM.featurize_media(media).select(
         "media_id", "kind", "width", "height", "n_bytes", "body_md5"
+    )
+
+
+@q(
+    "multimodal_resize",
+    # the resize transform is fully derivable in SQL from `documents`: dims
+    # from the synth formula scaled into max_dim=64; the body is the
+    # byte-stride subsample text[::step] (the sf corpus is pure ASCII, so
+    # substr() == byte slicing). Float steps mirror the Python expression
+    # order EXACTLY — scale = 64/maxd (one correctly-rounded division),
+    # then w*scale and 1/scale — IEEE doubles are deterministic when the
+    # expression tree matches, so trunc() cannot flip across engines.
+    """
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+         CAST(doc_id % 640 + 32 AS INT) AS w,
+         CAST(doc_id % 480 + 32 AS INT) AS h,
+         text, octet_length(encode(text)) AS n
+  FROM documents WHERE text IS NOT NULL),
+scaled AS (
+  SELECT doc_id, kind, text, n,
+         CASE WHEN greatest(w, h) <= 64 THEN 1
+              ELSE greatest(1, CAST(trunc(1.0 / (64.0 / greatest(w, h))) AS INT))
+         END AS step,
+         CASE WHEN greatest(w, h) <= 64 THEN w
+              ELSE greatest(1, CAST(trunc(w * (64.0 / greatest(w, h))) AS INT)) END AS w2,
+         CASE WHEN greatest(w, h) <= 64 THEN h
+              ELSE greatest(1, CAST(trunc(h * (64.0 / greatest(w, h))) AS INT)) END AS h2
+  FROM base)
+SELECT doc_id AS media_id, kind, w2 AS width, h2 AS height,
+       CAST((n + step - 1) // step AS BIGINT) AS n_bytes,
+       md5(CASE WHEN step = 1 THEN text
+                ELSE array_to_string(list_transform(range(1, n + 1, step),
+                                                    i -> substr(text, i, 1)), '')
+           END) AS body_md5
+FROM scaled
+""",
+)
+def multimodal_resize(spark, sf_dir):
+    """Resize -> featurize composition: payloads are re-encoded as valid
+    SPM1 containers with scaled dims and a byte-stride-subsampled body, then
+    the featurize pass re-decodes them (header + CRC verified a second time,
+    proving the rewrite emits well-formed containers). The oracle rebuilds
+    the scaled dims and the subsampled body's md5 straight from
+    `documents`."""
+    media = MM.media_from_documents(load_table(spark, sf_dir, "documents"))
+    return MM.featurize_media(MM.resize_media(media, max_dim=64)).select(
+        "media_id", "kind", "width", "height", "n_bytes", "body_md5"
+    )
+
+
+@q(
+    "multimodal_frames",
+    # frame i covers body bytes [i*64, (i+1)*64); every 2nd frame is kept.
+    # ASCII corpus => substr() is byte slicing and md5(VARCHAR) hashes the
+    # identical bytes Spark's md5(BINARY) sees.
+    """
+WITH base AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n
+  FROM documents WHERE text IS NOT NULL),
+idx AS (
+  SELECT doc_id, text, n, CAST(t.i AS INT) AS frame_idx
+  FROM base,
+       unnest(range(0, n // 64 + CASE WHEN n % 64 <> 0 THEN 1 ELSE 0 END, 2)) AS t(i))
+SELECT doc_id AS media_id, frame_idx,
+       CAST(least(64, n - frame_idx * 64) AS INT) AS frame_bytes,
+       md5(substr(text, frame_idx * 64 + 1, 64)) AS frame_md5
+FROM idx
+""",
+)
+def multimodal_frames(spark, sf_dir):
+    """Frame sampling 1->N fan-out: the decoded body is cut into 64-byte
+    frames and every 2nd frame emitted — the shape of real video frame
+    extraction (many output rows per input row inside one Arrow batch, no
+    shuffle). The md5 projection makes each emitted frame's exact bytes
+    oracle-checkable."""
+    media = MM.media_from_documents(load_table(spark, sf_dir, "documents"))
+    fr = MM.sample_frames(media, frame_size=64, every_nth=2)
+    return fr.select(
+        "media_id", "frame_idx", "frame_bytes", F.md5("frame").alias("frame_md5")
     )
 
 
@@ -3147,6 +3279,20 @@ def dedup_minhash_recall(spark, sf_dir):
     return DD.minhash_recall(load_table(spark, sf_dir, "documents"))
 
 
+@q("dedup_method_agreement", DD.method_agreement_oracle())
+def dedup_method_agreement(spark, sf_dir):
+    """3-way Venn of the near-dup detectors — MinHash/LSH (lexical,
+    shingle-set), SimHash (lexical, token-weighted), embedding-cosine LSH
+    (semantic) — one row per agreement region with its pair count. The
+    question this answers at corpus scale: is the expensive semantic pass
+    finding anything the cheap lexical passes miss? Each pair set keeps its
+    own guards; the overlay is two full-outer joins + a 7-row aggregate."""
+    return DD.method_agreement(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+    )
+
+
 _BLOOM_STANDING = "SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0"
 _BLOOM_BATCH = "SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0"
 
@@ -3357,11 +3503,15 @@ _WINDOW_ORDER = [
     "corpus_curation",
     "corpus_curation_report",
     "similarity_knn_graph",
-    # -- continuity representatives (driver-green in earlier rounds) --
-    "stream_events_tumbling_5min",
-    "stream_cdc_upsert_latest",
-    "points_features",
-    "window_top_order_per_customer",
+    # -- newest round-5 additions: filtered ANN, dedup-method Venn, the
+    #    resize/frames multimodal oracles (continuity reps
+    #    stream_events_tumbling_5min / stream_cdc_upsert_latest /
+    #    points_features / window_top_order_per_customer rotated out —
+    #    each driver-green r4 or earlier) --
+    "similarity_topk_filtered",
+    "dedup_method_agreement",
+    "multimodal_resize",
+    "multimodal_frames",
     # -- late round-5 additions (never driver-certified; continuity reps
     #    occ_ingest_filter / t1_mercator_z4 / tpch_q1 / tpch_q5 /
     #    events_tumbling_5min / tiles_mercator_z16 / events_sketch_stats /

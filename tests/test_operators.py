@@ -1697,3 +1697,119 @@ class TestMmrRerank:
         assert out[2]["vec_id"] == 2
         # first pick's penalty term is exactly zero
         assert abs(out[0]["mmr_score"] - 0.5 * out[0]["relevance"]) < 1e-12
+
+
+class TestTopkFiltered:
+    def test_prefilter_excludes_failing_docs(self, spark):
+        """Pre-filtering semantics: the highest-similarity vectors must NOT
+        appear when their documents fail the metadata predicate, and the
+        result still returns k rows from the survivors."""
+        docs = spark.createDataFrame(
+            [
+                (1, "t", "de", "s", 500),   # wrong lang — top-sim, must drop
+                (2, "t", "en", "s", 10),    # too short — 2nd-sim, must drop
+                (3, "t", "en", "s", 500),   # survivor
+                (4, "t", "en", "s", 500),   # survivor
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        emb = spark.createDataFrame(
+            [
+                (0, [1.0, 0.0, 0.0]),       # query
+                (1, [1.0, 0.0, 0.0]),       # cos 1.0 but lang=de
+                (2, [0.99, 0.1, 0.0]),      # cos ~0.995 but short
+                (3, [0.5, 0.5, 0.0]),       # cos ~0.707
+                (4, [0.0, 1.0, 0.0]),       # cos 0
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        out = SIM.topk_filtered(emb, docs, k=2, min_chars=100).collect()
+        assert [r["vec_id"] for r in out] == [3, 4]
+        assert abs(out[0]["sim"] - 0.707107) < 1e-6
+
+
+class TestMethodAgreement:
+    def test_venn_regions(self, spark):
+        """A lexical-only dup pair lands in (1,1,0); a semantic-only pair in
+        (0,0,1); unrelated docs pair nowhere."""
+        same = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        docs = spark.createDataFrame(
+            [
+                (1, same),
+                (2, same),                                   # exact dup of 1
+                (3, "one two three four five six seven eight nine ten"),
+                (4, "red blue green yellow purple orange pink brown black white"),
+            ],
+            "doc_id long, text string",
+        )
+        v = [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+        emb = spark.createDataFrame(
+            [
+                (5, v),
+                (6, v),                                      # cos = 1 with 5
+                (7, [0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+                (8, [0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        got = {
+            (r["in_minhash"], r["in_simhash"], r["in_embedding"]): r["n_pairs"]
+            for r in DD.method_agreement(docs, emb).collect()
+        }
+        assert got == {(1, 1, 0): 1, (0, 0, 1): 1}
+
+
+class TestMultimodalNullPayload:
+    def test_resize_and_frames_skip_missing_objects(self, spark):
+        """NULL payloads (deleted originals, failed fetches) are skipped by
+        resize and frame sampling, matching featurize's contract — never a
+        job-killer."""
+        from map_spark_sql_spark.operators.multimodal import (
+            encode_media,
+            resize_media,
+            sample_frames,
+        )
+
+        payload = encode_media("image", 128, 96, b"x" * 300)
+        media = spark.createDataFrame(
+            [(1, payload), (2, None)], "media_id long, payload binary"
+        )
+        rs = resize_media(media, max_dim=64).collect()
+        assert [r["media_id"] for r in rs] == [1]
+        assert rs[0]["width"] == 64 and rs[0]["height"] == 48
+        fr = sample_frames(media, frame_size=64, every_nth=2).collect()
+        assert {r["media_id"] for r in fr} == {1}
+        assert sorted(r["frame_idx"] for r in fr) == [0, 2, 4]
+
+
+class TestIntervalOverlapJoin:
+    def test_exactly_once_boundaries_and_keys(self, spark):
+        """A pair sharing MANY bins is emitted once (owner-bin trick); a
+        boundary touch counts (closed intervals); disjoint intervals and
+        different keys never match."""
+        from map_spark_sql_spark.operators.temporal import interval_overlap_join
+
+        mk = "cast({0!r} as timestamp)"
+        left = spark.createDataFrame(
+            [
+                (1, 10, "2024-01-01 00:00:00", "2024-01-01 06:00:00"),  # long: 22 bins
+                (1, 11, "2024-01-01 08:00:00", "2024-01-01 08:00:10"),
+                (2, 12, "2024-01-01 00:00:00", "2024-01-01 06:00:00"),  # other key
+            ],
+            "k long, lid long, s string, e string",
+        ).selectExpr("k", "lid", "cast(s as timestamp) AS ls", "cast(e as timestamp) AS le")
+        right = spark.createDataFrame(
+            [
+                (1, 20, "2024-01-01 01:00:00", "2024-01-01 05:00:00"),  # inside long
+                (1, 21, "2024-01-01 06:00:00", "2024-01-01 07:00:00"),  # touches end
+                (1, 22, "2024-01-01 07:00:00", "2024-01-01 07:30:00"),  # disjoint from all
+            ],
+            "k long, rid long, s string, e string",
+        ).selectExpr("k", "rid", "cast(s as timestamp) AS rs", "cast(e as timestamp) AS re")
+        out = interval_overlap_join(
+            left, right, "ls", "le", "rs", "re", keys=["k"], bin_seconds=600
+        )
+        pairs = sorted((r["lid"], r["rid"]) for r in out.collect())
+        # 10x20 once despite 22 shared bins; 10x21 boundary touch; nothing
+        # for key 2 (no right rows) and nothing for the disjoint 22
+        assert pairs == [(10, 20), (10, 21)]
