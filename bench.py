@@ -64,6 +64,11 @@ HEADLINE = [
     "dedup_segments_global",
     "docs_bloom_prefilter",
     "docs_dsir_weights",
+    # final round-5 additions: 3-detector agreement overlay, binned
+    # interval-overlap join, budget selection (two-phase running sum)
+    "dedup_method_agreement",
+    "events_interval_overlap",
+    "docs_select_budget",
 ]
 
 

@@ -42,35 +42,39 @@ def _ws_token_count_sql(text: str, d: str) -> str:
     return token_counts_sql(text, d)["n_ws_tokens"]
 
 
-def pack_sequences(
-    docs: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    chunk_tokens: int = DEFAULT_CHUNK,
+def global_running_sum(
+    df: DataFrame,
+    sum_col: str,
+    order_cols: list,
+    out_col: str = "_run_end",
 ) -> DataFrame:
-    """Concat-and-chunk packing over ``id_col`` order (deterministic)."""
-    counted = docs.select(
-        F.col(id_col),
-        F.expr(_ws_token_count_sql(text_col, "spark")).cast("long").alias("n_tokens"),
-    )
+    """Two-phase distributed running sum over a global order — the scalable
+    replacement for ``sum() OVER (ORDER BY ...)`` with no PARTITION BY
+    (which Spark plans as a SINGLE-partition window, a non-starter at
+    100 TB). Appends ``out_col`` = the INCLUSIVE running sum of ``sum_col``
+    in ``order_cols`` order:
 
-    # phase 1: contiguous ranges per partition + within-partition cumsum.
-    # repartitionByRange keys partitions to sorted id ranges, so partition-
-    # local order + partition offsets reconstruct the global order.
-    parted = counted.repartitionByRange(F.col(id_col)).withColumn(
+    1. range-repartition on ``order_cols`` (partition p holds a contiguous
+       key range; sort direction is honored, so ``F.col(x).desc()`` works),
+       cumsum WITHIN each partition via parallel windows;
+    2. collect one partial sum per partition (bounded driver collect,
+       |rows| = partition count — the reference's S11 contract), fold into
+       exclusive per-partition offsets, broadcast back as a CASE column.
+
+    The eager ``localCheckpoint`` pins ONE physical layout:
+    ``repartitionByRange`` picks boundaries by sampling, so without it the
+    phase-2 collect job and the output job could each evaluate the lineage
+    with different partition ids, silently mis-applying the offsets (task
+    retries / AQE replan).
+    """
+    parted = df.repartitionByRange(*order_cols).withColumn(
         "_pid", F.spark_partition_id()
     )
-    w = Window.partitionBy("_pid").orderBy(id_col)
-    # eager localCheckpoint pins ONE physical layout: repartitionByRange picks
-    # boundaries by sampling, so without it the phase-2 collect job and the
-    # output job could each evaluate the lineage with different partition ids,
-    # silently mis-applying the broadcast offsets (task retries / AQE replan).
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
     local = parted.withColumn(
-        "_local_end", F.sum("n_tokens").over(w)
+        "_local_end", F.sum(sum_col).over(w)
     ).localCheckpoint(eager=True)
 
-    # phase 2: one row per partition -> exclusive prefix offsets (bounded
-    # driver collect, |rows| = shuffle partition count)
     partials = {
         r["_pid"]: r["_sum"]
         for r in local.groupBy("_pid").agg(F.max("_local_end").alias("_sum")).collect()
@@ -86,11 +90,28 @@ def pack_sequences(
         ],
         F.lit(0),
     ) if offsets else F.lit(0)
+    return local.withColumn(out_col, F.col("_local_end") + offset_col).drop(
+        "_pid", "_local_end"
+    )
 
-    spans = local.select(
+
+def pack_sequences(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = DEFAULT_CHUNK,
+) -> DataFrame:
+    """Concat-and-chunk packing over ``id_col`` order (deterministic)."""
+    counted = docs.select(
+        F.col(id_col),
+        F.expr(_ws_token_count_sql(text_col, "spark")).cast("long").alias("n_tokens"),
+    )
+
+    run = global_running_sum(counted, "n_tokens", [F.col(id_col)])
+    spans = run.select(
         id_col,
         "n_tokens",
-        (F.col("_local_end") - F.col("n_tokens") + offset_col).alias("_start"),
+        (F.col("_run_end") - F.col("n_tokens")).alias("_start"),
     )
 
     # row-local chunk fan-out: doc spans tokens [_start, _start + n_tokens)
@@ -149,4 +170,67 @@ SELECT {id_col}, n_tokens, chunk_id,
        CAST(least(_start + n_tokens, chunk_id * {chunk_tokens} + {chunk_tokens})
             - greatest(_start, chunk_id * {chunk_tokens}) AS BIGINT) AS take
 FROM exploded
+"""
+
+
+def select_token_budget(
+    docs: DataFrame,
+    token_budget: int = 8000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-ranked corpus selection under a token budget: rank documents
+    by the integer-exact quality classifier (descending, id tiebreak) and
+    keep the prefix whose cumulative whitespace-token count fits
+    ``token_budget`` — the greedy "best docs until the budget runs out"
+    selection step of pretraining-data curation (the budget knob of
+    mixture building, applied corpus-wide instead of per-source).
+
+    Scale shape: one scan computes (logit, n_tokens) scan-locally; the
+    global running sum in quality order is :func:`global_running_sum`'s
+    two-phase distributed scan (range repartition on the quality key +
+    bounded per-partition offset collect) — no single-partition window
+    anywhere. The final budget predicate is row-local. NULL texts are
+    excluded up front (no rankable score).
+
+    Output: ``(doc_id, quality_logit, n_tokens, cum_tokens)`` for the kept
+    prefix, ``cum_tokens`` inclusive.
+    """
+    from map_spark_sql_spark.operators.text import quality_classifier_sql
+
+    scored = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.expr(quality_classifier_sql(text_col, "spark")).alias("quality_logit"),
+        F.expr(_ws_token_count_sql(text_col, "spark")).cast("long").alias("n_tokens"),
+    )
+    run = global_running_sum(
+        scored, "n_tokens", [F.col("quality_logit").desc(), F.col(id_col)],
+        out_col="cum_tokens",
+    )
+    return run.filter(F.col("cum_tokens") <= token_budget).select(
+        id_col, "quality_logit", "n_tokens", "cum_tokens"
+    )
+
+
+def select_token_budget_oracle(
+    token_budget: int = 8000,
+    table: str = "documents",
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin: plain global cumsum window in quality order."""
+    from map_spark_sql_spark.operators.text import quality_classifier_sql
+
+    logit = quality_classifier_sql(text, "duckdb")
+    n = _ws_token_count_sql(text, "duckdb")
+    return f"""
+WITH scored AS (
+  SELECT {id_col}, {logit} AS quality_logit, CAST({n} AS BIGINT) AS n_tokens
+  FROM {table} WHERE {text} IS NOT NULL),
+run AS (
+  SELECT {id_col}, quality_logit, n_tokens,
+         sum(n_tokens) OVER (ORDER BY quality_logit DESC, {id_col}) AS cum_tokens
+  FROM scored)
+SELECT {id_col}, quality_logit, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM run WHERE cum_tokens <= {token_budget}
 """

@@ -2384,6 +2384,24 @@ def docs_pack_sequences(spark, sf_dir):
     return pack_sequences(load_table(spark, sf_dir, "documents"), chunk_tokens=256)
 
 
+from map_spark_sql_spark.operators.packing import (
+    select_token_budget,
+    select_token_budget_oracle,
+)
+
+
+@q("docs_select_budget", select_token_budget_oracle(token_budget=8000))
+def docs_select_budget(spark, sf_dir):
+    """Quality-ranked selection under a token budget: keep the best-logit
+    prefix of the corpus whose cumulative whitespace tokens fit the budget
+    — curation's budget knob. The global running sum in quality order uses
+    the same two-phase distributed scan as packing (no single-partition
+    window); the oracle is the plain cumsum window."""
+    return select_token_budget(
+        load_table(spark, sf_dir, "documents"), token_budget=8000
+    )
+
+
 def _pii_enriched(d: str) -> str:
     """Dialect-shared derivation appending deterministic synthetic PII to a
     subset of docs (the corpus itself is PII-free, which would make the

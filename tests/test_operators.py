@@ -1813,3 +1813,74 @@ class TestIntervalOverlapJoin:
         # 10x20 once despite 22 shared bins; 10x21 boundary touch; nothing
         # for key 2 (no right rows) and nothing for the disjoint 22
         assert pairs == [(10, 20), (10, 21)]
+
+    def test_random_differential_vs_bruteforce(self, spark):
+        """200 seeded-random intervals per side: the binned join must equal
+        the brute-force O(n^2) overlap check exactly, across random widths
+        that stress bin-boundary cases."""
+        import random
+
+        from map_spark_sql_spark.operators.temporal import interval_overlap_join
+
+        rng = random.Random(42)
+        base = 1700000000  # fixed epoch anchor
+
+        def gen(n, id0):
+            rows = []
+            for i in range(n):
+                k = rng.randint(1, 4)
+                s = base + rng.randint(0, 36000)
+                e = s + rng.randint(0, 5400)
+                rows.append((k, id0 + i, s, e))
+            return rows
+
+        lrows, rrows = gen(200, 1000), gen(200, 2000)
+        mk = lambda rows, a, b: spark.createDataFrame(
+            rows, f"k long, {a} long, s long, e long"
+        ).selectExpr("k", a, f"timestamp_seconds(s) AS {b}s", f"timestamp_seconds(e) AS {b}e")
+        out = interval_overlap_join(
+            mk(lrows, "lid", "l"), mk(rrows, "rid", "r"),
+            "ls", "le", "rs", "re", keys=["k"], bin_seconds=700,
+        )
+        got = sorted((r["lid"], r["rid"]) for r in out.collect())
+        want = sorted(
+            (l[1], r[1])
+            for l in lrows
+            for r in rrows
+            if l[0] == r[0] and l[2] <= r[3] and r[2] <= l[3]
+        )
+        assert got == want and len(want) > 100
+
+
+class TestSelectTokenBudget:
+    def test_budget_prefix_and_straddler_dropped(self, spark):
+        """Selection is the quality-ordered prefix; a document that would
+        straddle the budget is dropped whole (no truncation); NULL text is
+        excluded."""
+        from map_spark_sql_spark.operators.packing import select_token_budget
+        from map_spark_sql_spark.operators.text import quality_classifier_sql
+
+        prose = (
+            "the quick brown fox jumps over the lazy dog and then runs "
+            "far away to the old barn where it sleeps all day"
+        )
+        junk = "1234 5678 9012 3456 7890 1234 5678 9012"
+        docs = spark.createDataFrame(
+            [(1, prose), (2, prose + " again and again"), (3, junk), (4, None)],
+            "doc_id long, text string",
+        )
+        scored = {
+            r["doc_id"]: r["q"]
+            for r in docs.filter("text IS NOT NULL")
+            .selectExpr("doc_id", quality_classifier_sql("text", "spark") + " AS q")
+            .collect()
+        }
+        assert scored[1] > scored[3] and scored[2] > scored[3]  # prose beats junk
+
+        # budget fits docs 1+2 (22 + 25 tokens) but not the junk doc too
+        out = select_token_budget(docs, token_budget=50).collect()
+        assert sorted(r["doc_id"] for r in out) == [1, 2]
+        assert max(r["cum_tokens"] for r in out) <= 50
+        # tight budget: only the single best doc fits; the next straddles
+        out2 = select_token_budget(docs, token_budget=30).collect()
+        assert len(out2) == 1
