@@ -1625,3 +1625,62 @@ WHERE d.lang = '{lang}' AND d.n_chars >= {min_chars} AND e.{id_col} <> {query_id
 ORDER BY sim DESC, e.{id_col}
 LIMIT {k}
 """
+
+
+# --- batched multi-query top-k ---------------------------------------------------
+
+
+def topk_batch(
+    emb: DataFrame,
+    query_ids: tuple = (0, 7, 21),
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    buckets: int = 8,
+) -> DataFrame:
+    """Multi-query ANN in ONE corpus pass: retrieval serving never asks one
+    query at a time — a batch of Q queries amortizes the scan. The query
+    batch broadcasts (Q rows), every corpus vector computes its Q cosines
+    map-side (broadcast nested loop, no shuffle), and the per-query top-k
+    runs as :func:`~map_spark_sql_spark.operators.skew.salted_topk`'s
+    two-phase sharded rank — essential here because EVERY query key is a
+    whale by construction (each holds the full corpus), so the plain
+    ``row_number() OVER (PARTITION BY query)`` would funnel the corpus
+    through Q reducers; the salt shards each query's sort ``buckets`` ways
+    and phase 2 re-ranks <= buckets*k survivors. Size ``buckets`` with the
+    cluster (corpus_rows / executor_sort_budget), not with Q.
+
+    Output: ``(query_id, vec_id, sim, rank)``, k rows per query.
+    """
+    from map_spark_sql_spark.operators.skew import salted_topk
+
+    q = emb.filter(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qe")
+    )
+    sim = F.round(F.expr(cosine_cols_sql(vec_col, "qe", "spark")), 6)
+    sims = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", F.col(id_col), sim.alias("sim"))
+    )
+    return salted_topk(sims, ["query_id"], "sim", id_col, k=k, buckets=buckets)
+
+
+def topk_batch_oracle(
+    query_ids: tuple = (0, 7, 21),
+    k: int = 5,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    cos = cosine_cols_sql(f"e.{vec_col}", "q.qe", "duckdb")
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+WITH q AS (SELECT {id_col} AS query_id, {vec_col} AS qe
+           FROM {table} WHERE {id_col} IN ({ids})),
+s AS (SELECT q.query_id, e.{id_col}, round({cos}, 6) AS sim
+      FROM {table} e CROSS JOIN q WHERE e.{id_col} <> q.query_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, {id_col}) AS rank FROM s)
+SELECT query_id, {id_col}, sim, CAST(rank AS INT) AS rank FROM r WHERE rank <= {k}
+"""

@@ -2567,6 +2567,15 @@ def similarity_topk_ivfpq(spark, sf_dir):
     return SIM.ivfpq_topk(load_table(spark, sf_dir, "embeddings"))
 
 
+@q("similarity_topk_batch", SIM.topk_batch_oracle())
+def similarity_topk_batch(spark, sf_dir):
+    """Batched multi-query ANN: a broadcast query batch scores against the
+    corpus in one map-side pass; per-query top-k is the salted two-phase
+    rank (every query key is a whale — it holds the whole corpus — so the
+    plain per-query window would funnel the corpus through Q reducers)."""
+    return SIM.topk_batch(load_table(spark, sf_dir, "embeddings"))
+
+
 @q("similarity_topk_filtered", SIM.topk_filtered_oracle())
 def similarity_topk_filtered(spark, sf_dir):
     """Metadata-filtered vector search (pre-filtering strategy): cosine

@@ -1884,3 +1884,28 @@ class TestSelectTokenBudget:
         # tight budget: only the single best doc fits; the next straddles
         out2 = select_token_budget(docs, token_budget=30).collect()
         assert len(out2) == 1
+
+
+class TestTopkBatch:
+    def test_matches_per_query_topk(self, spark):
+        """The one-pass batch result equals k independent single-query
+        top-k runs, per query."""
+        import math
+
+        rows = [
+            (i, [math.cos(i * 0.37 + j) for j in range(6)]) for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = SIM.topk_batch(df, query_ids=(0, 5), k=3, buckets=4).collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"], r["sim"]))
+        assert set(by_q) == {0, 5}
+        for qid, hits in by_q.items():
+            qvec = rows[qid][1]
+            single = SIM.cosine_topk(
+                df.filter(F.col("vec_id") != qid), qvec, k=3
+            ).collect()
+            assert sorted(hits) == [
+                (i + 1, s["vec_id"], s["sim"]) for i, s in enumerate(single)
+            ]
