@@ -1684,3 +1684,81 @@ r AS (SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY sim DESC, {id_col}) AS rank FROM s)
 SELECT query_id, {id_col}, sim, CAST(rank AS INT) AS rank FROM r WHERE rank <= {k}
 """
+
+
+# --- single-pass corpus diversity ------------------------------------------------
+
+
+def diversity_stats(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-group mean pairwise cosine similarity WITHOUT materializing any
+    pair — the corpus-diversity health metric curation tracks (a group
+    whose embeddings all point the same way is redundant; near-0 means
+    diverse). Uses the sum-vector identity: for unit vectors u_i,
+
+        sum_{i != j} u_i . u_j  =  ||sum_i u_i||^2 - n
+
+    so mean pairwise cosine = (||s||^2 - n) / (n * (n - 1)) — ONE
+    aggregation pass (a posexplode + hash agg to sum per dimension), O(N)
+    instead of the O(N^2) self-join every naive implementation reaches
+    for. The DuckDB oracle deliberately computes the BRUTE-FORCE pairwise
+    mean, so the hash gate cross-proves the algebraic identity, not just
+    the plumbing. Groups of one emit NULL (no pairs).
+
+    Output: ``(label, n_vectors, mean_pairwise_cos)`` rounded to 6.
+    """
+    nrm = F.expr(norm_sql(vec_col, "spark"))
+    unit = F.expr(
+        f"transform({vec_col}, x -> CAST(x AS DOUBLE) / {norm_sql(vec_col, 'spark')})"
+    )
+    per_dim = (
+        emb.select(F.col(label_col), F.posexplode(unit).alias("dim", "u"))
+        .groupBy(label_col, "dim")
+        .agg(F.sum("u").alias("s_d"), F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        per_dim.groupBy(label_col)
+        .agg(
+            F.first("n").alias("n_vectors"),
+            F.sum(F.col("s_d") * F.col("s_d")).alias("s2"),
+        )
+        .select(
+            F.col(label_col),
+            F.col("n_vectors").cast("long").alias("n_vectors"),
+            F.when(
+                F.col("n_vectors") > 1,
+                F.round(
+                    (F.col("s2") - F.col("n_vectors"))
+                    / (F.col("n_vectors") * (F.col("n_vectors") - 1)),
+                    6,
+                ),
+            ).alias("mean_pairwise_cos"),
+        )
+    )
+
+
+def diversity_stats_oracle(
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> str:
+    """Brute-force O(N^2) twin: average cosine over all unordered pairs per
+    label — an INDEPENDENT formulation whose agreement proves the
+    sum-vector identity the engine relies on."""
+    cos = cosine_cols_sql(f"a.{vec_col}", f"b.{vec_col}", "duckdb")
+    return f"""
+WITH pairs AS (
+  SELECT a.{label_col} AS label, {cos} AS c
+  FROM {table} a JOIN {table} b
+    ON a.{label_col} = b.{label_col} AND a.{id_col} < b.{id_col}),
+counts AS (SELECT {label_col} AS label, count(*) AS n_vectors FROM {table} GROUP BY 1)
+SELECT c.label, c.n_vectors,
+       round((SELECT avg(p.c) FROM pairs p WHERE p.label = c.label), 6)
+         AS mean_pairwise_cos
+FROM counts c
+"""

@@ -2567,6 +2567,15 @@ def similarity_topk_ivfpq(spark, sf_dir):
     return SIM.ivfpq_topk(load_table(spark, sf_dir, "embeddings"))
 
 
+@q("similarity_diversity_stats", SIM.diversity_stats_oracle())
+def similarity_diversity_stats(spark, sf_dir):
+    """Per-label mean pairwise cosine WITHOUT materializing pairs (the
+    ||sum of unit vectors||^2 identity; one aggregation pass, O(N)). The
+    oracle brute-forces the O(N^2) pairwise average, so the hash gate
+    cross-proves the identity itself."""
+    return SIM.diversity_stats(load_table(spark, sf_dir, "embeddings"))
+
+
 @q("similarity_topk_batch", SIM.topk_batch_oracle())
 def similarity_topk_batch(spark, sf_dir):
     """Batched multi-query ANN: a broadcast query batch scores against the

@@ -1909,3 +1909,27 @@ class TestTopkBatch:
             assert sorted(hits) == [
                 (i + 1, s["vec_id"], s["sim"]) for i, s in enumerate(single)
             ]
+
+
+class TestDiversityStats:
+    def test_identity_matches_hand_computation(self, spark):
+        """Orthogonal pair -> mean cos 0; identical pair -> 1; singleton
+        group -> NULL (no pairs); mixed group matches the hand value."""
+        rows = [
+            (1, [1.0, 0.0], 0),
+            (2, [0.0, 1.0], 0),     # label 0: orthogonal => 0.0
+            (3, [1.0, 0.0], 1),
+            (4, [2.0, 0.0], 1),     # label 1: same direction => 1.0
+            (5, [1.0, 1.0], 2),     # label 2: singleton => NULL
+            (6, [1.0, 0.0], 3),
+            (7, [0.0, 1.0], 3),
+            (8, [1.0, 1.0], 3),     # label 3: pairs (0, √2/2, √2/2)/3
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+        got = {r["label"]: r for r in SIM.diversity_stats(df).collect()}
+        assert got[0]["mean_pairwise_cos"] == 0.0
+        assert got[1]["mean_pairwise_cos"] == 1.0
+        assert got[2]["mean_pairwise_cos"] is None and got[2]["n_vectors"] == 1
+        import math
+        want = round((0.0 + math.sqrt(2) / 2 + math.sqrt(2) / 2) / 3, 6)
+        assert abs(got[3]["mean_pairwise_cos"] - want) < 1e-9
