@@ -9,6 +9,7 @@ joins, multimodal columns — built Spark-first on the ``documents`` /
 from map_spark_sql_spark.operators.dedup import (
     content_hash,
     exact_dedup,
+    method_agreement,
     minhash_signatures,
     minhash_pairs,
     ngram_jaccard_pairs,
@@ -19,10 +20,23 @@ from map_spark_sql_spark.operators.similarity import (
     cosine_topk,
     cosine_topk_ivf,
     cosine_pairs_lsh,
+    diversity_stats,
+    mmr_rerank,
+    topk_batch,
+    topk_filtered,
 )
 from map_spark_sql_spark.operators.grouped import geomean_by, zscore_by
-from map_spark_sql_spark.operators.skew import salted_collect_list
-from map_spark_sql_spark.operators.temporal import asof_join, interval_band_join
+from map_spark_sql_spark.operators.packing import (
+    global_running_sum,
+    pack_sequences,
+    select_token_budget,
+)
+from map_spark_sql_spark.operators.skew import salted_collect_list, salted_topk
+from map_spark_sql_spark.operators.temporal import (
+    asof_join,
+    interval_band_join,
+    interval_overlap_join,
+)
 from map_spark_sql_spark.operators.text import (
     language_guess,
     quality_stats,
@@ -42,11 +56,21 @@ __all__ = [
     "cosine_topk",
     "cosine_topk_ivf",
     "cosine_pairs_lsh",
+    "diversity_stats",
+    "method_agreement",
+    "mmr_rerank",
+    "topk_batch",
+    "topk_filtered",
     "asof_join",
     "salted_collect_list",
+    "salted_topk",
     "geomean_by",
     "zscore_by",
+    "global_running_sum",
+    "pack_sequences",
+    "select_token_budget",
     "interval_band_join",
+    "interval_overlap_join",
     "language_guess",
     "quality_stats",
     "rolling_fingerprint",

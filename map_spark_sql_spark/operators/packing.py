@@ -234,3 +234,71 @@ run AS (
 SELECT {id_col}, quality_logit, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
 FROM run WHERE cum_tokens <= {token_budget}
 """
+
+
+def select_token_budget_per_source(
+    docs: DataFrame,
+    budget_per_source: int = 700,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source (stratified) budget selection: the best-quality prefix of
+    EACH source under that source's token budget — how curation applies a
+    mixture's per-source budgets after :func:`temperature weighting
+    <map_spark_sql_spark.operators.mixture.temperature_mixture>` decides
+    them.
+
+    Deliberate contrast with the corpus-wide :func:`select_token_budget`:
+    a PER-SOURCE cumulative sum has a natural PARTITION BY, so the plain
+    window is already parallel (one hash shuffle on source, per-partition
+    sorts) and the two-phase distributed scan is unnecessary. A whale
+    source's sort can still be salted like any per-key window
+    (``skew.salted_topk`` pattern) — but the budget predicate needs the
+    true in-order prefix, so the simple form stays until a profiled whale
+    forces the shard.
+
+    Output: ``(source, doc_id, quality_logit, n_tokens, cum_tokens)``.
+    """
+    from map_spark_sql_spark.operators.text import quality_classifier_sql
+
+    scored = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(source_col),
+        F.col(id_col),
+        F.expr(quality_classifier_sql(text_col, "spark")).alias("quality_logit"),
+        F.expr(_ws_token_count_sql(text_col, "spark")).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy(source_col).orderBy(
+        F.col("quality_logit").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget_per_source)
+        .select(source_col, id_col, "quality_logit", "n_tokens", "cum_tokens")
+    )
+
+
+def select_token_budget_per_source_oracle(
+    budget_per_source: int = 700,
+    table: str = "documents",
+    text: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> str:
+    from map_spark_sql_spark.operators.text import quality_classifier_sql
+
+    logit = quality_classifier_sql(text, "duckdb")
+    n = _ws_token_count_sql(text, "duckdb")
+    return f"""
+WITH scored AS (
+  SELECT {source_col}, {id_col}, {logit} AS quality_logit,
+         CAST({n} AS BIGINT) AS n_tokens
+  FROM {table} WHERE {text} IS NOT NULL),
+run AS (
+  SELECT *, sum(n_tokens) OVER (PARTITION BY {source_col}
+                                ORDER BY quality_logit DESC, {id_col}) AS cum_tokens
+  FROM scored)
+SELECT {source_col}, {id_col}, quality_logit, n_tokens,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM run WHERE cum_tokens <= {budget_per_source}
+"""

@@ -103,6 +103,28 @@ def interval_band_join(
     return df.join(F.broadcast(band_df), cond).drop("lo", "hi")
 
 
+def explode_interval_bins(
+    df: DataFrame, start_col: str, end_col: str, bin_seconds: int
+) -> DataFrame:
+    """Explode each closed interval into the coarse time bins it touches
+    (``_bin`` = floor(truncated-unix-seconds / bin_seconds), one row per
+    covered bin). The building block of :func:`interval_overlap_join`,
+    public so its fan-out and bin population are observable BEFORE running
+    the join (compose with ``skew.key_skew_report`` over ``(key, _bin)``
+    to find hot bins / whale intervals and size ``bin_seconds``)."""
+    w = int(bin_seconds)
+    return df.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                (F.unix_timestamp(F.col(start_col)) / w).cast("long"),
+                (F.unix_timestamp(F.col(end_col)) / w).cast("long"),
+            )
+        ),
+    )
+
+
+
 def interval_overlap_join(
     left: DataFrame,
     right: DataFrame,
@@ -138,20 +160,8 @@ def interval_overlap_join(
     same way LSH buckets bound near-dup candidates.
     """
     w = int(bin_seconds)
-
-    def binned(df: DataFrame, s: str, e: str) -> DataFrame:
-        return df.withColumn(
-            "_bin",
-            F.explode(
-                F.sequence(
-                    (F.unix_timestamp(F.col(s)) / w).cast("long"),
-                    (F.unix_timestamp(F.col(e)) / w).cast("long"),
-                )
-            ),
-        )
-
-    l = binned(left, start_l, end_l).alias("l")
-    r = binned(right, start_r, end_r).alias("r")
+    l = explode_interval_bins(left, start_l, end_l, w).alias("l")
+    r = explode_interval_bins(right, start_r, end_r, w).alias("r")
     on = [F.col(f"l.{k}") == F.col(f"r.{k}") for k in keys] + [
         F.col("l._bin") == F.col("r._bin")
     ]

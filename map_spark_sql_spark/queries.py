@@ -2402,6 +2402,22 @@ def docs_select_budget(spark, sf_dir):
     )
 
 
+from map_spark_sql_spark.operators.packing import (
+    select_token_budget_per_source,
+    select_token_budget_per_source_oracle,
+)
+
+
+@q("docs_select_budget_by_source", select_token_budget_per_source_oracle())
+def docs_select_budget_by_source(spark, sf_dir):
+    """Stratified budget selection: each source keeps its own best-quality
+    prefix under a per-source token budget (how mixture-decided budgets
+    get applied). Contrast with docs_select_budget: a per-source cumsum
+    has a natural PARTITION BY, so the plain window is already parallel
+    and the two-phase distributed scan is unnecessary."""
+    return select_token_budget_per_source(load_table(spark, sf_dir, "documents"))
+
+
 def _pii_enriched(d: str) -> str:
     """Dialect-shared derivation appending deterministic synthetic PII to a
     subset of docs (the corpus itself is PII-free, which would make the
@@ -3481,6 +3497,41 @@ def mapkeys_skew_report(spark, sf_dir):
     — the signal that routes a key to the salted path (operators/skew.py).
     Bucket = binary-digit length, exact integer math."""
     return SKW.key_skew_report(_exploded_df(spark, sf_dir), "mapKey")
+
+
+@q(
+    "events_interval_bin_skew",
+    """
+WITH p AS (SELECT user_id, ts AS s, ts + INTERVAL 30 MINUTE AS e
+           FROM events WHERE event_type = 'purchase'),
+b AS (SELECT user_id || ':' || CAST(unnest(generate_series(
+          CAST(floor(epoch(s) / 600) AS BIGINT),
+          CAST(floor(epoch(e) / 600) AS BIGINT))) AS VARCHAR) AS k
+      FROM p)
+SELECT CAST(length(bin(cnt)) - 1 AS INTEGER) AS bucket,
+       count(*) AS n_keys,
+       CAST(sum(cnt) AS BIGINT) AS n_rows,
+       CAST(max(cnt) AS BIGINT) AS max_count
+FROM (SELECT k AS key, count(*) AS cnt FROM b GROUP BY k) per_key
+GROUP BY bucket
+""",
+)
+def events_interval_bin_skew(spark, sf_dir):
+    """Observability companion to events_interval_overlap: the skew profile
+    of the (user, time-bin) join key the binned interval join shuffles on
+    — run BEFORE the join to spot hot bins / whale intervals and size
+    bin_seconds (the same run-the-diagnostic-first discipline as
+    mapkeys_skew_report). Pure composition: explode_interval_bins feeding
+    key_skew_report."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("s"),
+        F.expr("ts + INTERVAL 30 MINUTES").alias("e"),
+    )
+    binned = TP.explode_interval_bins(p, "s", "e", 600)
+    keyed = binned.select(F.concat_ws(":", "user_id", "_bin").alias("k"))
+    return SKW.key_skew_report(keyed, "k")
 
 
 # ---------------------------------------------------------------------------

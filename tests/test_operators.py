@@ -1933,3 +1933,29 @@ class TestDiversityStats:
         import math
         want = round((0.0 + math.sqrt(2) / 2 + math.sqrt(2) / 2) / 3, 6)
         assert abs(got[3]["mean_pairwise_cos"] - want) < 1e-9
+
+
+class TestSelectBudgetPerSource:
+    def test_each_source_keeps_its_own_prefix(self, spark):
+        """Budgets are per source: source A's straddler is dropped without
+        affecting source B's selection; quality ordering within source."""
+        from map_spark_sql_spark.operators.packing import (
+            select_token_budget_per_source,
+        )
+
+        prose = (
+            "the quick brown fox jumps over the lazy dog and then runs "
+            "far away to the old barn where it sleeps all day"
+        )  # 22 ws tokens
+        junk = "1234 5678 9012 3456 7890 1234 5678 9012"
+        docs = spark.createDataFrame(
+            [
+                (1, prose, "a"),
+                (2, prose + " more words here", "a"),  # straddles a=30
+                (3, junk, "b"),                        # b's only doc fits
+            ],
+            "doc_id long, text string, source string",
+        )
+        out = select_token_budget_per_source(docs, budget_per_source=30).collect()
+        kept = {(r["source"], r["doc_id"]) for r in out}
+        assert kept == {("a", 1), ("b", 3)}
