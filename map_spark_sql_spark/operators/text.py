@@ -1146,3 +1146,105 @@ SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_tokens,
        CAST(sum(lam_u) AS BIGINT) / 1000000.0 / count(*) AS mean_dsir
 FROM scored GROUP BY {id_col}
 """
+
+
+# --- bigram LM quality scoring ----------------------------------------------
+
+
+def _bigrams_sql(text: str, d: str) -> str:
+    """Consecutive word pairs as 'w1 w2' strings (empty tokens dropped)."""
+    w = f"filter({_words(f'lower({text})', 'spark')}, t -> t <> '')"
+    if d == "spark":
+        # greatest(.., 0): slice() raises on negative length for 0-token docs
+        n1 = f"greatest(size({w}) - 1, 0)"
+        return (
+            f"zip_with(slice({w}, 1, {n1}), "
+            f"slice({w}, 2, {n1}), (a, b) -> concat(a, ' ', b))"
+        )
+    w = f"list_filter({_words(f'lower({text})', 'duckdb')}, t -> t <> '')"
+    return (
+        f"list_transform(list_zip({w}[1:len({w})-1], {w}[2:len({w})]), "
+        f"t -> t[1] || ' ' || t[2])"
+    )
+
+
+def lm_score_bigram(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Bigram language-model quality score with add-1 smoothing: train
+    p(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + V) on the corpus itself, score
+    each document by mean NLL over its bigrams — one step up the n-gram
+    ladder from :func:`lm_score`, and the form that actually catches
+    scrambled-word junk (every unigram can be common while every bigram is
+    surprising).
+
+    Same determinism discipline as :func:`lm_score`: per-bigram NLL is
+    quantized to integer micro-nats before summation, so accumulation
+    order cannot drift between engines. Scale shape: a (bigram) shuffle
+    for the pair table, a (context word) shuffle for the denominators,
+    two shuffle joins back (neither table is broadcastable at web scale),
+    a (doc) rollup; V is a 1-row broadcast. Documents with < 2 tokens
+    produce no bigrams and are absent from the output (both engines).
+
+    Output: ``(doc_id, n_bigrams, sum_nll_micro, mean_nll)``.
+    """
+    bg = df.select(
+        F.col(id_col), F.explode(F.expr(_bigrams_sql(text_col, "spark"))).alias("bg")
+    )
+    bg_freq = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = bg.select(F.expr("split(bg, ' ')[0]").alias("w1"))
+    ctx_freq = ctx.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    words = f"filter({_words(f'lower({text_col})', 'spark')}, t -> t <> '')"
+    vocab = (
+        df.select(F.explode(F.expr(words)).alias("term"))
+        .agg(F.countDistinct("term").cast("long").alias("v"))
+    )
+    nll_u = F.expr(
+        "CAST(round(-ln((CAST(c12 AS DOUBLE) + 1.0) / (CAST(c1 AS DOUBLE) + CAST(v AS DOUBLE))) "
+        "* 1000000) AS BIGINT)"
+    )
+    return (
+        bg.join(bg_freq, "bg")
+        .withColumn("w1", F.expr("split(bg, ' ')[0]"))
+        .join(ctx_freq, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(F.col(id_col), nll_u.alias("nll_u"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("nll_u").cast("long").alias("sum_nll_micro"),
+        )
+        .withColumn(
+            # same exact-integer division note as lm_score: no final round
+            "mean_nll",
+            F.col("sum_nll_micro") / 1000000.0 / F.col("n_bigrams"),
+        )
+    )
+
+
+def lm_score_bigram_oracle(
+    table: str = "documents", text: str = "text", id_col: str = "doc_id"
+) -> str:
+    bgs = _bigrams_sql(text, "duckdb")
+    words = f"list_filter({_words(f'lower({text})', 'duckdb')}, t -> t <> '')"
+    return f"""
+WITH bg AS (SELECT {id_col}, unnest({bgs}) AS bg FROM {table}),
+bg_freq AS (SELECT bg, count(*) AS c12 FROM bg GROUP BY bg),
+ctx_freq AS (SELECT string_split(bg, ' ')[1] AS w1, count(*) AS c1 FROM bg GROUP BY 1),
+vocab AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v
+          FROM (SELECT unnest({words}) AS term FROM {table}) u),
+scored AS (
+  SELECT b.{id_col},
+         CAST(round(-ln((CAST(f.c12 AS DOUBLE) + 1.0)
+                        / (CAST(c.c1 AS DOUBLE) + CAST(vv.v AS DOUBLE)))
+                    * 1000000) AS BIGINT) AS nll_u
+  FROM bg b
+  JOIN bg_freq f USING (bg)
+  JOIN ctx_freq c ON string_split(b.bg, ' ')[1] = c.w1
+  CROSS JOIN vocab vv
+)
+SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(nll_u) AS BIGINT) AS sum_nll_micro,
+       CAST(sum(nll_u) AS BIGINT) / 1000000.0 / count(*) AS mean_nll
+FROM scored GROUP BY {id_col}
+"""

@@ -2583,6 +2583,15 @@ def similarity_topk_ivfpq(spark, sf_dir):
     return SIM.ivfpq_topk(load_table(spark, sf_dir, "embeddings"))
 
 
+@q("text_lm_score_bigram", TX.lm_score_bigram_oracle())
+def text_lm_score_bigram(spark, sf_dir):
+    """Bigram LM quality score (add-1 smoothing, corpus as its own model):
+    mean NLL over consecutive word pairs — catches scrambled-word junk
+    unigram perplexity cannot. Integer micro-nat accumulation; bigram and
+    context tables stay shuffle-joined (never broadcast at web scale)."""
+    return TX.lm_score_bigram(load_table(spark, sf_dir, "documents"))
+
+
 @q("similarity_diversity_stats", SIM.diversity_stats_oracle())
 def similarity_diversity_stats(spark, sf_dir):
     """Per-label mean pairwise cosine WITHOUT materializing pairs (the

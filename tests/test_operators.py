@@ -1959,3 +1959,41 @@ class TestSelectBudgetPerSource:
         out = select_token_budget_per_source(docs, budget_per_source=30).collect()
         kept = {(r["source"], r["doc_id"]) for r in out}
         assert kept == {("a", 1), ("b", 3)}
+
+
+class TestMmrRerankSmallPool:
+    def test_k_exceeding_pool_returns_pool_without_error(self, spark):
+        """k > candidate pool: every candidate is returned once, ranks stay
+        contiguous, and the extra rounds are harmless no-ops."""
+        rows = [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.1, 0.9]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = SIM.mmr_rerank(df, k=5, pool_size=8, lam=0.5).collect()
+        assert sorted(r["vec_id"] for r in out) == [1, 2]
+        assert [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2]
+
+
+class TestLmScoreBigram:
+    def test_scrambled_doc_scores_worse_and_short_docs_absent(self, spark):
+        """A document reusing the corpus's dominant bigrams gets lower mean
+        NLL than one with the same words scrambled into unseen pairs; docs
+        with < 2 tokens emit no row."""
+        common = "the cat sat on the mat"
+        docs = spark.createDataFrame(
+            [
+                (1, common),
+                (2, common),
+                (3, common),
+                (4, "mat the on sat cat the"),   # same unigrams, novel bigrams
+                (5, "single"),                   # no bigrams
+                (6, None),                       # NULL text
+            ],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in TX.lm_score_bigram(docs).collect()}
+        assert set(got) == {1, 2, 3, 4}
+        assert got[4]["mean_nll"] > got[1]["mean_nll"]
+        assert got[1]["n_bigrams"] == 5
