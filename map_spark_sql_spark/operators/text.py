@@ -1248,3 +1248,82 @@ SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_bigrams,
        CAST(sum(nll_u) AS BIGINT) / 1000000.0 / count(*) AS mean_nll
 FROM scored GROUP BY {id_col}
 """
+
+
+# --- winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003) ---------------
+
+
+def winnowing_select_sql(hs_col: str, w: int, d: str) -> str:
+    """DISTINCT winnowing fingerprints from a STAGED shingle-hash array
+    column: slide a window of ``w`` consecutive hashes, select each
+    window's minimum. ``hs_col`` must be a bound column, not an inline
+    expression — Catalyst does not CSE inside higher-order-function
+    lambdas, so an inlined hash array would be recomputed once per window
+    (measured: 44s -> 1.4s at sf0.01 after staging). Selecting the VALUE
+    set makes the classic rightmost-tie rule irrelevant (ties select the
+    same value), so both engines agree without positional bookkeeping.
+    Documents with fewer than w shingles get ONE window covering what
+    exists; 0-shingle and NULL docs yield an empty list.
+    """
+    if d == "spark":
+        m = f"size({hs_col})"
+        # sequence(1, 0) counts DOWN in Spark — explicit empty-guard
+        return (
+            f"CASE WHEN {m} >= 1 THEN array_distinct(transform("
+            f"sequence(1, greatest({m} - {w} + 1, 1)), "
+            f"j -> array_min(slice({hs_col}, CAST(j AS INT), {w})))) "
+            f"ELSE array() END"
+        )
+    m = f"len({hs_col})"
+    return (
+        f"CASE WHEN {m} >= 1 THEN list_distinct(list_transform("
+        f"range(1, greatest({m} - {w} + 1, 1) + 1), "
+        f"j -> list_min({hs_col}[CAST(j AS BIGINT):CAST(j + {w} - 1 AS BIGINT)]))) "
+        f"ELSE [] END"
+    )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document winnowing fingerprint set (Schleimer, Wilkerson &
+    Aiken 2003 / MOSS), exploded to ``(doc_id, fp)`` rows. Guarantee: any
+    two documents sharing a run of >= w + k - 1 identical words share at
+    least one fingerprint — the local substring-match property whole-doc
+    hashes (rolling_fingerprint) and bag-of-shingle sketches (minhash)
+    both lack. Feed the output into the same inverted-index + max_df
+    machinery as the n-gram family to get pairs. Entirely row-local HOFs
+    over a staged hash column: no shuffle until a consumer aggregates.
+    """
+    from map_spark_sql_spark.operators.dedup import base_hashes_from_words_sql
+
+    words = f"filter({_words(f'lower({text_col})', 'spark')}, t -> t <> '')"
+    staged = df.withColumn("_w", F.expr(words)).withColumn(
+        "_hs", F.expr(base_hashes_from_words_sql("_w", k, "spark"))
+    )
+    return staged.select(
+        F.col(id_col),
+        F.explode(F.expr(winnowing_select_sql("_hs", w, "spark"))).alias("fp"),
+    )
+
+
+def winnowing_fingerprints_oracle(
+    k: int = 3,
+    w: int = 4,
+    table: str = "documents",
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    from map_spark_sql_spark.operators.dedup import base_hashes_from_words_sql
+
+    words = f"list_filter({_words(f'lower({text})', 'duckdb')}, t -> t <> '')"
+    hs = base_hashes_from_words_sql("_w", k, "duckdb")
+    return f"""
+SELECT {id_col}, unnest({winnowing_select_sql('_hs', w, 'duckdb')}) AS fp
+FROM (SELECT {id_col}, {hs} AS _hs
+      FROM (SELECT {id_col}, {words} AS _w FROM {table}) staged_w) staged
+"""

@@ -2583,6 +2583,15 @@ def similarity_topk_ivfpq(spark, sf_dir):
     return SIM.ivfpq_topk(load_table(spark, sf_dir, "embeddings"))
 
 
+@q("text_winnowing_fingerprints", TX.winnowing_fingerprints_oracle())
+def text_winnowing_fingerprints(spark, sf_dir):
+    """Winnowing (MOSS) fingerprint selection: min shingle-hash per sliding
+    window, guaranteeing docs sharing a >= w+k-1-word run share a
+    fingerprint — the substring-robust fingerprint the whole-doc and
+    bag-of-shingles fingerprints both lack. Row-local HOFs, no shuffle."""
+    return TX.winnowing_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
 @q("text_lm_score_bigram", TX.lm_score_bigram_oracle())
 def text_lm_score_bigram(spark, sf_dir):
     """Bigram LM quality score (add-1 smoothing, corpus as its own model):

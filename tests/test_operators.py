@@ -1997,3 +1997,30 @@ class TestLmScoreBigram:
         assert set(got) == {1, 2, 3, 4}
         assert got[4]["mean_nll"] > got[1]["mean_nll"]
         assert got[1]["n_bigrams"] == 5
+
+
+class TestWinnowing:
+    def test_shared_run_guarantee_and_short_docs(self, spark):
+        """Docs sharing a >= w+k-1 word run share a fingerprint (the MOSS
+        guarantee, k=3 w=4 -> 6 words); disjoint docs share none; a doc
+        with fewer than w shingles still fingerprints (single window);
+        empty/NULL docs are absent."""
+        shared = "alpha beta gamma delta epsilon zeta"
+        docs = spark.createDataFrame(
+            [
+                (1, "one two " + shared + " three four five six seven"),
+                (2, "red blue green " + shared + " yellow purple"),
+                (3, "completely different words entirely here now today soon"),
+                (4, "just four little words"),         # 2 shingles < w
+                (5, ""),
+                (6, None),
+            ],
+            "doc_id long, text string",
+        )
+        fps = {}
+        for r in TX.winnowing_fingerprints(docs, k=3, w=4).collect():
+            fps.setdefault(r["doc_id"], set()).add(r["fp"])
+        assert fps[1] & fps[2]                      # guarantee fires
+        assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+        assert len(fps[4]) == 1                     # one covering window
+        assert 5 not in fps and 6 not in fps
