@@ -1327,3 +1327,70 @@ SELECT {id_col}, unnest({winnowing_select_sql('_hs', w, 'duckdb')}) AS fp
 FROM (SELECT {id_col}, {hs} AS _hs
       FROM (SELECT {id_col}, {words} AS _w FROM {table}) staged_w) staged
 """
+
+
+def winnowing_pairs(
+    df: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 200,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Local-overlap candidate pairs from winnowing fingerprints: documents
+    sharing >= ``min_shared`` selected fingerprints — the MOSS-style
+    plagiarism/near-dup detector that catches a COPIED PASSAGE inside
+    otherwise-different documents (minhash/simhash score whole-document
+    similarity and dilute a short shared run to nothing).
+
+    Same inverted-index discipline as the n-gram family: fingerprints in
+    more than ``max_df`` documents are pruned before any fan-out (a
+    boilerplate fingerprint shared by half the corpus is a quadratic
+    posting list with no signal), in-posting pairs fan out join-free from
+    the sorted member list, and the only wide shuffles key on fp then
+    (a, b). Output: ``(a_id, b_id, shared_fps)``.
+    """
+    fps = winnowing_fingerprints(df, k, w, text_col, id_col)
+    posting = (
+        fps.groupBy("fp")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_df))
+    )
+    pairs = F.expr(
+        "flatten(transform(ids, (a, i) -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), b -> struct(a, b))))"
+    )
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        posting.repartition(par, "fp")
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.a").alias("a_id"), F.col("p.b").alias("b_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+
+
+def winnowing_pairs_oracle(
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 200,
+    table: str = "documents",
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Mirrors :func:`winnowing_pairs` INCLUDING the ``max_df`` prune, kept
+    pre-join (the mark-join planner lesson from the LSH oracles)."""
+    fps = winnowing_fingerprints_oracle(k, w, table, text, id_col)
+    return f"""
+WITH fps AS ({fps}),
+keep AS (SELECT fp FROM fps GROUP BY fp
+         HAVING count(*) > 1 AND count(*) <= {max_df}),
+kept AS (SELECT f.* FROM fps f JOIN keep USING (fp))
+SELECT a.{id_col} AS a_id, b.{id_col} AS b_id,
+       CAST(count(*) AS BIGINT) AS shared_fps
+FROM kept a JOIN kept b ON a.fp = b.fp AND a.{id_col} < b.{id_col}
+GROUP BY a_id, b_id
+HAVING count(*) >= {min_shared}
+"""

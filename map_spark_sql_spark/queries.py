@@ -2592,6 +2592,15 @@ def text_winnowing_fingerprints(spark, sf_dir):
     return TX.winnowing_fingerprints(load_table(spark, sf_dir, "documents"))
 
 
+@q("dedup_winnowing_pairs", TX.winnowing_pairs_oracle())
+def dedup_winnowing_pairs(spark, sf_dir):
+    """MOSS-style local-overlap pairs: docs sharing >= min_shared winnowing
+    fingerprints — catches a copied passage inside otherwise-different
+    documents, which whole-document similarity dilutes away. Inverted
+    index with the standard max_df prune; join-free in-posting fan-out."""
+    return TX.winnowing_pairs(load_table(spark, sf_dir, "documents"))
+
+
 @q("text_lm_score_bigram", TX.lm_score_bigram_oracle())
 def text_lm_score_bigram(spark, sf_dir):
     """Bigram LM quality score (add-1 smoothing, corpus as its own model):

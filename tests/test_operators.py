@@ -2024,3 +2024,22 @@ class TestWinnowing:
         assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
         assert len(fps[4]) == 1                     # one covering window
         assert 5 not in fps and 6 not in fps
+
+
+class TestWinnowingPairs:
+    def test_copied_passage_detected_whole_doc_sims_differ(self, spark):
+        """A 8-word passage copied between two otherwise-disjoint documents
+        produces a pair; documents with no shared run do not pair."""
+        passage = "the sly fox crept along the river bank"
+        docs = spark.createDataFrame(
+            [
+                (1, "intro words here " + passage + " and some closing remarks"),
+                (2, "totally other opening " + passage + " different ending text"),
+                (3, "no overlap at all in this one just noise tokens forever"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {(r["a_id"], r["b_id"]): r["shared_fps"]
+               for r in TX.winnowing_pairs(docs, min_shared=1).collect()}
+        assert (1, 2) in got
+        assert all(3 not in pair for pair in got)
