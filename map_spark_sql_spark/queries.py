@@ -3561,6 +3561,161 @@ def events_interval_bin_skew(spark, sf_dir):
     return SKW.key_skew_report(keyed, "k")
 
 
+@q(
+    "events_funnel_conversion",
+    """
+WITH per AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS t1,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t2,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t3,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t4
+  FROM events GROUP BY user_id
+), d AS (
+  SELECT CASE WHEN t1 IS NULL THEN 0
+              WHEN t2 IS NULL OR t2 < t1 THEN 1
+              WHEN t3 IS NULL OR t3 < t2 THEN 2
+              WHEN t4 IS NULL OR t4 < t3 THEN 3
+              ELSE 4 END AS depth
+  FROM per
+), counts AS (
+  SELECT depth, count(*) AS cnt FROM d GROUP BY depth
+), steps(step, step_name) AS (
+  VALUES (1, 'signup'), (2, 'view'), (3, 'click'), (4, 'purchase')
+), funnel AS (
+  SELECT CAST(s.step AS BIGINT) AS step, s.step_name,
+         CAST(coalesce(sum(CASE WHEN c.depth >= s.step THEN c.cnt END), 0) AS BIGINT) AS users
+  FROM steps s LEFT JOIN counts c ON c.depth >= s.step
+  GROUP BY s.step, s.step_name
+)
+SELECT f.step, f.step_name, f.users,
+       (1000000 * f.users) // nullif(u.u1, 0) AS conv_ppm
+FROM funnel f CROSS JOIN (SELECT users AS u1 FROM funnel WHERE step = 1) u
+""",
+)
+def events_funnel_conversion(spark, sf_dir):
+    """Ordered funnel over first occurrences: a user reaches step k iff the
+    FIRST occurrence of each step's event type is at-or-after the previous
+    step's first occurrence (signup -> view -> click -> purchase). The
+    classic product-analytics conversion query, shaped for scale: ONE
+    conditional-min groupBy(user_id) pass over the raw events (partial agg
+    map-side, no window, no self-join), then everything downstream operates
+    on <=5-row aggregates. The step fan-out is a broadcast nested-loop over
+    a 4-row literal table, and conv_ppm is exact integer ppm so no float
+    crosses the engine hash. Reference analogue: the per-key multi-facet
+    count family (A2, SimpleMapsPipeline.java:97) extended with ordered
+    semantics."""
+    per = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            *[
+                F.min(F.when(F.col("event_type") == t, F.col("ts"))).alias(f"t{i}")
+                for i, t in enumerate(
+                    ("signup", "view", "click", "purchase"), start=1
+                )
+            ]
+        )
+    )
+    depth = per.select(
+        F.when(F.col("t1").isNull(), 0)
+        .when(F.col("t2").isNull() | (F.col("t2") < F.col("t1")), 1)
+        .when(F.col("t3").isNull() | (F.col("t3") < F.col("t2")), 2)
+        .when(F.col("t4").isNull() | (F.col("t4") < F.col("t3")), 3)
+        .otherwise(4)
+        .alias("depth")
+    )
+    counts = depth.groupBy("depth").agg(F.count(F.lit(1)).alias("cnt"))
+    steps = spark.createDataFrame(
+        [(1, "signup"), (2, "view"), (3, "click"), (4, "purchase")],
+        ["step", "step_name"],
+    ).select(F.col("step").cast("bigint").alias("step"), "step_name")
+    funnel = (
+        steps.join(counts, F.col("depth") >= F.col("step"), "left")
+        .groupBy("step", "step_name")
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("users"))
+    )
+    s1 = funnel.filter(F.col("step") == 1).select(F.col("users").alias("u1"))
+    return funnel.crossJoin(F.broadcast(s1)).select(
+        "step",
+        "step_name",
+        "users",
+        F.expr("(1000000 * users) div nullif(u1, 0)").alias("conv_ppm"),
+    )
+
+
+@q(
+    "events_cohort_retention",
+    """
+WITH cohort AS (
+  SELECT user_id,
+         CAST(epoch_us(date_trunc('week', min(ts))) AS BIGINT) AS cohort_us
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id, CAST(epoch_us(date_trunc('week', ts)) AS BIGINT) AS week_us
+  FROM events
+), sizes AS (
+  SELECT cohort_us, count(*) AS cohort_users FROM cohort GROUP BY cohort_us
+), ret AS (
+  SELECT c.cohort_us, a.week_us, count(*) AS active_users
+  FROM activity a JOIN cohort c USING (user_id)
+  WHERE a.week_us >= c.cohort_us
+  GROUP BY c.cohort_us, a.week_us
+)
+SELECT r.cohort_us AS cohort_week_us,
+       (r.week_us - r.cohort_us) // 604800000000 AS week_offset,
+       CAST(r.active_users AS BIGINT) AS active_users,
+       (1000000 * r.active_users) // nullif(s.cohort_users, 0) AS retained_ppm
+FROM ret r JOIN sizes s ON r.cohort_us = s.cohort_us
+""",
+)
+def events_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention: users cohorted by the Monday-truncated week
+    of their first signup; for each (cohort week, week offset) the count of
+    cohort members active that week and the exact-integer retained ppm.
+    Scale shape: cohort is one groupBy(user_id) over the signup slice
+    (filter pushed to the scan), activity is one distinct over
+    (user_id, week) — both shuffle on user_id, so the cohort<->activity
+    join REUSES that partitioning with no extra exchange; the per-cohort
+    size table is tiny (one row per week) and broadcast. Week arithmetic is
+    pure int64 micros (both truncs are Monday-midnight, so the difference
+    is an exact multiple of 604800000000 us — timestamps are naive, no DST
+    step). No window, no float in the output."""
+    ev = load_table(spark, sf_dir, "events")
+    cohort = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_signup"))
+        .select(
+            "user_id",
+            F.unix_micros(F.date_trunc("week", "first_signup")).alias("cohort_us"),
+        )
+    )
+    activity = ev.select(
+        "user_id", F.unix_micros(F.date_trunc("week", "ts")).alias("week_us")
+    ).distinct()
+    sizes = cohort.groupBy("cohort_us").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    ret = (
+        activity.join(cohort, "user_id")
+        .filter(F.col("week_us") >= F.col("cohort_us"))
+        .groupBy("cohort_us", "week_us")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+    return (
+        ret.join(F.broadcast(sizes), "cohort_us")
+        .select(
+            F.col("cohort_us").alias("cohort_week_us"),
+            F.expr("(week_us - cohort_us) div 604800000000").alias("week_offset"),
+            F.col("active_users").cast("bigint").alias("active_users"),
+            F.expr(
+                "(1000000 * active_users) div nullif(cohort_users, 0)"
+            ).alias("retained_ppm"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
