@@ -69,6 +69,14 @@ HEADLINE = [
     "dedup_method_agreement",
     "events_interval_overlap",
     "docs_select_budget",
+    # event-analytics additions: ordered funnel (single conditional-min
+    # pass), weekly cohort retention (partitioning-reuse join), Markov
+    # transition matrix (user-partitioned lag window), PMI collocations
+    # (bigram explode + TopK)
+    "events_funnel_conversion",
+    "events_cohort_retention",
+    "events_transition_matrix",
+    "text_pmi_collocations",
 ]
 
 

@@ -3716,6 +3716,239 @@ def events_cohort_retention(spark, sf_dir):
     )
 
 
+@q(
+    "events_transition_matrix",
+    """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+), counts AS (
+  SELECT prev_type AS from_type, event_type AS to_type, count(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+), totals AS (
+  SELECT from_type, sum(n) AS tot FROM counts GROUP BY from_type
+)
+SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n,
+       (1000000 * c.n) // t.tot AS prob_ppm
+FROM counts c JOIN totals t ON c.from_type = t.from_type
+""",
+)
+def events_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event sequences:
+    counts and exact-integer ppm probabilities for every (prev event type
+    -> event type) transition, ordered per user by (ts, event_id) so the
+    lag is a total order even under the scale corpus's deliberate
+    (user, ts) collisions. Scale shape: ONE window shuffle partitioned by
+    user_id (never unpartitioned), then all downstream work on a <=25-row
+    matrix with the per-from-type totals joined broadcast. The classic
+    clickstream path-analysis primitive."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    counts = (
+        seq.groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = counts.groupBy("from_type").agg(F.sum("n").alias("tot"))
+    return (
+        counts.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.expr("(1000000 * n) div tot").alias("prob_ppm"),
+        )
+    )
+
+
+@q(
+    "events_funnel_windowed",
+    """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'view' AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 24 HOUR
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'click' AND e.ts > s2.t2 AND e.ts <= s2.t2 + INTERVAL 24 HOUR
+  GROUP BY e.user_id
+), s4 AS (
+  SELECT e.user_id, min(e.ts) AS t4
+  FROM events e JOIN s3 ON e.user_id = s3.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s3.t3 AND e.ts <= s3.t3 + INTERVAL 24 HOUR
+  GROUP BY e.user_id
+), funnel AS (
+  SELECT CAST(1 AS BIGINT) AS step, 'signup' AS step_name, CAST(count(*) AS BIGINT) AS users FROM s1
+  UNION ALL SELECT 2, 'view', count(*) FROM s2
+  UNION ALL SELECT 3, 'click', count(*) FROM s3
+  UNION ALL SELECT 4, 'purchase', count(*) FROM s4
+)
+SELECT f.step, f.step_name, f.users,
+       (1000000 * f.users) // nullif(u.u1, 0) AS conv_ppm
+FROM funnel f CROSS JOIN (SELECT users AS u1 FROM funnel WHERE step = 1) u
+""",
+)
+def events_funnel_windowed(spark, sf_dir):
+    """STRICT time-boxed funnel (contrast with events_funnel_conversion's
+    loose first-occurrence semantics): each step must occur strictly after
+    the previous step's earliest qualifying time and within 24 hours of
+    it. Computed as a chain of slice-join-min stages, every one a
+    groupBy(user_id) whose shuffle partitioning the next stage's join
+    REUSES (no window, no per-user sort); the per-stage survivor sets
+    shrink monotonically, so AQE broadcasts the small side of each later
+    join automatically. Output is the 4-row step table with exact-integer
+    conv ppm."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def next_stage(prev, prev_t, etype, out_t):
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .join(prev, "user_id")
+            .filter(
+                (F.col("ts") > F.col(prev_t))
+                & (F.col("ts") <= F.expr(f"{prev_t} + INTERVAL 24 HOURS"))
+            )
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_t))
+        )
+
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = next_stage(s1, "t1", "view", "t2")
+    s3 = next_stage(s2, "t2", "click", "t3")
+    s4 = next_stage(s3, "t3", "purchase", "t4")
+
+    def cnt(df, step, name):
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias("users")).select(
+            F.lit(step).cast("bigint").alias("step"),
+            F.lit(name).alias("step_name"),
+            "users",
+        )
+
+    funnel = (
+        cnt(s1, 1, "signup")
+        .unionAll(cnt(s2, 2, "view"))
+        .unionAll(cnt(s3, 3, "click"))
+        .unionAll(cnt(s4, 4, "purchase"))
+    )
+    s1u = funnel.filter(F.col("step") == 1).select(F.col("users").alias("u1"))
+    return funnel.crossJoin(F.broadcast(s1u)).select(
+        "step",
+        "step_name",
+        "users",
+        F.expr("(1000000 * users) div nullif(u1, 0)").alias("conv_ppm"),
+    )
+
+
+@q(
+    "text_pmi_collocations",
+    """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ws
+  FROM documents WHERE text IS NOT NULL
+), big AS (
+  SELECT unnest(ws[1:len(ws) - 1]) AS w1, unnest(ws[2:len(ws)]) AS w2
+  FROM toks WHERE len(ws) >= 2
+), bcount AS (
+  SELECT w1, w2, count(*) AS n_ab FROM big GROUP BY w1, w2
+), ucount AS (
+  SELECT w, count(*) AS n_w FROM (
+    SELECT w1 AS w FROM big UNION ALL
+    SELECT w2 FROM (SELECT doc_id, ws[len(ws)] AS w2 FROM toks WHERE len(ws) >= 2) t
+  ) u GROUP BY w
+), tot AS (
+  SELECT sum(n_w) AS n_uni, (SELECT sum(n_ab) FROM bcount) AS n_big FROM ucount
+)
+SELECT b.w1, b.w2, CAST(b.n_ab AS BIGINT) AS n_ab,
+       CAST((CAST(1000000 AS HUGEINT) * CAST(b.n_ab AS HUGEINT)
+             * CAST(t.n_uni AS HUGEINT) * CAST(t.n_uni AS HUGEINT))
+            // (CAST(t.n_big AS HUGEINT) * CAST(ua.n_w AS HUGEINT)
+                * CAST(ub.n_w AS HUGEINT)) AS BIGINT) AS lift_ppm
+FROM bcount b
+JOIN ucount ua ON b.w1 = ua.w
+JOIN ucount ub ON b.w2 = ub.w
+CROSS JOIN tot t
+WHERE b.n_ab >= 5
+ORDER BY lift_ppm DESC, b.w1, b.w2
+LIMIT 20
+""",
+)
+def text_pmi_collocations(spark, sf_dir):
+    """Top-20 collocations by PMI lift over whitespace bigrams: lift =
+    P(w1,w2) / (P(w1) P(w2)) as an EXACT integer ppm — PMI's ln is
+    monotone in the lift, so ranking by the integer ratio gives the PMI
+    order with zero float ops crossing the engine hash. The ratio
+    numerator (1e6 * n_ab * N_uni^2) overflows int64 once corpus token
+    counts pass ~1e6, so it is computed in DECIMAL(38,0) on Spark /
+    HUGEINT on DuckDB (the temperature-mixture idiom); 38 digits keep it
+    exact to ~4e10 corpus tokens — past that, switch the score column to
+    the micro-nat ln form (text_char_entropy idiom). Scale shape: one
+    explode->groupBy per n-gram order (map-side partial aggs), unigram
+    sides joined by key (the bigram vocab is Zipf-bounded, far smaller
+    than the corpus), global totals a 1-row broadcast, and the final
+    top-20 a TakeOrderedAndProject — no window, no full sort."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    toks = docs.select(
+        F.split(F.lower("text"), " ").alias("ws")
+    ).filter(F.size("ws") >= 2)
+    big = toks.select(
+        F.posexplode(F.expr("slice(ws, 1, size(ws) - 1)")).alias("i", "w1"),
+        F.col("ws"),
+    ).select("w1", F.expr("ws[i + 1]").alias("w2"))
+    bcount = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_ab"))
+    # unigram counts over the SAME token stream the bigrams see: every
+    # bigram-participating position once = all positions of docs with >=2
+    # tokens (first n-1 positions via w1, the final position added back)
+    ucount = (
+        big.select(F.col("w1").alias("w"))
+        .unionAll(toks.select(F.expr("ws[size(ws) - 1]").alias("w")))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    tot = ucount.agg(
+        F.sum("n_w").alias("n_uni")
+    ).crossJoin(bcount.agg(F.sum("n_ab").alias("n_big")))
+    lift = F.expr(
+        "CAST((CAST(1000000 AS DECIMAL(38, 0)) * CAST(n_ab AS DECIMAL(38, 0))"
+        " * CAST(n_uni AS DECIMAL(38, 0)) * CAST(n_uni AS DECIMAL(38, 0)))"
+        " div (CAST(n_big AS DECIMAL(38, 0)) * CAST(na AS DECIMAL(38, 0))"
+        " * CAST(nb AS DECIMAL(38, 0))) AS BIGINT)"
+    )
+    return (
+        bcount.filter(F.col("n_ab") >= 5)
+        .join(ucount.select(F.col("w").alias("w1"), F.col("n_w").alias("na")), "w1")
+        .join(ucount.select(F.col("w").alias("w2"), F.col("n_w").alias("nb")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            lift.alias("lift_ppm"),
+        )
+        .orderBy(F.desc("lift_ppm"), "w1", "w2")
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
