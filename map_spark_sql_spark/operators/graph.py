@@ -215,6 +215,119 @@ def _connected_components_star(
     )
 
 
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 5,
+    scale: int = 10**12,
+    id_col: str = "id",
+    rank_col: str = "rank_pp12",
+) -> DataFrame:
+    """Integer-exact PageRank power iteration over a directed edge table.
+
+    PageRank (Page et al., 1999) as a fixed number of Pregel-style rounds,
+    with the classic float recurrence replaced by an exact integer one so
+    the result is bit-identical across engines and partitionings (the
+    text_lm_score micro-nat lesson applied to an iterative algorithm):
+
+        r0(v)     = scale div N
+        c(u)      = r(u) div outdeg(u)          (per-edge contribution)
+        r'(v)     = (15 * (scale div N)) div 100
+                    + (85 * sum of c(u) over in-edges u->v) div 100
+
+    i.e. damping 0.85 with every division an integer floor. Floors make
+    each round lose a few units of mass (bounded by N + in-degree count),
+    which is irrelevant for the ranking use and buys full determinism:
+    the per-edge contributions are exact int64, their sum is
+    order-independent, and no float ever crosses the engine hash.
+    ``85 * sum(c)`` is bounded by ``85 * scale`` ~ 8.5e13, far inside
+    int64.
+
+    Scale shape (the 100 TB story): outdegrees are computed once and
+    joined onto the edge table once (both hash-partitioned on ``src``);
+    each round is then ONE shuffle — join ranks to the pre-degreed edges
+    on ``src``, partial-aggregate contributions map-side, final aggregate
+    keyed on ``dst`` — plus a left join back onto the vertex table to
+    keep rank-sink vertices (no in-edges) at the base value.
+    ``localCheckpoint`` after every round cuts the lineage chain exactly
+    as in :func:`connected_components`. Vertices with no out-edges leak
+    their mass (no dangling redistribution) — fine for centrality
+    ranking, and kNN-graph inputs give every vertex out-degree k anyway.
+
+    Returns ``(id_col, rank_col)`` with the rank in parts-per-scale.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+    verts = (
+        e.select(F.col("s").alias("v"))
+        .union(e.select(F.col("t").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = verts.count()
+    base0 = scale // n
+    base = (15 * base0) // 100
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("outdeg"))
+    ed = e.join(deg, "s").localCheckpoint(eager=False)
+
+    ranks = verts.select("v", F.lit(base0).cast("bigint").alias("r"))
+    for _ in range(iters):
+        inflow = (
+            ed.join(ranks.withColumnRenamed("v", "s"), "s")
+            .select("t", F.expr("r div outdeg").alias("c"))
+            .groupBy("t")
+            .agg(F.sum("c").alias("m"))
+        )
+        ranks = (
+            verts.join(inflow.withColumnRenamed("t", "v"), "v", "left")
+            .select(
+                "v",
+                (
+                    F.lit(base)
+                    + F.expr("(85 * coalesce(m, CAST(0 AS BIGINT))) div 100")
+                ).cast("bigint").alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(F.col("v").alias(id_col), F.col("r").alias(rank_col))
+
+
+def pagerank_oracle(
+    edges_sql: str,
+    iters: int = 5,
+    scale: int = 10**12,
+    id_col: str = "id",
+    rank_col: str = "rank_pp12",
+) -> str:
+    """DuckDB twin of :func:`pagerank`: the power iteration unrolled into
+    one CTE chain per round (fixed ``iters``, so no recursion needed).
+    ``edges_sql`` must yield ``(src, dst)``. Every arithmetic step mirrors
+    the Spark side's integer recurrence exactly (`//` floors like Spark's
+    ``div`` on the non-negative operands used here)."""
+    parts = [
+        f"WITH edges AS (SELECT src, dst FROM ({edges_sql}) e0)",
+        "deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)",
+        "verts AS (SELECT DISTINCT v FROM (SELECT src AS v FROM edges "
+        "UNION ALL SELECT dst FROM edges) uv)",
+        f"nn AS (SELECT {scale} // count(*) AS base0, "
+        f"(15 * ({scale} // count(*))) // 100 AS base FROM verts)",
+        "r0 AS (SELECT v, CAST(base0 AS BIGINT) AS r FROM verts CROSS JOIN nn)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"s{i} AS (SELECT e.dst AS v, sum(r.r // g.outdeg) AS m "
+            f"FROM edges e JOIN r{i - 1} r ON e.src = r.v "
+            "JOIN deg g ON e.src = g.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"r{i} AS (SELECT verts.v, CAST(nn.base + "
+            f"(85 * COALESCE(s{i}.m, 0)) // 100 AS BIGINT) AS r "
+            f"FROM verts CROSS JOIN nn LEFT JOIN s{i} ON verts.v = s{i}.v)"
+        )
+    body = ",\n".join(parts)
+    return f"{body}\nSELECT v AS {id_col}, r AS {rank_col} FROM r{iters}"
+
+
 def connected_components_oracle(pairs_sql: str, vertices_sql: str, id_col: str = "id") -> str:
     """DuckDB twin: transitive closure via WITH RECURSIVE reachability, then
     min reachable id per vertex. ``pairs_sql`` must yield (a_id, b_id);

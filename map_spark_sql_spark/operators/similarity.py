@@ -1097,6 +1097,37 @@ FROM topk
 """
 
 
+def quantized_knn_edges_sql(d: str, k: int = 3) -> str:
+    """Dialect-shared SQL: directed exact-kNN edge table ``(src, dst)`` —
+    each vector points at its ``k`` nearest neighbors by SQ8-quantized dot
+    product (exact integer arithmetic, so the edge SET is bit-identical
+    across engines; ties break on neighbor id).
+
+    This is the deterministic edge builder for graph-centrality operators
+    (:func:`map_spark_sql_spark.operators.graph.pagerank`). It is written
+    as the brute-force self-join, which is exactly right up to ~10^5
+    vectors per executor-group; at 100 TB swap the pair generation for the
+    LSH-bucketed candidates of :func:`knn_graph` (same output shape) —
+    the consumer is agnostic to how the edges were found. The per-source
+    top-k runs as a window partitioned by ``src`` (parallel across
+    sources, never a global sort)."""
+    q, _ = _sq8_sql("embedding", d)
+    dot = _sq8_dot_sql("a.q", "b.q", d)
+    return f"""
+WITH qv AS (SELECT vec_id, {q} AS q FROM embeddings),
+cand AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst, {dot} AS dot
+  FROM qv a JOIN qv b ON a.vec_id <> b.vec_id
+),
+rk AS (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src ORDER BY dot DESC, dst) AS rn
+  FROM cand
+)
+SELECT src, dst FROM rk WHERE rn <= {k}
+"""
+
+
 def topk_quantized_sql(d: str, k: int = 10, query_id: int = 0) -> str:
     """Dialect-shared SQL: int8-quantized cosine top-k vs the exact top-k.
 

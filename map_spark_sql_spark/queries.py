@@ -3949,6 +3949,188 @@ def text_pmi_collocations(spark, sf_dir):
     )
 
 
+@q(
+    "events_top_paths",
+    """
+WITH seq AS (
+  SELECT user_id, event_type AS s1,
+         lead(event_type, 1) OVER w AS s2,
+         lead(event_type, 2) OVER w AS s3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT s1, s2, s3, CAST(count(*) AS BIGINT) AS n
+FROM seq WHERE s3 IS NOT NULL
+GROUP BY s1, s2, s3
+ORDER BY n DESC, s1, s2, s3
+LIMIT 15
+""",
+)
+def events_top_paths(spark, sf_dir):
+    """Sequential pattern mining, flat-clickstream instantiation: the 15
+    most common 3-step event-type paths across all per-user timelines
+    (the "what do users do next" complement to events_transition_matrix's
+    1-step probabilities). ONE window shuffle partitioned by user_id
+    produces both lead columns; the trigram space is bounded by
+    |event_type|^3, so the count aggregation collapses map-side and the
+    final top-15 is a TakeOrderedAndProject over at most 125 rows —
+    no global sort at any corpus size. Ordering inside a user's timeline
+    is the (ts, event_id) total order shared with the transition matrix."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("s1"),
+        F.lead("event_type", 1).over(w).alias("s2"),
+        F.lead("event_type", 2).over(w).alias("s3"),
+    ).filter(F.col("s3").isNotNull())
+    return (
+        seq.groupBy("s1", "s2", "s3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), "s1", "s2", "s3")
+        .limit(15)
+    )
+
+
+@q(
+    "events_time_to_convert",
+    f"""
+WITH s AS (
+  SELECT user_id, min(ts) AS t_signup FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), p AS (
+  SELECT e.user_id,
+         CAST(min(epoch_us(e.ts) - epoch_us(s.t_signup)) // 1000000 AS BIGINT) AS delta_s
+  FROM events e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= s.t_signup
+  GROUP BY e.user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       round({_pctl('delta_s', 0.25, 'duckdb')}, 2) AS p25,
+       round({_pctl('delta_s', 0.5, 'duckdb')}, 2) AS p50,
+       round({_pctl('delta_s', 0.9, 'duckdb')}, 2) AS p90,
+       max(delta_s) AS max_s
+FROM p
+""",
+)
+def events_time_to_convert(spark, sf_dir):
+    """Time-to-conversion distribution: per user, seconds from first
+    signup to the first at-or-after purchase, summarized as exact
+    interpolated percentiles (the orders_price_percentiles parity idiom:
+    Spark `percentile` == DuckDB `quantile_cont`, rounded once at the
+    edge). The deltas are exact int64 (microseconds floored to seconds),
+    so only the final interpolation touches floats. Scale shape: two
+    groupBy(user_id) stages where the second REUSES the first's shuffle
+    partitioning through the join, then a single global percentile
+    aggregate over one bounded bigint per converting user."""
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "CAST(min(unix_micros(ts) - unix_micros(t_signup)) div 1000000 AS BIGINT)"
+            ).alias("delta_s")
+        )
+    )
+    return p.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.round(F.expr(_pctl("delta_s", 0.25, "spark")), 2).alias("p25"),
+        F.round(F.expr(_pctl("delta_s", 0.5, "spark")), 2).alias("p50"),
+        F.round(F.expr(_pctl("delta_s", 0.9, "spark")), 2).alias("p90"),
+        F.max("delta_s").alias("max_s"),
+    )
+
+
+@q(
+    "similarity_pagerank_central",
+    G.pagerank_oracle(
+        SIM.quantized_knn_edges_sql("duckdb", k=3),
+        iters=5,
+        id_col="vec_id",
+    ),
+)
+def similarity_pagerank_central(spark, sf_dir):
+    """Graph centrality over the semantic kNN graph: 5 integer-exact
+    PageRank power iterations (operators/graph.py pagerank) over directed
+    quantized-top-3 neighbor edges. High-rank vectors sit in the densest
+    semantic neighborhoods — the centrality signal corpus curation uses to
+    pick cluster-representative documents (the keeper-selection complement
+    to dedup_cluster_keepers' quality rule). Every division in the
+    recurrence is an integer floor, so five rounds of message passing
+    produce bit-identical int64 ranks on both engines; the oracle unrolls
+    the same recurrence into five CTE stages. Scale: edge build swaps to
+    the LSH kNN graph (documented in quantized_knn_edges_sql); each
+    iteration is one shuffle keyed on well-distributed vec_ids."""
+    _register_views(spark, sf_dir)
+    edges = spark.sql(SIM.quantized_knn_edges_sql("spark", k=3))
+    return G.pagerank(edges, iters=5, id_col="vec_id")
+
+
+@q(
+    "text_bpe_pair_merges",
+    """
+WITH words AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS w
+    FROM documents WHERE text IS NOT NULL
+  ) t WHERE len(w) >= 2 GROUP BY w
+),
+pairs AS (
+  SELECT substr(w.w, CAST(i.i AS INTEGER), 2) AS pair, w.cnt
+  FROM words w, unnest(range(1, len(w.w))) AS i(i)
+)
+SELECT pair, sum(cnt) AS n
+FROM pairs GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT 20
+""",
+)
+def text_bpe_pair_merges(spark, sf_dir):
+    """BPE tokenizer training, the merge-decision step (Sennrich et al.,
+    2016): corpus-weighted adjacent character-pair frequencies — the
+    statistic whose argmax IS the next BPE merge — reported as the top-20
+    candidate merges. The Zipf trick that makes BPE training feasible at
+    corpus scale is applied structurally: pair counting runs over the
+    DISTINCT word table weighted by word frequency, so the expensive
+    character fan-out touches |vocab| rows, not |corpus tokens| (the
+    text_vocab_build shuffle already bounds the vocab). An adjacent pair
+    is simply ``substring(w, i, 2)``, built by a JVM-side transform over
+    ``sequence`` — no UDF; the top-20 is a TakeOrderedAndProject over the
+    ~|alphabet|^2-bounded pair space. Further merge rounds re-run the same
+    count over re-segmented words (driver-looped like the Lloyd rounds in
+    similarity_topk_ivf_trained)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    words = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    pairs = words.select(
+        "cnt",
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
