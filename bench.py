@@ -77,6 +77,11 @@ HEADLINE = [
     "events_cohort_retention",
     "events_transition_matrix",
     "text_pmi_collocations",
+    # graph/set-similarity flagships: 5-round integer PageRank over the
+    # quantized kNN graph (iterative shuffle path), lossless prefix-filter
+    # Jaccard join (window-rank + array_intersect verify)
+    "similarity_pagerank_central",
+    "dedup_prefix_filter_pairs",
 ]
 
 

@@ -962,6 +962,161 @@ FROM shared WHERE {metric} >= {threshold}
 """
 
 
+def prefix_filter_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: tuple[int, int] = (7, 10),
+) -> DataFrame:
+    """LOSSLESS threshold-Jaccard set-similarity self-join via prefix
+    filtering (Bayardo et al. "Scaling Up All Pairs Similarity Search",
+    WWW'07; the candidate-generation core of PPJoin, Xiao et al. WWW'08).
+
+    The inverted-index family above (:func:`ngram_jaccard_pairs`) caps
+    whale posting lists with ``max_df`` — a LOSSY guard whose coverage
+    loss needs a companion diagnostic. Prefix filtering removes the whale
+    postings *provably losslessly* for a threshold query: order every
+    document's distinct token-hash set by ascending corpus document
+    frequency (rarest first, ties on hash), and index ONLY the first
+
+        p(x) = |x| - ceil(t * |x|) + 1
+
+    tokens. Any pair with ``J >= t`` shares at least
+    ``ceil(t * max(|a|, |b|))`` tokens (the union is at least the larger
+    set), so two sets whose p-prefixes are disjoint under a common total
+    order cannot reach the threshold — frequent tokens sort LAST and
+    structurally never enter short prefixes, which is exactly where the
+    inverted index's quadratic bucket blow-up lived. Candidates are
+    verified with the exact integer test
+    ``den * shared >= num * (|a| + |b| - shared)``; with ``t = num/den``
+    rational, ``ceil(t*|x|) = (num*|x| + den - 1) div den`` — no float
+    touches the filter or the emitted ``jac_ppm``.
+
+    Scale shape: document frequency is one token-keyed count; the per-doc
+    rank is a window partitioned by ``id_col`` (millions of tiny local
+    sorts, never global); candidate generation joins only prefix postings
+    (sum of p(x), a ~(1-t) fraction of the full posting table);
+    verification joins candidates back to the per-doc token arrays and
+    intersects JVM-side (``array_intersect``). Residual quadratic mass
+    exists only where the OUTPUT is quadratic (thousands of true copies) —
+    inherent to emitting pairs, not to the index.
+
+    Returns ``(a_id, b_id, shared, jac_ppm)``.
+    """
+    from pyspark.sql import Window
+
+    num, den = threshold
+    # `sized` is consumed three times (posting explode + both verify-join
+    # sides), and the verify threshold filter infers `isnotnull(a_sz)`,
+    # which predicate pushdown would drag into the parquet scan as a
+    # DataFilter carrying the whole token-hash HOF pipeline (the
+    # ngram_jaccard_pairs lesson, via a different inference path). The
+    # lazy localCheckpoint cuts that lineage AND makes the md5 token pass
+    # run once instead of three times. No `sz > 0` filter for the same
+    # reason: token-less docs produce no postings, so they can never
+    # become candidates — their presence in `sized` is output-neutral.
+    sized = (
+        _widen(df)
+        .withColumn(
+            "hs", F.array_distinct(F.expr(token_hashes_sql(text_col, "spark")))
+        )
+        .withColumn("sz", F.size("hs"))
+        .select(id_col, "hs", "sz")
+        .localCheckpoint(eager=False)
+    )
+    post = (
+        sized.select(id_col, "sz", F.explode_outer("hs").alias("h"))
+        .filter(F.col("h").isNotNull())
+    )
+    dfreq = post.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy(id_col).orderBy("df", "h")
+    pref = (
+        post.join(dfreq, "h")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.expr(f"rn <= sz - (({num} * sz + {den - 1}) div {den}) + 1"))
+        .select(id_col, "h")
+    )
+    cand = (
+        pref.select(F.col(id_col).alias("a_id"), "h")
+        .join(pref.select(F.col(id_col).alias("b_id"), "h"), "h")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    ver = (
+        cand.join(
+            sized.select(
+                F.col(id_col).alias("a_id"),
+                F.col("hs").alias("a_hs"),
+                F.col("sz").alias("a_sz"),
+            ),
+            "a_id",
+        )
+        .join(
+            sized.select(
+                F.col(id_col).alias("b_id"),
+                F.col("hs").alias("b_hs"),
+                F.col("sz").alias("b_sz"),
+            ),
+            "b_id",
+        )
+        .withColumn("shared", F.size(F.array_intersect("a_hs", "b_hs")))
+    )
+    return (
+        ver.filter(F.expr(f"{den} * shared >= {num} * (a_sz + b_sz - shared)"))
+        .select(
+            "a_id",
+            "b_id",
+            F.col("shared").cast("bigint").alias("shared"),
+            F.expr(
+                "CAST((1000000 * shared) div (a_sz + b_sz - shared) AS BIGINT)"
+            ).alias("jac_ppm"),
+        )
+    )
+
+
+def prefix_filter_pairs_oracle(
+    table: str = "documents",
+    text: str = "text",
+    id_col: str = "doc_id",
+    threshold: tuple[int, int] = (7, 10),
+) -> str:
+    """DuckDB twin of :func:`prefix_filter_pairs` — the same prefix-index
+    candidate generation and exact integer verify (NOT a brute-force
+    reference: running the identical lossless algorithm on both engines is
+    the cross-engine check; losslessness itself is pinned by the pytest
+    brute-force cross-check on a small corpus)."""
+    num, den = threshold
+    hashes = token_hashes_sql(text, "duckdb")
+    return f"""
+WITH docs AS (SELECT {id_col}, list_distinct({hashes}) AS hs FROM {table}),
+sized AS (SELECT {id_col}, hs, len(hs) AS sz FROM docs WHERE len(hs) > 0),
+post AS (SELECT {id_col}, sz, unnest(hs) AS h FROM sized),
+dfreq AS (SELECT h, count(*) AS df FROM post GROUP BY h),
+pref AS (
+  SELECT {id_col}, h FROM (
+    SELECT p.{id_col}, p.sz, p.h,
+           row_number() OVER (PARTITION BY p.{id_col} ORDER BY d.df, p.h) AS rn
+    FROM post p JOIN dfreq d ON p.h = d.h
+  ) r WHERE rn <= sz - (({num} * sz + {den - 1}) // {den}) + 1
+),
+cand AS (
+  SELECT DISTINCT a.{id_col} AS a_id, b.{id_col} AS b_id
+  FROM pref a JOIN pref b ON a.h = b.h AND a.{id_col} < b.{id_col}
+),
+ver AS (
+  SELECT c.a_id, c.b_id, len(list_intersect(x.hs, y.hs)) AS shared,
+         x.sz AS a_sz, y.sz AS b_sz
+  FROM cand c
+  JOIN sized x ON c.a_id = x.{id_col}
+  JOIN sized y ON c.b_id = y.{id_col}
+)
+SELECT a_id, b_id, CAST(shared AS BIGINT) AS shared,
+       CAST((1000000 * shared) // (a_sz + b_sz - shared) AS BIGINT) AS jac_ppm
+FROM ver WHERE {den} * shared >= {num} * (a_sz + b_sz - shared)
+"""
+
+
 # ---------------------------------------------------------------------------
 # oracle generators (duckdb dialect)
 # ---------------------------------------------------------------------------

@@ -32,7 +32,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["merge_into", "prune_to_touched"]
+__all__ = ["merge_into", "prune_to_touched", "table_diff"]
 
 _T_FLAG = "__merge_t__"
 _S_FLAG = "__merge_s__"
@@ -110,6 +110,61 @@ def merge_into(
         out = j.filter(~s_only).select(*out_cols)
     _ = t_only  # t-only rows always pass through unchanged
     return out
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    on: list[str],
+    compare: list[str],
+) -> DataFrame:
+    """Snapshot diff — the read-side inverse of :func:`merge_into`: given
+    two versions of a keyed table, classify every key as ``insert`` (new
+    only), ``delete`` (old only), or ``update`` (present in both with any
+    ``compare`` column differing null-safely); unchanged keys are dropped.
+    This is the dataset-regression audit a training-data pipeline runs
+    between corpus snapshots ("what did this recrawl/refilter change?"),
+    and its output is exactly the CDC batch that would replay old -> new
+    through ``merge_into``.
+
+    Physical shape: ONE full-outer shuffle on the key columns (identical
+    to MERGE), every classification a codegen'd CASE over null-safe
+    ``<=>`` comparisons — no digests, no Python, no second pass. The
+    output is bounded by the churn, not the table size.
+
+    Returns ``on`` + ``change_type`` + ``old_<c>``/``new_<c>`` for each
+    compare column.
+    """
+    o = old.select(
+        *on,
+        F.lit(True).alias(_T_FLAG),
+        *[F.col(c).alias(f"old_{c}") for c in compare],
+    )
+    n = new.select(
+        *on,
+        F.lit(True).alias(_S_FLAG),
+        *[F.col(c).alias(f"new_{c}") for c in compare],
+    )
+    joined = o.join(n, on, "full_outer")
+    changed = reduce(
+        lambda a, b: a | b,
+        [~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}")) for c in compare],
+    )
+    ct = (
+        F.when(F.col(_T_FLAG).isNull(), F.lit("insert"))
+        .when(F.col(_S_FLAG).isNull(), F.lit("delete"))
+        .when(changed, F.lit("update"))
+    )
+    return (
+        joined.withColumn("change_type", ct)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            *on,
+            "change_type",
+            *[f"old_{c}" for c in compare],
+            *[f"new_{c}" for c in compare],
+        )
+    )
 
 
 def prune_to_touched(

@@ -2043,3 +2043,130 @@ class TestWinnowingPairs:
                for r in TX.winnowing_pairs(docs, min_shared=1).collect()}
         assert (1, 2) in got
         assert all(3 not in pair for pair in got)
+
+
+class TestPrefixFilterPairs:
+    def test_lossless_vs_bruteforce(self, spark):
+        """Prefix filtering must find EXACTLY the brute-force threshold
+        pairs — including pairs whose only shared tokens are corpus-whale
+        tokens (the case a max_df-capped inverted index drops)."""
+        whale = "common filler stop word noise"  # appears in most docs
+        docs = [
+            (1, "alpha beta gamma delta " + whale),
+            (2, "alpha beta gamma delta epsilon " + whale),
+            (3, "alpha beta gamma delta " + whale),       # dup of 1
+            (4, "omega psi chi phi " + whale),
+            (5, whale + " " + whale),                     # whale-only doc
+            (6, whale),                                   # exact whale set as 5
+            (7, "totally disjoint tokens here nothing shared"),
+            (8, None),
+            (9, ""),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            (r["a_id"], r["b_id"])
+            for r in DD.prefix_filter_pairs(df).collect()
+        }
+        # brute force on python sets of whitespace tokens
+        sets = {
+            i: frozenset(t.split(" ")) for i, t in docs if t
+        }
+        want = set()
+        for a in sets:
+            for b in sets:
+                if a < b:
+                    i = len(sets[a] & sets[b])
+                    u = len(sets[a] | sets[b])
+                    if 10 * i >= 7 * u:
+                        want.add((a, b))
+        assert got == want
+        assert (5, 6) in want  # the whale-only pair IS found
+
+    def test_integer_threshold_boundary(self, spark):
+        """J exactly at 0.7 is kept; just below is dropped (ceil math)."""
+        # |a|=|b|=10, shared=8 -> J = 8/12 = 0.666 (drop)
+        # |a|=|b|=10, shared=9 -> J = 9/11 = 0.818 (keep)
+        a = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"
+        b_keep = "t1 t2 t3 t4 t5 t6 t7 t8 t9 x1"
+        b_drop = "t1 t2 t3 t4 t5 t6 t7 t8 y1 y2"
+        df = spark.createDataFrame(
+            [(1, a), (2, b_keep), (3, b_drop)], "doc_id long, text string"
+        )
+        got = {
+            (r["a_id"], r["b_id"]): r["jac_ppm"]
+            for r in DD.prefix_filter_pairs(df).collect()
+        }
+        assert (1, 2) in got and got[(1, 2)] == 1000000 * 9 // 11
+        assert (1, 3) not in got
+
+
+class TestPageRank:
+    def test_matches_python_integer_reference(self, spark):
+        """5 rounds over a small directed graph must equal a pure-Python
+        implementation of the identical integer recurrence."""
+        from map_spark_sql_spark.operators import graph as G
+
+        edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 3), (5, 0)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["id"]: r["rank_pp12"] for r in G.pagerank(df, iters=5).collect()}
+
+        nodes = sorted({u for e in edges for u in e})
+        n = len(nodes)
+        scale = 10**12
+        base0, base = scale // n, (15 * (scale // n)) // 100
+        outdeg = {}
+        for s, _ in edges:
+            outdeg[s] = outdeg.get(s, 0) + 1
+        r = {v: base0 for v in nodes}
+        for _ in range(5):
+            inflow = {v: 0 for v in nodes}
+            for s, t in edges:
+                inflow[t] += r[s] // outdeg[s]
+            r = {v: base + (85 * inflow[v]) // 100 for v in nodes}
+        assert got == r
+
+    def test_sink_only_vertex_gets_base(self, spark):
+        """A vertex with in-edges but whose sources point elsewhere too,
+        and a pure-source vertex (no in-edges) stays at the base value."""
+        from map_spark_sql_spark.operators import graph as G
+
+        df = spark.createDataFrame([(7, 8)], "src long, dst long")
+        got = {r["id"]: r["rank_pp12"] for r in G.pagerank(df, iters=3).collect()}
+        scale = 10**12
+        base0, base = scale // 2, (15 * (scale // 2)) // 100
+        assert got[7] == base  # no in-edges after round 1
+        # 8 receives everything 7 emits each round
+        r7, r8 = base0, base0
+        for _ in range(3):
+            r7, r8 = base, base + (85 * r7) // 100
+        assert got[8] == r8
+
+
+class TestTableDiff:
+    def test_classification_and_null_safety(self, spark):
+        from map_spark_sql_spark.operators import merge as MG
+
+        old = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0), (4, "d", 40.0)],
+            "k long, s string, x double",
+        )
+        new = spark.createDataFrame(
+            [(1, "a", 10.0),        # unchanged -> dropped
+             (2, "b", None),        # NULL == NULL null-safely -> unchanged
+             (3, "c", 31.0),        # update
+             (5, "e", 50.0)],       # insert; 4 -> delete
+            "k long, s string, x double",
+        )
+        rows = {
+            r["k"]: r["change_type"]
+            for r in MG.table_diff(old, new, on=["k"], compare=["s", "x"]).collect()
+        }
+        assert rows == {3: "update", 4: "delete", 5: "insert"}
+
+    def test_null_to_value_is_update(self, spark):
+        from map_spark_sql_spark.operators import merge as MG
+
+        old = spark.createDataFrame([(1, None)], "k long, x double")
+        new = spark.createDataFrame([(1, 2.0)], "k long, x double")
+        out = MG.table_diff(old, new, on=["k"], compare=["x"]).collect()
+        assert len(out) == 1 and out[0]["change_type"] == "update"
