@@ -1394,3 +1394,130 @@ FROM kept a JOIN kept b ON a.fp = b.fp AND a.{id_col} < b.{id_col}
 GROUP BY a_id, b_id
 HAVING count(*) >= {min_shared}
 """
+
+
+# --- BPE tokenizer training (driver-looped merge rounds) ----------------------
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rounds: int = 3,
+) -> DataFrame:
+    """Byte-pair-encoding tokenizer training (Sennrich et al., ACL 2016):
+    the actual merge LOOP, not just the first merge decision
+    (:mod:`queries` ``text_bpe_pair_merges``). Each round counts adjacent
+    symbol pairs over the corpus-weighted DISTINCT word vocabulary, picks
+    the argmax pair (ties: lexicographic), and applies the merge greedily
+    left-to-right to every word; the chosen ``(t1, t2, count)`` per round
+    is the training output — exactly the merges file a BPE tokenizer
+    ships.
+
+    Two structural tricks make this corpus-scale:
+
+    - **All per-round work is over the vocab, not the corpus** — the word
+      table is Zipf-bounded (the ``text_vocab_build`` shuffle), and each
+      round is one scan of it plus a 1-row argmax; corpus size only enters
+      through the initial word count.
+    - **The merge is a string ``replace`` over a bracket-delimited symbol
+      string** (``<a><b><c>``): built-in ``replace`` is greedy
+      left-to-right non-overlapping — BPE's exact application rule — so
+      the merge step is a codegen'd map with no per-symbol loop, and the
+      identical builtin exists in DuckDB (probed: ``<a><a><a>`` with merge
+      ``(a, a)`` gives ``<aa><a>`` in both engines). Words are restricted
+      to ``^[a-z]+$`` so the delimiters can never collide with content
+      and merged tokens can be inlined into the next round's pattern.
+
+    The per-round argmax is a bounded driver collect (one row — the Lloyd
+    centroid convention from similarity.kmeans_fit); ``localCheckpoint``
+    after each applied merge cuts the replace-chain lineage. Returns
+    ``(merge_round, t1, t2, n)``, one row per executed round.
+    """
+    spark = df.sparkSession
+    words = (
+        df.select(F.explode(F.split(F.lower(text_col), " ")).alias("w"))
+        .filter(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ws = words.select(
+        F.concat(
+            F.lit("<"), F.array_join(F.split("w", ""), "><"), F.lit(">")
+        ).alias("ws"),
+        "cnt",
+    ).localCheckpoint(eager=False)
+
+    merges = []
+    for r in range(1, rounds + 1):
+        toks = ws.select(
+            F.expr("split(substring(ws, 2, length(ws) - 2), '><')").alias("toks"),
+            "cnt",
+        )
+        pairs = toks.filter(F.size("toks") >= 2).select(
+            "cnt",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1), "
+                    "i -> struct(toks[i - 1] AS t1, toks[i] AS t2))"
+                )
+            ).alias("p"),
+        )
+        counts = (
+            pairs.groupBy("p.t1", "p.t2")
+            .agg(F.sum("cnt").cast("bigint").alias("n"))
+        )
+        best = counts.orderBy(F.desc("n"), "t1", "t2").first()
+        if best is None:
+            break
+        t1, t2, n = best["t1"], best["t2"], best["n"]
+        merges.append((r, t1, t2, int(n)))
+        ws = ws.withColumn(
+            "ws",
+            F.expr(f"replace(ws, '<{t1}><{t2}>', '<{t1}{t2}>')"),
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "merge_round int, t1 string, t2 string, n bigint"
+    )
+
+
+def bpe_train_oracle(
+    table: str = "documents",
+    text: str = "text",
+    rounds: int = 3,
+) -> str:
+    """DuckDB twin of :func:`bpe_train`: the merge loop unrolled into one
+    CTE chain per round (pair count -> 1-row argmax -> greedy replace),
+    over the same ``^[a-z]+$`` vocabulary."""
+    parts = [
+        f"""WITH words AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(string_split(lower({text}), ' ')) AS w
+    FROM {table} WHERE {text} IS NOT NULL
+  ) t WHERE regexp_full_match(w, '[a-z]+') GROUP BY w
+)""",
+        "w0 AS (SELECT '<' || array_to_string(string_split(w, ''), '><') || '>' AS ws, cnt FROM words)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""c{r} AS (
+  SELECT toks[i] AS t1, toks[i + 1] AS t2, sum(cnt) AS n
+  FROM (SELECT string_split(substr(ws, 2, len(ws) - 2), '><') AS toks, cnt
+        FROM w{r - 1}) tk,
+       unnest(range(1, len(toks))) AS u(i)
+  GROUP BY t1, t2
+)"""
+        )
+        parts.append(
+            f"b{r} AS (SELECT t1, t2, CAST(n AS BIGINT) AS n FROM c{r} "
+            "ORDER BY n DESC, t1, t2 LIMIT 1)"
+        )
+        parts.append(
+            f"w{r} AS (SELECT replace(ws, '<' || b.t1 || '><' || b.t2 || '>', "
+            f"'<' || b.t1 || b.t2 || '>') AS ws, cnt FROM w{r - 1} CROSS JOIN b{r} b)"
+        )
+    body = ",\n".join(parts)
+    sel = "\nUNION ALL ".join(
+        f"SELECT {r} AS merge_round, t1, t2, n FROM b{r}" for r in range(1, rounds + 1)
+    )
+    return f"{body}\n{sel}"

@@ -3988,6 +3988,18 @@ def text_pmi_collocations(spark, sf_dir):
     )
 
 
+@q("text_bpe_train_rounds", TX.bpe_train_oracle(rounds=3))
+def text_bpe_train_rounds(spark, sf_dir):
+    """BPE tokenizer TRAINING (operators/text.py bpe_train): three full
+    merge rounds — weighted adjacent-pair argmax over the distinct vocab,
+    greedy left-to-right merge application via built-in replace over a
+    bracket-delimited symbol string — returning the merges file rows
+    (merge_round, t1, t2, n). Per round: one Zipf-bounded vocab scan + a
+    1-row driver argmax (the Lloyd-rounds convention); the oracle unrolls
+    the identical loop into CTE chains."""
+    return TX.bpe_train(load_table(spark, sf_dir, "documents"), rounds=3)
+
+
 @q(
     "orders_snapshot_diff",
     """

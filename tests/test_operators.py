@@ -2170,3 +2170,33 @@ class TestTableDiff:
         new = spark.createDataFrame([(1, 2.0)], "k long, x double")
         out = MG.table_diff(old, new, on=["k"], compare=["x"]).collect()
         assert len(out) == 1 and out[0]["change_type"] == "update"
+
+
+class TestBpeTrain:
+    def test_three_rounds_match_hand_bpe(self, spark):
+        """Corpus: 'aaab' x3, 'ab' x2 (plus junk filtered by ^[a-z]+$).
+        Hand BPE: r1 pairs: (a,a): 2 per 'aaab' x3 = 6; (a,b): 1x3 + 1x2 = 5
+        -> merge (a,a) n=6; 'aaab' -> [aa,a,b].
+        r2 pairs: (aa,a) 3, (a,b) 5 -> merge (a,b) n=5; words: [aa,ab], [ab].
+        r3 pairs: (aa,ab) 3 -> merge n=3."""
+        docs = spark.createDataFrame(
+            [(1, "aaab aaab Xno1 ab"), (2, "aaab ab"), (3, None)],
+            "doc_id long, text string",
+        )
+        got = [
+            (r["merge_round"], r["t1"], r["t2"], r["n"])
+            for r in TX.bpe_train(docs, rounds=3)
+            .orderBy("merge_round")
+            .collect()
+        ]
+        assert got == [(1, "a", "a", 6), (2, "a", "b", 5), (3, "aa", "ab", 3)]
+
+    def test_overlapping_run_merges_greedily(self, spark):
+        """'aaaa': greedy (a,a) gives [aa, aa] -> round 2 merges (aa, aa),
+        never the overlapping middle pair."""
+        docs = spark.createDataFrame([(1, "aaaa")], "doc_id long, text string")
+        got = [
+            (r["merge_round"], r["t1"], r["t2"], r["n"])
+            for r in TX.bpe_train(docs, rounds=2).orderBy("merge_round").collect()
+        ]
+        assert got == [(1, "a", "a", 3), (2, "aa", "aa", 1)]
