@@ -223,6 +223,7 @@ def pagerank(
     scale: int = 10**12,
     id_col: str = "id",
     rank_col: str = "rank_pp12",
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Integer-exact PageRank power iteration over a directed edge table.
 
@@ -255,6 +256,15 @@ def pagerank(
     their mass (no dangling redistribution) — fine for centrality
     ranking, and kNN-graph inputs give every vertex out-degree k anyway.
 
+    **Personalized PageRank**: pass ``seeds`` (a one-column DataFrame of
+    vertex ids) and the teleport mass goes ONLY to seed vertices —
+    ``r0(v) = scale div |S|`` for seeds (0 otherwise), and the per-round
+    base term ``(15 * (scale div |S|)) div 100`` likewise lands on seeds
+    only. Ranks then measure proximity to the seed set — the "expand this
+    trusted seed corpus" curation primitive (Haveliwala, WWW'02), with
+    the identical integer recurrence and scale shape (the seed flag is
+    one extra broadcast-or-hash left join on the vertex table).
+
     Returns ``(id_col, rank_col)`` with the rank in parts-per-scale.
     """
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
@@ -264,13 +274,32 @@ def pagerank(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    n = verts.count()
+    if seeds is not None:
+        seed_v = (
+            seeds.select(F.col(seeds.columns[0]).alias("v"))
+            .distinct()
+            .join(verts, "v", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+        n = seed_v.count()
+        verts = verts.join(
+            seed_v.select("v", F.lit(True).alias("is_seed")), "v", "left"
+        ).select("v", F.coalesce("is_seed", F.lit(False)).alias("is_seed"))
+    else:
+        n = verts.count()
+        verts = verts.select("v", F.lit(True).alias("is_seed"))
+    verts = verts.localCheckpoint(eager=False)
     base0 = scale // n
     base = (15 * base0) // 100
     deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("outdeg"))
     ed = e.join(deg, "s").localCheckpoint(eager=False)
 
-    ranks = verts.select("v", F.lit(base0).cast("bigint").alias("r"))
+    ranks = verts.select(
+        "v",
+        F.when(F.col("is_seed"), F.lit(base0).cast("bigint"))
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("r"),
+    )
     for _ in range(iters):
         inflow = (
             ed.join(ranks.withColumnRenamed("v", "s"), "s")
@@ -283,7 +312,7 @@ def pagerank(
             .select(
                 "v",
                 (
-                    F.lit(base)
+                    F.when(F.col("is_seed"), F.lit(base)).otherwise(F.lit(0))
                     + F.expr("(85 * coalesce(m, CAST(0 AS BIGINT))) div 100")
                 ).cast("bigint").alias("r"),
             )
@@ -298,21 +327,43 @@ def pagerank_oracle(
     scale: int = 10**12,
     id_col: str = "id",
     rank_col: str = "rank_pp12",
+    seeds_sql: str | None = None,
 ) -> str:
     """DuckDB twin of :func:`pagerank`: the power iteration unrolled into
     one CTE chain per round (fixed ``iters``, so no recursion needed).
-    ``edges_sql`` must yield ``(src, dst)``. Every arithmetic step mirrors
-    the Spark side's integer recurrence exactly (`//` floors like Spark's
-    ``div`` on the non-negative operands used here)."""
+    ``edges_sql`` must yield ``(src, dst)``; ``seeds_sql``, if given, must
+    yield one column of seed vertex ids (personalized teleport). Every
+    arithmetic step mirrors the Spark side's integer recurrence exactly
+    (`//` floors like Spark's ``div`` on the non-negative operands used
+    here)."""
     parts = [
         f"WITH edges AS (SELECT src, dst FROM ({edges_sql}) e0)",
         "deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)",
-        "verts AS (SELECT DISTINCT v FROM (SELECT src AS v FROM edges "
+        "av AS (SELECT DISTINCT v FROM (SELECT src AS v FROM edges "
         "UNION ALL SELECT dst FROM edges) uv)",
-        f"nn AS (SELECT {scale} // count(*) AS base0, "
-        f"(15 * ({scale} // count(*))) // 100 AS base FROM verts)",
-        "r0 AS (SELECT v, CAST(base0 AS BIGINT) AS r FROM verts CROSS JOIN nn)",
     ]
+    if seeds_sql is None:
+        parts.append("verts AS (SELECT v, TRUE AS is_seed FROM av)")
+        parts.append(
+            f"nn AS (SELECT {scale} // count(*) AS base0, "
+            f"(15 * ({scale} // count(*))) // 100 AS base FROM av)"
+        )
+    else:
+        parts.append(
+            f"sv AS (SELECT DISTINCT c AS v FROM ({seeds_sql}) s0(c) "
+            "WHERE c IN (SELECT v FROM av))"
+        )
+        parts.append(
+            "verts AS (SELECT av.v, av.v IN (SELECT v FROM sv) AS is_seed FROM av)"
+        )
+        parts.append(
+            f"nn AS (SELECT {scale} // count(*) AS base0, "
+            f"(15 * ({scale} // count(*))) // 100 AS base FROM sv)"
+        )
+    parts.append(
+        "r0 AS (SELECT v, CAST(CASE WHEN is_seed THEN base0 ELSE 0 END AS BIGINT) AS r "
+        "FROM verts CROSS JOIN nn)"
+    )
     for i in range(1, iters + 1):
         parts.append(
             f"s{i} AS (SELECT e.dst AS v, sum(r.r // g.outdeg) AS m "
@@ -320,12 +371,121 @@ def pagerank_oracle(
             "JOIN deg g ON e.src = g.src GROUP BY e.dst)"
         )
         parts.append(
-            f"r{i} AS (SELECT verts.v, CAST(nn.base + "
+            f"r{i} AS (SELECT verts.v, CAST("
+            "CASE WHEN verts.is_seed THEN nn.base ELSE 0 END + "
             f"(85 * COALESCE(s{i}.m, 0)) // 100 AS BIGINT) AS r "
             f"FROM verts CROSS JOIN nn LEFT JOIN s{i} ON verts.v = s{i}.v)"
         )
     body = ",\n".join(parts)
     return f"{body}\nSELECT v AS {id_col}, r AS {rank_col} FROM r{iters}"
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+) -> DataFrame:
+    """Per-vertex triangle counts via the degree-oriented node-iterator
+    (Schank & Wagner 2005; the MapReduce formulation of Suri & Vassilvitskii,
+    WWW'11). Triangles measure neighborhood density — on a near-dup or kNN
+    graph they separate tight duplicate cliques from chance collisions
+    (a band-LSH false positive rarely closes a triangle).
+
+    The naive 3-way edge self-join explodes on hub vertices (a degree-d
+    hub contributes d^2 wedge rows). Orienting every undirected edge from
+    the (degree, id)-SMALLER endpoint to the larger makes each vertex's
+    out-degree O(sqrt(|E|)) — the classic bound — so the wedge join
+    ``e(a,b) x e(a,c)`` fans out quadratically only in the SMALL per-hub
+    out-degrees, and each triangle appears exactly once (its unique
+    order-minimal vertex is the wedge center). Three hash shuffles total:
+    degree count, wedge build keyed on the center, wedge-closure join
+    keyed on the (b, c) edge. Returns ``(id_col, triangles)`` for
+    vertices in at least one triangle.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        und.select(F.col("u").alias("x"))
+        .union(und.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # orient by (degree, id): edge goes from the smaller (d, id) endpoint
+    ordered = (
+        und.join(deg.select(F.col("x").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("x").alias("v"), F.col("d").alias("dv")), "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
+            )
+            .otherwise(F.struct(F.col("v").alias("a"), F.col("u").alias("b")))
+            .alias("e")
+        )
+        .select("e.a", "e.b")
+        .localCheckpoint(eager=False)
+    )
+    wedges = (
+        ordered.select(F.col("a"), F.col("b").alias("w1"))
+        .join(ordered.select(F.col("a"), F.col("b").alias("w2")), "a")
+        .filter(F.col("w1") < F.col("w2"))
+    )
+    tris = wedges.join(
+        und.select(F.col("u").alias("w1"), F.col("v").alias("w2")),
+        ["w1", "w2"],
+    )
+    return (
+        tris.select(
+            F.explode(F.array(F.col("a"), F.col("w1"), F.col("w2"))).alias(id_col)
+        )
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("triangles"))
+    )
+
+
+def triangle_counts_oracle(edges_sql: str, id_col: str = "id") -> str:
+    """DuckDB twin of :func:`triangle_counts` — the same oriented wedge
+    join, so hub behavior and output agree structurally."""
+    return f"""
+WITH e0 AS (SELECT src, dst FROM ({edges_sql}) q),
+und AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM e0 WHERE src <> dst
+),
+deg AS (
+  SELECT x, count(*) AS d FROM (
+    SELECT u AS x FROM und UNION ALL SELECT v FROM und
+  ) t GROUP BY x
+),
+ordered AS (
+  SELECT CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND und.u < und.v)
+              THEN und.u ELSE und.v END AS a,
+         CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND und.u < und.v)
+              THEN und.v ELSE und.u END AS b
+  FROM und JOIN deg du ON und.u = du.x JOIN deg dv ON und.v = dv.x
+),
+tris AS (
+  SELECT w.a, w.w1, w.w2
+  FROM (SELECT x.a, x.b AS w1, y.b AS w2
+        FROM ordered x JOIN ordered y ON x.a = y.a AND x.b < y.b) w
+  JOIN und ON und.u = w.w1 AND und.v = w.w2
+)
+SELECT {id_col}, CAST(count(*) AS BIGINT) AS triangles
+FROM (
+  SELECT a AS {id_col} FROM tris
+  UNION ALL SELECT w1 FROM tris
+  UNION ALL SELECT w2 FROM tris
+) x GROUP BY {id_col}
+"""
 
 
 def connected_components_oracle(pairs_sql: str, vertices_sql: str, id_col: str = "id") -> str:

@@ -3988,6 +3988,87 @@ def text_pmi_collocations(spark, sf_dir):
     )
 
 
+@q(
+    "stream_events_dedup",
+    """
+SELECT DISTINCT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+       round(value, 2) AS value
+FROM events
+""",
+)
+def stream_events_dedup(spark, sf_dir):
+    """Streaming exact dedup with bounded state (streaming/events.py
+    dedup_events, dropDuplicatesWithinWatermark): an at-least-once feed —
+    played here as the event stream UNIONed with itself, every row
+    delivered twice — must come out exactly-once per event_id. Whole rows
+    are byte-identical between deliveries, so whichever copy the state
+    store keeps is the same record and the availableNow append run is
+    deterministic: exactly the batch DISTINCT the oracle computes. Closes
+    the streaming surface's dedup row (tumbling / sessions / ingest / CDC
+    / join / now dedup) with a hash gate."""
+    import os
+
+    from map_spark_sql_spark.streaming import events as STE
+
+    path = os.path.join(sf_dir, "events.parquet")
+    stream = STE.read_event_stream(spark, path)
+    doubled = stream.union(STE.read_event_stream(spark, path))
+    res = STE.dedup_events(doubled).select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_type",
+        F.round("value", 2).alias("value"),
+    )
+    out = STE.run_to_memory(
+        res, _stream_query_name("dedup"), output_mode="append"
+    )
+    return out
+
+
+@q(
+    "similarity_ppr_seed_expand",
+    G.pagerank_oracle(
+        SIM.quantized_knn_edges_sql("duckdb", k=3),
+        iters=5,
+        id_col="vec_id",
+        seeds_sql="SELECT vec_id FROM embeddings WHERE label = 0",
+    ),
+)
+def similarity_ppr_seed_expand(spark, sf_dir):
+    """PERSONALIZED PageRank (Haveliwala, WWW'02) over the semantic kNN
+    graph: teleport mass restricted to the label-0 seed vectors, so ranks
+    measure graph proximity to the seed set — the "expand this trusted
+    seed corpus" selection primitive (rank the whole corpus by closeness
+    to curated exemplars, take the top slice). Same integer recurrence,
+    edge builder, and one-shuffle-per-round shape as
+    similarity_pagerank_central; the seed flag adds one left join on the
+    vertex table."""
+    _register_views(spark, sf_dir)
+    edges = spark.sql(SIM.quantized_knn_edges_sql("spark", k=3))
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("label") == 0).select("vec_id")
+    return G.pagerank(edges, iters=5, id_col="vec_id", seeds=seeds)
+
+
+@q(
+    "similarity_triangle_density",
+    G.triangle_counts_oracle(
+        SIM.quantized_knn_edges_sql("duckdb", k=3), id_col="vec_id"
+    ),
+)
+def similarity_triangle_density(spark, sf_dir):
+    """Per-vertex triangle counts over the semantic kNN graph
+    (operators/graph.py triangle_counts, degree-oriented node-iterator):
+    neighborhood-density scores that separate tight duplicate cliques
+    from chance LSH collisions — a band false positive rarely closes a
+    triangle. Orientation by (degree, id) bounds wedge fan-out by the
+    O(sqrt(E)) out-degree, so hub vertices cannot blow up the join."""
+    _register_views(spark, sf_dir)
+    edges = spark.sql(SIM.quantized_knn_edges_sql("spark", k=3))
+    return G.triangle_counts(edges, id_col="vec_id")
+
+
 @q("text_bpe_train_rounds", TX.bpe_train_oracle(rounds=3))
 def text_bpe_train_rounds(spark, sf_dir):
     """BPE tokenizer TRAINING (operators/text.py bpe_train): three full

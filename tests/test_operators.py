@@ -2200,3 +2200,65 @@ class TestBpeTrain:
             for r in TX.bpe_train(docs, rounds=2).orderBy("merge_round").collect()
         ]
         assert got == [(1, "a", "a", 3), (2, "aa", "aa", 1)]
+
+
+class TestTriangleCounts:
+    def test_k4_square_and_star(self, spark):
+        """K4 on {0..3}: 4 triangles, every vertex in 3. Square {10..13}:
+        none. Star center 20: none. Duplicate/reversed edges collapse."""
+        from map_spark_sql_spark.operators import graph as G
+
+        k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+        square = [(10, 11), (11, 12), (12, 13), (13, 10)]
+        star = [(20, i) for i in range(21, 26)]
+        dups = [(1, 0), (2, 1)]  # reversed duplicates of k4 edges
+        df = spark.createDataFrame(k4 + square + star + dups, "src long, dst long")
+        got = {r["id"]: r["triangles"] for r in G.triangle_counts(df).collect()}
+        assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    def test_two_shared_edge_triangles(self, spark):
+        from map_spark_sql_spark.operators import graph as G
+
+        # triangles (0,1,2) and (1,2,3) sharing edge (1,2)
+        df = spark.createDataFrame(
+            [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)], "src long, dst long"
+        )
+        got = {r["id"]: r["triangles"] for r in G.triangle_counts(df).collect()}
+        assert got == {0: 1, 1: 2, 2: 2, 3: 1}
+
+
+class TestPersonalizedPageRank:
+    def test_seed_teleport_only(self, spark):
+        """Chain 0 -> 1 -> 2 with seeds={0}: only vertex 0 gets teleport
+        mass; downstream vertices receive only propagated flow."""
+        from map_spark_sql_spark.operators import graph as G
+
+        df = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+        seeds = spark.createDataFrame([(0,)], "id long")
+        got = {
+            r["id"]: r["rank_pp12"]
+            for r in G.pagerank(df, iters=2, seeds=seeds).collect()
+        }
+        scale = 10**12
+        base0, base = scale, (15 * scale) // 100  # |S| = 1
+        r = {0: base0, 1: 0, 2: 0}
+        for _ in range(2):
+            r = {
+                0: base,
+                1: (85 * r[0]) // 100,
+                2: (85 * r[1]) // 100,
+            }
+        assert got == r
+
+    def test_seed_outside_graph_ignored(self, spark):
+        from map_spark_sql_spark.operators import graph as G
+
+        df = spark.createDataFrame([(0, 1)], "src long, dst long")
+        seeds = spark.createDataFrame([(0,), (99,)], "id long")  # 99 absent
+        got = {
+            r["id"]: r["rank_pp12"]
+            for r in G.pagerank(df, iters=1, seeds=seeds).collect()
+        }
+        scale = 10**12  # |S ∩ V| = 1, not 2
+        assert got[0] == (15 * scale) // 100
+        assert got[1] == (85 * scale) // 100
