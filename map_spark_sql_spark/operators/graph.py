@@ -508,3 +508,104 @@ walk(u, reach) AS (
 )
 SELECT u AS {id_col}, min(reach) AS cluster_id FROM walk GROUP BY u
 """
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+) -> DataFrame:
+    """k-core decomposition by iterative peeling (Batagelj & Zaveršnik
+    2003; the distributed round-synchronous form): repeatedly drop every
+    vertex whose degree in the SURVIVING graph is < k, until stable. On a
+    near-dup or kNN graph the k-core isolates the dense duplicate families
+    — vertices kept only by chains of weak links peel away, cores of
+    mutually-similar documents survive.
+
+    ``rounds`` is a FIXED bound, not a convergence test: both this and the
+    oracle run exactly ``rounds`` peel passes, then report the degree of
+    every vertex still meeting the bar, so the two engines agree even on a
+    graph that has not converged (pytest pins convergence on a long chain,
+    where each pass removes only the endpoints — the adversarial case).
+    Each pass is one degree aggregation (groupBy on the vertex) plus two
+    left-semi joins against the survivor set — all hash-partitioned on
+    vertex id, no sort, no window, nothing driver-side; O(rounds) total
+    shuffles. The non-eager ``localCheckpoint`` per pass keeps the plan
+    from nesting ``rounds`` deep.
+
+    Returns ``(id_col, core_degree)`` — vertices of the ``rounds``-peeled
+    graph with degree >= k, and that degree.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("u").alias("x"))
+            .union(e.select(F.col("v").alias("x")))
+            .groupBy("x")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        surv = deg.filter(F.col("d") >= k).select("x")
+        e = (
+            e.join(surv.withColumnRenamed("x", "u"), "u", "left_semi")
+            .join(surv.withColumnRenamed("x", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=False)
+        )
+    final = (
+        e.select(F.col("u").alias("x"))
+        .union(e.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .filter(F.col("d") >= k)
+    )
+    return final.select(
+        F.col("x").alias(id_col), F.col("d").cast("bigint").alias("core_degree")
+    )
+
+
+def kcore_oracle(
+    edges_sql: str, k: int = 3, rounds: int = 6, id_col: str = "id"
+) -> str:
+    """DuckDB twin of :func:`kcore`: the same fixed number of peel passes
+    unrolled into a CTE chain (degree -> survivors -> filtered edges per
+    pass), so the engines agree round-for-round with no convergence
+    assumption."""
+    # every CTE is MATERIALIZED: DuckDB inlines plain CTEs, and each peel
+    # round references the previous one ~5x (FROM + two IN-subqueries via
+    # the degree CTE), so an inlined chain expands 5^rounds copies of the
+    # base scan and dies on file handles before it dies on CPU
+    parts = [
+        f"WITH e0raw AS MATERIALIZED (SELECT src, dst FROM ({edges_sql}) q)",
+        "e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, "
+        "greatest(src, dst) AS v FROM e0raw WHERE src <> dst)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT x, count(*) AS d FROM "
+            f"(SELECT u AS x FROM e{i-1} UNION ALL SELECT v FROM e{i-1}) t GROUP BY x)"
+        )
+        parts.append(f"s{i} AS MATERIALIZED (SELECT x FROM d{i} WHERE d >= {k})")
+        parts.append(
+            f"e{i} AS MATERIALIZED (SELECT u, v FROM e{i-1} "
+            f"WHERE u IN (SELECT x FROM s{i}) AND v IN (SELECT x FROM s{i}))"
+        )
+    parts.append(
+        f"dfin AS (SELECT x, count(*) AS d FROM "
+        f"(SELECT u AS x FROM e{rounds} UNION ALL SELECT v FROM e{rounds}) t GROUP BY x)"
+    )
+    body = ",\n".join(parts)
+    return (
+        f"{body}\nSELECT x AS {id_col}, CAST(d AS BIGINT) AS core_degree "
+        f"FROM dfin WHERE d >= {k}"
+    )

@@ -146,3 +146,106 @@ SELECT {id_col}, {w} AS weight_ppm
 FROM {table}
 WHERE {bucket} < {w}
 """
+
+
+def pareto_frontier(
+    df: DataFrame, q_col: str, l_col: str, *keep_cols: str
+) -> DataFrame:
+    """Pareto-optimal (non-dominated) selection over two integer criteria:
+    keep a row iff NO other row is >= on both ``q_col`` and ``l_col`` and
+    strictly greater on at least one. The curation primitive for "best
+    docs per quality/length trade-off" — the frontier is what a tuned
+    threshold sweep can ever select, everything below it is dominated.
+
+    The naive NOT EXISTS is a quadratic self-join. The frontier is instead
+    a running max: a row is non-dominated iff (a) its ``l`` equals the max
+    ``l`` of its own ``q`` group (same-q dominance is strict in ``l``;
+    equal (q, l) ties are mutually non-dominating and all kept), and (b)
+    its ``l`` strictly exceeds the max ``l`` over all HIGHER ``q`` groups.
+    (b) over the distinct-q table is ``max() OVER (ORDER BY q DESC)`` with
+    no PARTITION BY — a single-partition window at scale — so it runs as
+    the two-phase pattern of packing.global_running_sum: range-repartition
+    the per-q maxima on q desc, exclusive running max inside each
+    partition, one bounded |partitions|-row collect folded into exclusive
+    per-partition offsets broadcast back. Everything fact-table-sized is
+    one groupBy(q) + one hash join back on q.
+    """
+    from pyspark.sql import Window
+
+    scored = df.filter(F.col(q_col).isNotNull() & F.col(l_col).isNotNull())
+    g = scored.groupBy(q_col).agg(F.max(l_col).alias("_gmax"))
+    parted = g.repartitionByRange(F.col(q_col).desc()).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(F.col(q_col).desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = parted.withColumn("_lmax", F.max("_gmax").over(w)).localCheckpoint(
+        eager=True
+    )
+    partials = {
+        r["_pid"]: r["_m"]
+        for r in local.groupBy("_pid").agg(F.max("_gmax").alias("_m")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = None
+    for pid in sorted(partials):
+        if acc is not None:
+            offsets[pid] = acc
+        acc = partials[pid] if acc is None else max(acc, partials[pid])
+    off = (
+        F.coalesce(
+            *[
+                F.when(F.col("_pid") == pid, F.lit(o))
+                for pid, o in sorted(offsets.items())
+            ],
+            F.lit(None).cast("bigint"),
+        )
+        if offsets
+        else F.lit(None).cast("bigint")
+    )
+    h = local.withColumn("_off", off).select(
+        q_col,
+        "_gmax",
+        F.when(
+            F.col("_lmax").isNull() & F.col("_off").isNull(), F.lit(None)
+        )
+        .otherwise(
+            F.greatest(
+                F.coalesce("_lmax", "_off"), F.coalesce("_off", "_lmax")
+            )
+        )
+        .cast("bigint")
+        .alias("_hmax"),
+    )
+    return (
+        scored.join(h, q_col)
+        .filter(
+            (F.col(l_col) == F.col("_gmax"))
+            & (F.col("_hmax").isNull() | (F.col(l_col) > F.col("_hmax")))
+        )
+        .select(*keep_cols, q_col, l_col)
+    )
+
+
+def pareto_frontier_oracle(
+    scored_sql: str, q_col: str, l_col: str, *keep_cols: str
+) -> str:
+    """DuckDB twin of :func:`pareto_frontier`: same per-q max + exclusive
+    running max over q desc, as one window (the oracle need not scale)."""
+    keep = ", ".join(f"s.{c}" for c in keep_cols)
+    return f"""
+WITH scored AS (SELECT * FROM ({scored_sql}) t
+                WHERE {q_col} IS NOT NULL AND {l_col} IS NOT NULL),
+g AS (SELECT {q_col}, max({l_col}) AS gmax FROM scored GROUP BY {q_col}),
+h AS (SELECT {q_col}, gmax,
+             max(gmax) OVER (ORDER BY {q_col} DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS hmax
+      FROM g)
+SELECT {keep}, s.{q_col}, s.{l_col}
+FROM scored s JOIN h ON s.{q_col} = h.{q_col}
+WHERE s.{l_col} = h.gmax AND (h.hmax IS NULL OR s.{l_col} > h.hmax)
+"""

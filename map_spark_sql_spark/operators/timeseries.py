@@ -97,3 +97,38 @@ SELECT g.{key_col}, g.bucket,
        CAST(a.v IS NOT NULL AS INTEGER) AS observed
 FROM grid g LEFT JOIN agg a ON a.{key_col} = g.{key_col} AND a.bucket = g.bucket
 """
+
+
+def trailing_range_stats(
+    df: DataFrame,
+    part_col: str,
+    ts_us_col: str,
+    int_col: str,
+    range_us: int,
+    n_col: str = "n_trailing",
+    sum_col: str = "sum_trailing",
+) -> DataFrame:
+    """Trailing time-RANGE window features: for every row, the count and
+    integer sum of ``int_col`` over the same key's rows in
+    ``[ts - range_us, ts]`` (inclusive both ends — RANGE frames take all
+    peers of a tied timestamp, in every engine). The bread-and-butter
+    rolling-feature primitive ("events in the last hour", "spend in the
+    last day") feature stores compute per entity.
+
+    Plan shape: ONE hash partition on the key + per-key sort — Spark's
+    WindowExec keeps a sliding frame pointer over the sorted run, so cost
+    is O(rows log run) per key with no self-join fan-out (the naive
+    ``e1 JOIN e2 ON key AND ts BETWEEN`` quadruples on hot keys and
+    re-shuffles twice). Whale keys are bounded by the per-key sort spill,
+    not memory. ``int_col`` must already be integer-typed (sum order over
+    doubles is partition-dependent; integer sums are order-free, which is
+    what makes the result hash-stable across engines).
+    """
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(ts_us_col)
+        .rangeBetween(-int(range_us), 0)
+    )
+    return df.withColumn(
+        n_col, F.count(F.lit(1)).over(w).cast("bigint")
+    ).withColumn(sum_col, F.sum(int_col).over(w).cast("bigint"))

@@ -4327,6 +4327,213 @@ def text_bpe_pair_merges(spark, sf_dir):
     )
 
 
+@q(
+    "similarity_kcore",
+    G.kcore_oracle(
+        SIM.quantized_knn_edges_sql("duckdb", k=3), k=3, rounds=6, id_col="vec_id"
+    ),
+)
+def similarity_kcore(spark, sf_dir):
+    """k-core of the semantic kNN graph (operators/graph.py kcore,
+    Batagelj-Zaveršnik peeling): vertices surviving 6 rounds of drop-if-
+    degree<3, with their core degree. On a near-dup graph the 3-core is
+    the dense duplicate families — chain-linked stragglers (the vertices
+    connected-components gloms onto a cluster through one weak edge) peel
+    off. One degree agg + two semi-joins per round, all keyed on vertex
+    id; fixed round count mirrored exactly by the unrolled-CTE oracle."""
+    _register_views(spark, sf_dir)
+    edges = spark.sql(SIM.quantized_knn_edges_sql("spark", k=3))
+    return G.kcore(edges, k=3, rounds=6, id_col="vec_id")
+
+
+@q(
+    "events_rolling_1h_user",
+    """
+SELECT event_id, user_id, ts_us,
+       count(*) OVER w AS n_1h,
+       CAST(sum(cents) OVER w AS BIGINT) AS sum_cents_1h
+FROM (
+  SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+) t
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+""",
+)
+def events_rolling_1h_user(spark, sf_dir):
+    """Trailing 1-hour rolling features per user (operators/timeseries.py
+    trailing_range_stats): for every event, the count and integer-cent sum
+    of the same user's events in [ts-1h, ts] — the per-entity rolling
+    window every feature store materializes. ONE hash shuffle on user_id +
+    per-user sort; the RANGE frame slides a pointer over the sorted run,
+    so no self-join fan-out and no quadratic hot-key blowup. Cent values
+    are floor(value*100) so the windowed sum is order-free integer math
+    (double sums over a reordered frame would drift cross-engine)."""
+    from map_spark_sql_spark.operators.timeseries import trailing_range_stats
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return trailing_range_stats(
+        ev, "user_id", "ts_us", "cents", 3_600_000_000, "n_1h", "sum_cents_1h"
+    ).select("event_id", "user_id", "ts_us", "n_1h", "sum_cents_1h")
+
+
+@q(
+    "docs_pareto_frontier",
+    SP.pareto_frontier_oracle(
+        "SELECT doc_id, "
+        + TX.quality_classifier_sql("text", "duckdb")
+        + " AS quality_logit, n_chars FROM documents WHERE text IS NOT NULL",
+        "quality_logit",
+        "n_chars",
+        "doc_id",
+    ),
+)
+def docs_pareto_frontier(spark, sf_dir):
+    """Pareto-optimal docs over (quality logit, length)
+    (operators/sampling.py pareto_frontier): the non-dominated set no
+    threshold sweep can improve on — every kept doc has no rival that is
+    at least as good on BOTH the integer quality classifier score and
+    n_chars and strictly better on one. Runs as one groupBy(quality) max +
+    a two-phase exclusive running max over the distinct-score table (the
+    global_running_sum pattern — no single-partition window) + one hash
+    join back; the quadratic NOT-EXISTS self-join never exists."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    scored = docs.select(
+        "doc_id",
+        F.expr(TX.quality_classifier_sql("text", "spark")).alias("quality_logit"),
+        "n_chars",
+    )
+    return SP.pareto_frontier(scored, "quality_logit", "n_chars", "doc_id")
+
+
+_CORR_STATS_SQL = """
+WITH t AS (
+  SELECT p.p_brand,
+         CAST(floor(l.l_quantity * 100) AS BIGINT) AS xq,
+         CAST(floor(l.l_extendedprice * 100) AS BIGINT) AS yp
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+), s AS (
+  SELECT p_brand, count(*) AS n,
+         CAST(sum(CAST(xq AS DECIMAL(19,0))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(yp AS DECIMAL(19,0))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(xq AS DECIMAL(19,0)) * CAST(xq AS DECIMAL(19,0))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(yp AS DECIMAL(19,0)) * CAST(yp AS DECIMAL(19,0))) AS DOUBLE) AS syy,
+         CAST(sum(CAST(xq AS DECIMAL(19,0)) * CAST(yp AS DECIMAL(19,0))) AS DOUBLE) AS sxy
+  FROM t GROUP BY p_brand
+), m AS (
+  SELECT p_brand, n,
+         sxy / n - (sx / n) * (sy / n) AS cov,
+         sxx / n - (sx / n) * (sx / n) AS varx,
+         syy / n - (sy / n) * (sy / n) AS vary
+  FROM s WHERE n >= 2
+)
+SELECT p_brand, CAST(n AS BIGINT) AS n_items,
+       round(cov / (sqrt(varx) * sqrt(vary)), 6) AS corr_qty_price,
+       round(cov / varx, 6) AS slope_cents_per_qty
+FROM m WHERE varx > 0 AND vary > 0
+"""
+
+
+@q("part_corr_qty_price", _CORR_STATS_SQL)
+def part_corr_qty_price(spark, sf_dir):
+    """Grouped feature-correlation diagnostics: per-brand Pearson
+    correlation and OLS slope between line quantity and extended price,
+    from EXACT integer-cent power sums (n, Σx, Σy, Σx², Σy², Σxy). The
+    sums accumulate in DECIMAL(19,0)-promoted products (Σy² is ~1e17 per
+    2.4k-row brand already; int64 would wrap silently around sf1 — the
+    temperature_mixture lesson), then ONE cast to double feeds an
+    identical moment formula on both engines, so the only float ops are
+    the final IEEE-deterministic divisions/sqrt, rounded at 6. Plan: a
+    broadcast join to part + one partial-aggregable hash agg — the
+    one-pass parallel moments shape (no per-group sort, no window, no
+    second scan), which is why this beats calling corr() twice at scale:
+    every statistic shares the single aggregation."""
+    _register_views(spark, sf_dir)
+    return spark.sql(_CORR_STATS_SQL)
+
+
+def _mad_outliers_sql(pct: str) -> str:
+    """Dialect-shared MAD robust-outlier SQL; ``pct`` is the engine's
+    exact interpolated-median aggregate (same (lo+hi)/2 convention in
+    Spark percentile and DuckDB quantile_cont, verified bit-equal)."""
+    return f"""
+WITH med AS (
+  SELECT event_type, {pct}(value, 0.5) AS med
+  FROM events GROUP BY event_type
+), dev AS (
+  SELECT e.event_type, m.med, abs(e.value - m.med) AS ad
+  FROM events e JOIN med m ON e.event_type = m.event_type
+), mad AS (
+  SELECT event_type, {pct}(ad, 0.5) AS mad FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(min(d.med), 9) AS med,
+       round(min(a.mad), 9) AS mad,
+       CAST(sum(CASE WHEN d.ad > 4.4478 * a.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM dev d JOIN mad a ON d.event_type = a.event_type
+GROUP BY d.event_type
+"""
+
+
+@q("events_mad_outliers", _mad_outliers_sql("quantile_cont"))
+def events_mad_outliers(spark, sf_dir):
+    """Robust outlier screen per event type: median + MAD (median absolute
+    deviation) and the count of values beyond 3σ-equivalent (|x-med| >
+    3·1.4826·MAD, the literal 4.4478 evaluated identically both engines).
+    MAD is the data-quality standard where mean/stddev get dragged by the
+    very outliers being hunted. Two grouped EXACT percentile aggregates +
+    two broadcast joins of the |event_type|-row stats tables back onto the
+    facts. Exact percentile sorts each group — the oracle-parity choice;
+    at 100 TB swap approx_percentile(value, 0.5, 10000) or the GK sketch
+    (operators/sketches.py) into the same frame, the plumbing is
+    unchanged."""
+    _register_views(spark, sf_dir)
+    return spark.sql(_mad_outliers_sql("percentile"))
+
+
+@q(
+    "stream_events_hopping",
+    f"""
+WITH k AS (SELECT 0 AS k UNION ALL SELECT 1)
+SELECT CAST((300 * CAST(floor({_events_bucket('duckdb')} / 300) AS BIGINT)
+             - 300 * k.k) * 1000000 AS BIGINT) AS window_start_us,
+       event_type, count(*) AS n, round(sum(value), 2) AS total_value
+FROM events CROSS JOIN k
+GROUP BY window_start_us, event_type
+""",
+)
+def stream_events_hopping(spark, sf_dir):
+    """Streaming hopping-window gate (streaming/events.py hopping_counts):
+    10-minute windows sliding every 5 — each event lands in exactly two
+    overlapping windows, doubling state vs tumbling, bounded by the
+    watermark. availableNow → complete-mode memory sink, hash-compared
+    against the batch double-assignment oracle (each event joined to its
+    two containing window starts)."""
+    import os
+
+    from map_spark_sql_spark.streaming import events as STE
+
+    ev = STE.read_event_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    res = STE.hopping_counts(ev)
+    out = STE.run_to_memory(res, _stream_query_name("hopping"), output_mode="complete")
+    return out.select(
+        F.unix_micros("window_start").alias("window_start_us"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------

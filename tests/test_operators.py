@@ -2262,3 +2262,113 @@ class TestPersonalizedPageRank:
         scale = 10**12  # |S ∩ V| = 1, not 2
         assert got[0] == (15 * scale) // 100
         assert got[1] == (85 * scale) // 100
+
+
+class TestKcore:
+    def test_chain_peels_to_nothing(self, spark):
+        """A 6-chain has no 2-core: each pass peels only the endpoints
+        (the adversarial diameter case), so 3 passes empty it."""
+        from map_spark_sql_spark.operators import graph as G
+
+        chain = [(i, i + 1) for i in range(6)]
+        df = spark.createDataFrame(chain, "src long, dst long")
+        assert G.kcore(df, k=2, rounds=3).count() == 0
+        # bounded rounds: after only 1 pass the chain still has survivors
+        assert G.kcore(df, k=2, rounds=1).count() > 0
+
+    def test_k4_with_tail_keeps_core(self, spark):
+        from map_spark_sql_spark.operators import graph as G
+
+        k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+        tail = [(3, 10), (10, 11)]
+        df = spark.createDataFrame(k4 + tail, "src long, dst long")
+        got = {r["id"]: r["core_degree"] for r in G.kcore(df, k=3, rounds=4).collect()}
+        assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+class TestTrailingRangeStats:
+    def test_frame_includes_ties_and_bound(self, spark):
+        from map_spark_sql_spark.operators.timeseries import trailing_range_stats
+
+        rows = [  # (key, ts_us, v)
+            (1, 0, 10),
+            (1, 50, 1),
+            (1, 100, 2),
+            (1, 100, 3),  # tie: RANGE frame takes both peers
+            (1, 201, 4),  # frame [101, 201] holds only this row
+        ]
+        df = spark.createDataFrame(rows, "k long, ts_us long, v long")
+        got = {
+            (r["k"], r["ts_us"], r["v"]): (r["n"], r["s"])
+            for r in trailing_range_stats(df, "k", "ts_us", "v", 100, "n", "s").collect()
+        }
+        assert got[(1, 0, 10)] == (1, 10)
+        assert got[(1, 50, 1)] == (2, 11)       # [−50, 50] inclusive
+        assert got[(1, 100, 2)] == (4, 16)      # 0,50,100,100 all in [0,100]
+        assert got[(1, 100, 3)] == (4, 16)      # tied peer sees same frame
+        assert got[(1, 201, 4)] == (1, 4)       # [101,201]: ties at 100 fall out
+
+
+class TestParetoFrontier:
+    def test_hand_frontier_with_ties(self, spark):
+        from map_spark_sql_spark.operators.sampling import pareto_frontier
+
+        rows = [  # (id, q, l)
+            (1, 10, 100),  # frontier (max q, max l at q=10)
+            (2, 10, 90),   # dominated by 1 (same q, smaller l)
+            (3, 8, 100),   # dominated by 1 (smaller q, equal l)
+            (4, 8, 120),   # frontier
+            (5, 5, 120),   # dominated by 4
+            (6, 5, 200),   # frontier
+            (7, 5, 200),   # equal (q,l) tie with 6: both kept
+            (8, 3, 150),   # dominated by 6/7
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, q long, l long")
+        got = {r["doc_id"] for r in pareto_frontier(df, "q", "l", "doc_id").collect()}
+        assert got == {1, 4, 6, 7}
+
+    def test_single_group(self, spark):
+        from map_spark_sql_spark.operators.sampling import pareto_frontier
+
+        df = spark.createDataFrame(
+            [(1, 7, 10), (2, 7, 30), (3, 7, 30)], "doc_id long, q long, l long"
+        )
+        got = {r["doc_id"] for r in pareto_frontier(df, "q", "l", "doc_id").collect()}
+        assert got == {2, 3}
+
+
+class TestGroupedCorr:
+    def test_matches_numpy(self, spark):
+        """part_corr_qty_price's moment formula vs numpy's corrcoef/polyfit
+        on the same floored-cent integers."""
+        import numpy as np
+
+        from map_spark_sql_spark.queries import part_corr_qty_price
+
+        sf_dir_001 = "/root/testdata/sf0.001"
+        got = {
+            r["p_brand"]: (r["n_items"], r["corr_qty_price"], r["slope_cents_per_qty"])
+            for r in part_corr_qty_price(spark, sf_dir_001).collect()
+        }
+        import duckdb
+
+        con = duckdb.connect()
+        ref = con.execute(
+            f"""
+            SELECT p.p_brand,
+                   list(CAST(floor(l.l_quantity*100) AS BIGINT)) xs,
+                   list(CAST(floor(l.l_extendedprice*100) AS BIGINT)) ys
+            FROM '{sf_dir_001}/lineitem.parquet' l
+            JOIN '{sf_dir_001}/part.parquet' p ON l.l_partkey = p.p_partkey
+            GROUP BY p.p_brand
+            """
+        ).fetchall()
+        for brand, xs, ys in ref:
+            x, y = np.array(xs, dtype=float), np.array(ys, dtype=float)
+            if len(x) < 2 or x.var() == 0 or y.var() == 0:
+                assert brand not in got
+                continue
+            n, c, s = got[brand]
+            assert n == len(x)
+            assert abs(c - float(np.corrcoef(x, y)[0, 1])) < 1e-5
+            assert abs(s - float(np.cov(x, y, bias=True)[0, 1] / x.var())) < 1e-4
