@@ -267,7 +267,13 @@ def pagerank(
 
     Returns ``(id_col, rank_col)`` with the rank in parts-per-scale.
     """
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+    # checkpoint the edge projection itself: it feeds BOTH the vertex
+    # derivation and the degree join, and an expensive upstream edge
+    # builder (a kNN construction, an LSH pair join) would otherwise be
+    # evaluated once per consumer
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).localCheckpoint(
+        eager=False
+    )
     verts = (
         e.select(F.col("s").alias("v"))
         .union(e.select(F.col("t").alias("v")))
