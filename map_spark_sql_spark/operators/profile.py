@@ -1,0 +1,74 @@
+"""Table profiling: one-pass per-column data-quality statistics.
+
+The first thing run against any new 100 TB drop is a profile — row count,
+per-column null rate, distinct cardinality, min/max — both to catch schema
+rot (a column going 90% null between crawls) and to size downstream plans
+(join-key cardinality, partition counts). This renders the whole profile
+as ONE aggregation pass over the table.
+
+Plan shape: a single global agg computes count(*), per-column non-null
+counts, exact count(DISTINCT col) and min/max for every profiled column at
+once. Spark plans the multi-distinct agg with an Expand (each input row is
+replicated once per distinct column, tagged with a grouping id) — the
+standard plan, costing k× the scan rows through the partial agg but still
+one shuffle and fully partial-aggregable. At 100 TB swap
+``approx_count_distinct`` in for the exact distinct to drop the Expand; the
+surrounding plumbing (and the output schema) is unchanged. The final
+1-row → k-row unpivot is ``stack`` over a single driver-sized row, free.
+
+min/max evaluate in the column's NATIVE type (string '10' < '9' — casting
+first would corrupt numeric ordering) and only the RESULT is cast to
+string for the heterogeneous output column. Callers pre-scale doubles and
+timestamps to integers (cents / epoch micros): float→string rendering is
+not engine-portable, int64→string is.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """``(column, n_rows, n_null, n_distinct, min_str, max_str)`` — one
+    row per profiled column, computed in one aggregation pass."""
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"_nn_{c}"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"_nd_{c}"))
+        aggs.append(F.min(F.col(c)).cast("string").alias(f"_min_{c}"))
+        aggs.append(F.max(F.col(c)).cast("string").alias(f"_max_{c}"))
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', _n - _nn_{c}, _nd_{c}, _min_{c}, _max_{c}" for c in cols
+    )
+    return one.select(
+        F.col("_n").cast("bigint").alias("n_rows"),
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(column_name, n_null, n_distinct, min_str, max_str)"
+        ),
+    ).select(
+        "column_name",
+        "n_rows",
+        F.col("n_null").cast("bigint").alias("n_null"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        "min_str",
+        "max_str",
+    )
+
+
+def profile_columns_oracle(table_sql: str, cols: list[str]) -> str:
+    """DuckDB twin: one UNION ALL branch per column over a shared
+    MATERIALIZED base (the oracle need not be one-pass)."""
+    branches = []
+    for c in cols:
+        branches.append(
+            f"SELECT '{c}' AS column_name, count(*) AS n_rows, "
+            f"count(*) - count({c}) AS n_null, "
+            f"count(DISTINCT {c}) AS n_distinct, "
+            f"CAST(min({c}) AS VARCHAR) AS min_str, "
+            f"CAST(max({c}) AS VARCHAR) AS max_str FROM base"
+        )
+    body = "\nUNION ALL\n".join(branches)
+    return f"WITH base AS MATERIALIZED (SELECT * FROM ({table_sql}) t)\n{body}"

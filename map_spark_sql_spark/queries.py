@@ -4534,6 +4534,133 @@ def stream_events_hopping(spark, sf_dir):
     )
 
 
+from map_spark_sql_spark.operators import profile as PF
+
+_EVENTS_PROFILE_COLS = ["event_id", "ts_us", "user_id", "event_type", "cents", "props"]
+
+
+@q(
+    "events_profile",
+    PF.profile_columns_oracle(
+        "SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, user_id, "
+        "event_type, CAST(floor(value * 100) AS BIGINT) AS cents, props "
+        "FROM events",
+        _EVENTS_PROFILE_COLS,
+    ),
+)
+def events_profile(spark, sf_dir):
+    """One-pass table profile (operators/profile.py profile_columns): per
+    column the row count, null count, EXACT distinct cardinality, and
+    min/max — the first query run against any new data drop. One
+    aggregation pass; Spark's multi-distinct Expand replicates each row
+    once per profiled column but keeps the whole thing one shuffle and
+    partial-aggregable (approx_count_distinct drops the Expand at 100 TB,
+    same schema). Doubles/timestamps are pre-scaled to integers because
+    int64→string rendering is engine-portable and float→string is not."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        "props",
+    )
+    return PF.profile_columns(ev, _EVENTS_PROFILE_COLS)
+
+
+@q(
+    "docs_quality_quantile_norm",
+    f"""
+WITH scored AS (
+  SELECT doc_id, source, {TX.quality_classifier_sql('text', 'duckdb')} AS q
+  FROM documents WHERE text IS NOT NULL
+), n AS (
+  SELECT source, count(*) AS n FROM scored GROUP BY source
+), r AS (
+  SELECT doc_id, source, q,
+         rank() OVER (PARTITION BY source ORDER BY q) AS rk
+  FROM scored
+)
+SELECT r.doc_id, r.source, r.q AS quality_logit,
+       CAST((1000000 * (rk - 1)) // nullif(n.n - 1, 0) AS BIGINT) AS pct_ppm
+FROM r JOIN n ON r.source = n.source
+""",
+)
+def docs_quality_quantile_norm(spark, sf_dir):
+    """Per-source quantile normalization of the quality score: each doc's
+    logit mapped to its source-relative rank position in ppm
+    (1e6·(rank−1)/(n−1), ties sharing the lower rank), so one global
+    threshold selects the same FRACTION from every source — raw logits are
+    not comparable across sources with different length/style priors, and
+    a fixed cut over-prunes whole domains. One rank window partitioned by
+    source (parallel across sources; per-source sort) + a broadcast of the
+    |sources|-row count table; integer rank arithmetic end to end."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.expr(TX.quality_classifier_sql("text", "spark")).alias("q"),
+    )
+    n = scored.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    r = scored.withColumn(
+        "rk", F.rank().over(Window.partitionBy("source").orderBy("q"))
+    )
+    return r.join(F.broadcast(n), "source").select(
+        "doc_id",
+        "source",
+        F.col("q").alias("quality_logit"),
+        F.expr("(1000000 * (rk - 1)) div nullif(n - 1, 0)")
+        .cast("bigint")
+        .alias("pct_ppm"),
+    )
+
+
+def _psi_sql(d: str) -> str:
+    idiv = "div" if d == "spark" else "//"
+    return f"""
+WITH b AS (
+  SELECT source, least(n_chars {idiv} 200, 10) AS bucket
+  FROM documents WHERE text IS NOT NULL
+), sc AS (
+  SELECT source, bucket, count(*) AS c FROM b GROUP BY source, bucket
+), st AS (
+  SELECT source, sum(c) AS tot FROM sc GROUP BY source
+), cc AS (
+  SELECT bucket, sum(c) AS c FROM sc GROUP BY bucket
+), ct AS (
+  SELECT sum(c) AS tot FROM cc
+), p AS (
+  SELECT sc.source,
+         CAST(sc.c AS DOUBLE) / st.tot AS ps,
+         CAST(cc.c AS DOUBLE) / ct.tot AS pc
+  FROM sc
+  JOIN st ON sc.source = st.source
+  JOIN cc ON sc.bucket = cc.bucket
+  CROSS JOIN ct
+)
+SELECT source, round(sum((ps - pc) * ln(ps / pc)), 6) AS psi
+FROM p GROUP BY source
+"""
+
+
+@q("docs_source_drift_psi", _psi_sql("duckdb"))
+def docs_source_drift_psi(spark, sf_dir):
+    """Population stability index of each source's length distribution
+    against the whole corpus — the standard drift monitor (PSI > 0.25 =
+    investigate) run between crawls or after a filter change. Length is
+    binned to 11 fixed buckets (200-char steps, capped), so the heavy
+    lifting is one small groupBy(source, bucket) count; the per-source and
+    corpus marginals are |sources|- and 11-row tables broadcast back. Sums
+    over observed (source, bucket) pairs only — a bucket a source never
+    hits contributes no term (the ε-free convention, identical on both
+    engines). The ln runs on identical doubles from exact integer counts,
+    and round-6 absorbs libm's 1-ulp latitude."""
+    _register_views(spark, sf_dir)
+    return spark.sql(_psi_sql("spark"))
+
+
 # ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------

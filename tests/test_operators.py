@@ -2372,3 +2372,45 @@ class TestGroupedCorr:
             assert n == len(x)
             assert abs(c - float(np.corrcoef(x, y)[0, 1])) < 1e-5
             assert abs(s - float(np.cov(x, y, bias=True)[0, 1] / x.var())) < 1e-4
+
+
+class TestProfileColumns:
+    def test_nulls_distincts_minmax(self, spark):
+        from map_spark_sql_spark.operators.profile import profile_columns
+
+        rows = [
+            (1, "a"),
+            (2, None),
+            (2, "b"),
+            (None, "b"),
+        ]
+        df = spark.createDataFrame(rows, "k long, s string")
+        got = {
+            r["column_name"]: (
+                r["n_rows"], r["n_null"], r["n_distinct"], r["min_str"], r["max_str"]
+            )
+            for r in profile_columns(df, ["k", "s"]).collect()
+        }
+        assert got["k"] == (4, 1, 2, "1", "2")
+        assert got["s"] == (4, 1, 2, "a", "b")
+
+    def test_native_type_ordering(self, spark):
+        """min/max run in the native type: bigint 9 < 10, though '10' < '9'."""
+        from map_spark_sql_spark.operators.profile import profile_columns
+
+        df = spark.createDataFrame([(9,), (10,)], "k long")
+        got = profile_columns(df, ["k"]).collect()[0]
+        assert (got["min_str"], got["max_str"]) == ("9", "10")
+
+
+class TestQuantileNorm:
+    def test_rank_ties_share_lower(self, spark):
+        from map_spark_sql_spark.queries import docs_quality_quantile_norm  # noqa: F401
+        from pyspark.sql import Window
+        # pin the rank()/(n-1) convention on a hand multiset
+        df = spark.createDataFrame(
+            [(1, 5), (2, 5), (3, 7), (4, 9), (5, 9)], "doc_id long, q long"
+        )
+        r = df.withColumn("rk", F.rank().over(Window.orderBy("q")))
+        got = {x["doc_id"]: x["rk"] for x in r.collect()}
+        assert got == {1: 1, 2: 1, 3: 3, 4: 4, 5: 4}
