@@ -4661,6 +4661,70 @@ def docs_source_drift_psi(spark, sf_dir):
     return spark.sql(_psi_sql("spark"))
 
 
+_ER_CC_ORACLE = G.connected_components_oracle(
+    "SELECT left_key AS a_id, right_key AS b_id FROM ("
+    + """
+SELECT a.c_custkey AS left_key, b.c_custkey AS right_key
+FROM customer a
+JOIN customer b
+  ON substr(a.c_name, 1, 17) = substr(b.c_name, 1, 17)
+ AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""
+    + ") fp",
+    "SELECT c_custkey FROM customer",
+    id_col="c_custkey",
+)
+
+
+@q(
+    "customers_er_resolve",
+    f"""
+WITH cc AS ({_ER_CC_ORACLE}),
+s AS (SELECT cluster_id, count(*) AS n FROM cc GROUP BY cluster_id)
+SELECT cc.c_custkey, cc.cluster_id AS canonical_custkey,
+       CAST(s.n AS BIGINT) AS cluster_size
+FROM cc JOIN s ON cc.cluster_id = s.cluster_id
+""",
+)
+def customers_er_resolve(spark, sf_dir):
+    """End-to-end entity resolution: blocked fuzzy self-join (the
+    fuzzy_name_pairs_blocked prefix-block + levenshtein<=1 match) →
+    connected components over the match graph → every customer labeled
+    with a canonical id (min key of its cluster; unmatched customers are
+    singletons) and the cluster size. Components run the STAR
+    (large-star/small-star) algorithm — ER match graphs are arbitrary
+    chains, exactly the topology where min-label propagation needs
+    O(diameter) rounds and star rewiring needs O(log n) — giving the star
+    path its hash gate. The blocking join is per-block hash work, CC is
+    per-round single shuffles, and the size join is a broadcast of the
+    cluster-count table."""
+    _register_views(spark, sf_dir)
+    pairs = spark.sql(
+        """
+SELECT a.c_custkey AS a_id, b.c_custkey AS b_id
+FROM customer a
+JOIN customer b
+  ON substr(a.c_name, 1, 17) = substr(b.c_name, 1, 17)
+ AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    cc = G.connected_components(
+        pairs,
+        vertices=cust,
+        id_col="c_custkey",
+        algorithm="star",
+    )
+    sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n"))
+    return cc.join(F.broadcast(sizes), "cluster_id").select(
+        "c_custkey",
+        F.col("cluster_id").alias("canonical_custkey"),
+        F.col("n").cast("bigint").alias("cluster_size"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
