@@ -82,6 +82,15 @@ HEADLINE = [
     # Jaccard join (window-rank + array_intersect verify)
     "similarity_pagerank_central",
     "dedup_prefix_filter_pairs",
+    # round-5 closing additions: k-core peel loop (fixed-round semi-join
+    # path), trailing RANGE rolling features (sliding-frame window), Pareto
+    # frontier (two-phase exclusive running max), one-pass multi-distinct
+    # table profile, and the star-CC entity-resolution composition
+    "similarity_kcore",
+    "events_rolling_1h_user",
+    "docs_pareto_frontier",
+    "events_profile",
+    "customers_er_resolve",
 ]
 
 

@@ -1128,6 +1128,46 @@ SELECT src, dst FROM rk WHERE rn <= {k}
 """
 
 
+def quantized_knn_edges(emb: DataFrame, k: int = 3) -> DataFrame:
+    """Engine-side twin of :func:`quantized_knn_edges_sql` — the IDENTICAL
+    edge set (same quantization, same exact integer dot, same (dot desc,
+    dst) tie-break), shaped for actual execution. Running the SQL string
+    through Spark plans the ``<>`` self-join as a BroadcastNestedLoopJoin
+    whose parallelism is the STREAMED side's partitioning — one parquet
+    file in, ONE task doing all N² higher-order-function dots — and
+    inlines the quantization CTE into both join inputs, re-quantizing per
+    PAIR instead of per vector. This builder materializes the quantized
+    vectors once (localCheckpoint) and spreads the streamed side across
+    the cluster before the join, which is the entire difference between
+    one core and all of them; the brute-force N² candidate set itself is
+    unchanged and remains the documented sub-10^5-vector rung (swap
+    :func:`knn_graph`'s LSH candidates beyond that).
+    """
+    from pyspark.sql import Window
+
+    q_expr, _ = _sq8_sql("embedding", "spark")
+    spark = emb.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    qv = (
+        emb.select("vec_id", F.expr(q_expr).alias("q"))
+        .repartition(par)
+        .localCheckpoint(eager=False)
+    )
+    a = qv.select(F.col("vec_id").alias("src"), F.col("q").alias("qa"))
+    b = qv.select(F.col("vec_id").alias("dst"), F.col("q").alias("qb"))
+    cand = a.join(F.broadcast(b), F.col("src") != F.col("dst")).select(
+        "src",
+        "dst",
+        F.expr(_sq8_dot_sql("qa", "qb", "spark")).alias("dot"),
+    )
+    w = Window.partitionBy("src").orderBy(F.col("dot").desc(), F.col("dst"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("src", "dst")
+    )
+
+
 def topk_quantized_sql(d: str, k: int = 10, query_id: int = 0) -> str:
     """Dialect-shared SQL: int8-quantized cosine top-k vs the exact top-k.
 

@@ -4045,8 +4045,8 @@ def similarity_ppr_seed_expand(spark, sf_dir):
     similarity_pagerank_central; the seed flag adds one left join on the
     vertex table."""
     _register_views(spark, sf_dir)
-    edges = spark.sql(SIM.quantized_knn_edges_sql("spark", k=3))
     emb = load_table(spark, sf_dir, "embeddings")
+    edges = SIM.quantized_knn_edges(emb, k=3)
     seeds = emb.filter(F.col("label") == 0).select("vec_id")
     return G.pagerank(edges, iters=5, id_col="vec_id", seeds=seeds)
 
@@ -4065,7 +4065,8 @@ def similarity_triangle_density(spark, sf_dir):
     triangle. Orientation by (degree, id) bounds wedge fan-out by the
     O(sqrt(E)) out-degree, so hub vertices cannot blow up the join."""
     _register_views(spark, sf_dir)
-    edges = spark.sql(SIM.quantized_knn_edges_sql("spark", k=3))
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = SIM.quantized_knn_edges(emb, k=3)
     return G.triangle_counts(edges, id_col="vec_id")
 
 
@@ -4267,7 +4268,8 @@ def similarity_pagerank_central(spark, sf_dir):
     the LSH kNN graph (documented in quantized_knn_edges_sql); each
     iteration is one shuffle keyed on well-distributed vec_ids."""
     _register_views(spark, sf_dir)
-    edges = spark.sql(SIM.quantized_knn_edges_sql("spark", k=3))
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = SIM.quantized_knn_edges(emb, k=3)
     return G.pagerank(edges, iters=5, id_col="vec_id")
 
 
@@ -4342,7 +4344,8 @@ def similarity_kcore(spark, sf_dir):
     off. One degree agg + two semi-joins per round, all keyed on vertex
     id; fixed round count mirrored exactly by the unrolled-CTE oracle."""
     _register_views(spark, sf_dir)
-    edges = spark.sql(SIM.quantized_knn_edges_sql("spark", k=3))
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = SIM.quantized_knn_edges(emb, k=3)
     return G.kcore(edges, k=3, rounds=6, id_col="vec_id")
 
 
