@@ -4728,6 +4728,184 @@ WHERE levenshtein(a.c_name, b.c_name) <= 1
     )
 
 
+_TYPE_BIT_CASE = (
+    "CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1 "
+    "WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 WHEN 'view' THEN 4 END"
+)
+
+
+@q(
+    "events_type_bitmask_daily",
+    f"""
+WITH m AS (
+  SELECT user_id, CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS day_us,
+         {_TYPE_BIT_CASE} AS b
+  FROM events
+), bm AS (
+  SELECT user_id, day_us, bit_or(CAST(1 AS BIGINT) << b) AS mask
+  FROM m GROUP BY user_id, day_us
+)
+SELECT CAST(mask AS BIGINT) AS mask,
+       CAST(bit_count(mask) AS BIGINT) AS n_types,
+       count(*) AS n_user_days
+FROM bm GROUP BY mask
+""",
+)
+def events_type_bitmask_daily(spark, sf_dir):
+    """Bitmask rollup: each (user, day) compressed to one int64 whose bits
+    are the event types used that day (bit_or aggregate), then the corpus
+    histogrammed by exact behavior combination. The roaring-bitmap trick
+    for small domains: set-valued per-key state becomes ONE integer that
+    merges with a partial-aggregable bit_or — no collect_set arrays, no
+    rows proportional to set sizes — so behavioral-cohort counting at
+    100 TB is two hash aggs of scalar ints. bit_count recovers the
+    breadth ("used k distinct features") for free."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.date_trunc("day", "ts")).alias("day_us"),
+        F.expr(_TYPE_BIT_CASE).alias("b"),
+    )
+    bm = ev.groupBy("user_id", "day_us").agg(
+        F.expr("bit_or(CAST(1 AS BIGINT) << b)").alias("mask")
+    )
+    return bm.groupBy("mask").agg(F.count(F.lit(1)).alias("n_user_days")).select(
+        F.col("mask").cast("bigint").alias("mask"),
+        F.bit_count("mask").cast("bigint").alias("n_types"),
+        "n_user_days",
+    )
+
+
+@q(
+    "similarity_graph_assortativity",
+    f"""
+WITH e0 AS MATERIALIZED (
+  SELECT src, dst FROM ({SIM.quantized_knn_edges_sql('duckdb', k=3)}) q
+), und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM e0 WHERE src <> dst
+), deg AS MATERIALIZED (
+  SELECT x, count(*) AS d FROM (
+    SELECT u AS x FROM und UNION ALL SELECT v FROM und
+  ) t GROUP BY x
+), ends AS (
+  SELECT du.d AS x, dv.d AS y FROM und
+  JOIN deg du ON und.u = du.x JOIN deg dv ON und.v = dv.x
+  UNION ALL
+  SELECT dv.d, du.d FROM und
+  JOIN deg du ON und.u = du.x JOIN deg dv ON und.v = dv.x
+), s AS (
+  SELECT count(*) AS n,
+         CAST(sum(CAST(x AS DECIMAL(19,0))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS syy,
+         CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS sxy
+  FROM ends
+)
+SELECT CAST(n AS BIGINT) AS n_edge_ends,
+       round((sxy / n - (sx / n) * (sy / n))
+             / (sqrt(sxx / n - (sx / n) * (sx / n))
+                * sqrt(syy / n - (sy / n) * (sy / n))), 6) AS assortativity
+FROM s
+""",
+)
+def similarity_graph_assortativity(spark, sf_dir):
+    """Degree assortativity of the kNN graph (Newman 2002): Pearson
+    correlation of endpoint degrees over all directed edge ends. Negative
+    values = hub-and-spoke (LSH false-positive stars); positive = clique-
+    like duplicate families — a one-number structural audit of any match
+    graph before trusting its components. The moments accumulate as exact
+    DECIMAL sums in ONE aggregation over the edge list (the
+    part_corr_qty_price discipline), after two hash joins to attach
+    endpoint degrees; no window, no sort."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = SIM.quantized_knn_edges(emb, k=3)
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        und.select(F.col("u").alias("x"))
+        .union(und.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    joined = und.join(
+        deg.select(F.col("x").alias("u"), F.col("d").alias("du")), "u"
+    ).join(deg.select(F.col("x").alias("v"), F.col("d").alias("dv")), "v")
+    ends = joined.select(
+        F.col("du").alias("x"), F.col("dv").alias("y")
+    ).union(joined.select(F.col("dv").alias("x"), F.col("du").alias("y")))
+    s = ends.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(19,0)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(19,0)")).cast("double").alias("sy"),
+        F.sum(
+            F.col("x").cast("decimal(19,0)") * F.col("x").cast("decimal(19,0)")
+        ).cast("double").alias("sxx"),
+        F.sum(
+            F.col("y").cast("decimal(19,0)") * F.col("y").cast("decimal(19,0)")
+        ).cast("double").alias("syy"),
+        F.sum(
+            F.col("x").cast("decimal(19,0)") * F.col("y").cast("decimal(19,0)")
+        ).cast("double").alias("sxy"),
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_edge_ends"),
+        F.round(
+            (F.col("sxy") / F.col("n") - (F.col("sx") / F.col("n")) * (F.col("sy") / F.col("n")))
+            / (
+                F.sqrt(F.col("sxx") / F.col("n") - (F.col("sx") / F.col("n")) * (F.col("sx") / F.col("n")))
+                * F.sqrt(F.col("syy") / F.col("n") - (F.col("sy") / F.col("n")) * (F.col("sy") / F.col("n")))
+            ),
+            6,
+        ).alias("assortativity"),
+    )
+
+
+def _median_hist_sql(d: str) -> str:
+    idiv = "div" if d == "spark" else "//"
+    return f"""
+WITH v AS (
+  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents FROM events
+), h AS (
+  SELECT event_type, cents, count(*) AS c FROM v GROUP BY event_type, cents
+), t AS (
+  SELECT event_type, sum(c) AS n FROM h GROUP BY event_type
+), r AS (
+  SELECT event_type, cents, c,
+         sum(c) OVER (PARTITION BY event_type ORDER BY cents) AS cum
+  FROM h
+)
+SELECT r.event_type, CAST(t.n AS BIGINT) AS n_events,
+       CAST(min(CASE WHEN r.cum >= (t.n + 1) {idiv} 2 THEN r.cents END) AS BIGINT)
+         AS med_lo_cents,
+       CAST(min(CASE WHEN r.cum >= t.n {idiv} 2 + 1 THEN r.cents END) AS BIGINT)
+         AS med_hi_cents
+FROM r JOIN t ON r.event_type = t.event_type
+GROUP BY r.event_type, t.n
+"""
+
+
+@q("events_median_exact_hist", _median_hist_sql("duckdb"))
+def events_median_exact_hist(spark, sf_dir):
+    """EXACT median at scale via the value histogram: over an integer
+    domain (cents), the facts collapse to one count per (group, value) —
+    a single partial-aggregable shuffle — and the median falls out of a
+    cumulative sum over the DISTINCT-VALUE table (bounded by the domain,
+    not the row count; the window sorts thousands of histogram rows, not
+    billions of facts). This is the production answer to
+    events_mad_outliers' exact-percentile caveat: no per-group giant
+    sort, no approximation — both middle order statistics reported
+    (n odd → equal), pure integer arithmetic end to end."""
+    _register_views(spark, sf_dir)
+    return spark.sql(_median_hist_sql("spark"))
+
+
 # ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------

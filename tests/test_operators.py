@@ -2414,3 +2414,49 @@ class TestQuantileNorm:
         r = df.withColumn("rk", F.rank().over(Window.orderBy("q")))
         got = {x["doc_id"]: x["rk"] for x in r.collect()}
         assert got == {1: 1, 2: 1, 3: 3, 4: 4, 5: 4}
+
+
+class TestMedianExactHist:
+    def test_agrees_with_interpolated_median(self, spark):
+        """(med_lo + med_hi)/2 from the histogram equals percentile(.5)
+        on the same integer cents — the two median operators cross-check."""
+        from map_spark_sql_spark.queries import events_median_exact_hist
+
+        sf = "/root/testdata/sf0.001"
+        got = {
+            r["event_type"]: (r["n_events"], r["med_lo_cents"], r["med_hi_cents"])
+            for r in events_median_exact_hist(spark, sf).collect()
+        }
+        from map_spark_sql_spark.sources.readers import load_table
+
+        ev = load_table(spark, sf, "events").selectExpr(
+            "event_type", "CAST(floor(value * 100) AS BIGINT) AS cents"
+        )
+        ref = {
+            r["event_type"]: r["m"]
+            for r in ev.groupBy("event_type")
+            .agg(F.expr("percentile(cents, 0.5)").alias("m"))
+            .collect()
+        }
+        assert got
+        for et, (n, lo, hi) in got.items():
+            assert lo <= hi
+            assert (lo + hi) / 2 == ref[et]
+            if n % 2 == 1:
+                assert lo == hi
+
+
+class TestTypeBitmask:
+    def test_mask_semantics(self, spark):
+        from pyspark.sql import Row
+
+        df = spark.createDataFrame(
+            [Row(user_id=1, b=0), Row(user_id=1, b=2), Row(user_id=2, b=4)]
+        )
+        got = {
+            r["user_id"]: r["mask"]
+            for r in df.groupBy("user_id")
+            .agg(F.expr("bit_or(CAST(1 AS BIGINT) << b)").alias("mask"))
+            .collect()
+        }
+        assert got == {1: 0b101, 2: 0b10000}
