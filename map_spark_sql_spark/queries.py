@@ -4614,7 +4614,10 @@ def docs_quality_quantile_norm(spark, sf_dir):
         "doc_id",
         "source",
         F.col("q").alias("quality_logit"),
-        F.expr("(1000000 * (rk - 1)) div nullif(n - 1, 0)")
+        # rank() is IntegerType on Spark: 1000000 * rk wraps 32-bit past
+        # rk ~ 2147 (ANSI: throws) — caught live at the 100x rung. The
+        # oracle was already 64-bit (DuckDB rank() returns BIGINT).
+        F.expr("(1000000 * CAST(rk - 1 AS BIGINT)) div nullif(n - 1, 0)")
         .cast("bigint")
         .alias("pct_ppm"),
     )
@@ -4872,6 +4875,7 @@ def _median_hist_sql(d: str) -> str:
     return f"""
 WITH v AS (
   SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents FROM events
+  WHERE value IS NOT NULL
 ), h AS (
   SELECT event_type, cents, count(*) AS c FROM v GROUP BY event_type, cents
 ), t AS (
@@ -4901,7 +4905,11 @@ def events_median_exact_hist(spark, sf_dir):
     billions of facts). This is the production answer to
     events_mad_outliers' exact-percentile caveat: no per-group giant
     sort, no approximation — both middle order statistics reported
-    (n odd → equal), pure integer arithmetic end to end."""
+    (n odd → equal), pure integer arithmetic end to end. NULL values
+    are excluded EXPLICITLY (the aggregate-median convention): a NULL
+    histogram row would sort NULLS FIRST into Spark's cumulative window
+    but NULLS LAST into DuckDB's, shifting every cum count — caught live
+    at the 100x rung, where the adversarial feed has NULL values."""
     _register_views(spark, sf_dir)
     return spark.sql(_median_hist_sql("spark"))
 
