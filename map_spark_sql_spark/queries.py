@@ -4914,6 +4914,45 @@ def events_median_exact_hist(spark, sf_dir):
     return spark.sql(_median_hist_sql("spark"))
 
 
+@q(
+    "stream_error_burst_alerts",
+    """
+WITH err AS (
+  SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+  FROM events WHERE event_type = 'error'
+), w AS (
+  SELECT user_id, event_id, ts_us,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+         - count(*) OVER (PARTITION BY user_id ORDER BY ts_us
+                          RANGE BETWEEN UNBOUNDED PRECEDING
+                          AND 3600000001 PRECEDING) AS nw
+  FROM err
+)
+SELECT user_id, event_id, ts_us AS alert_ts_us, CAST(nw AS BIGINT) AS n_errors_1h
+FROM w WHERE nw >= 2
+""",
+)
+def stream_error_burst_alerts(spark, sf_dir):
+    """CEP burst rule as a streaming gate (streaming/events.py
+    error_burst_alerts): "2 errors by the same user within an hour"
+    fires one alert per qualifying error event, with per-user
+    rate-bounded state in applyInPandasWithState. The batch oracle is the
+    rank-minus-older identity: an event's trailing-window error count =
+    its (ts, event_id) row_number minus the count of errors strictly
+    older than the window (the RANGE frame ending at window+1us
+    PRECEDING), so tied timestamps count predecessors only — exactly the
+    order the stateful function processes them in."""
+    import os
+
+    from map_spark_sql_spark.streaming import events as STE
+
+    ev = STE.read_event_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    res = STE.error_burst_alerts(ev, k=2, window_minutes=60)
+    return STE.run_to_memory(
+        res, _stream_query_name("alerts"), output_mode="update"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------

@@ -5,6 +5,7 @@ from map_spark_sql_spark.streaming.documents import (
 )
 from map_spark_sql_spark.streaming.events import (
     custom_sessionize,
+    error_burst_alerts,
     dedup_events,
     hopping_counts,
     purchase_view_join,
@@ -17,6 +18,7 @@ from map_spark_sql_spark.streaming.events import (
 
 __all__ = [
     "custom_sessionize",
+    "error_burst_alerts",
     "dedup_events",
     "hopping_counts",
     "ingest_documents",

@@ -477,3 +477,70 @@ def accumulate_count_min(
         .trigger(availableNow=True)
         .start()
     )
+
+
+ALERT_STATE_SCHEMA = "recent_us array<long>"
+ALERT_OUT_SCHEMA = (
+    "user_id long, event_id long, alert_ts_us long, n_errors_1h long"
+)
+
+
+def error_burst_alerts(
+    events: DataFrame, k: int = 3, window_minutes: int = 5
+) -> DataFrame:
+    """CEP-style burst detection via ``applyInPandasWithState``: emit an
+    alert row for every error event that is the k-th (or later) error by
+    the same user within the trailing ``window_minutes`` — the classic
+    "3 failures in 5 minutes" complex-event-processing rule engines like
+    Flink CEP express, which Spark's built-in windowed aggregates cannot
+    (they bucket time; the rule needs a PER-EVENT trailing count).
+
+    State per user is the timestamp list of errors still inside the
+    trailing window — bounded by the per-user error RATE, not history
+    (each arrival first evicts everything older than ``t - window``).
+    Events are processed in (ts, event_id) order inside each batch, so an
+    alert's count includes tied-timestamp errors only up to its own
+    event id — the exact batch twin is
+
+        row_number() OVER (ORDER BY ts, event_id)
+        - count(*) OVER (ORDER BY ts RANGE UNBOUNDED PRECEDING
+                         TO (window+1us) PRECEDING)
+
+    per user (rank minus errors strictly older than the window), which is
+    the hash-gate oracle in queries.py.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    win_us = window_minutes * 60 * 1_000_000
+
+    def detect(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        rows = pd.concat(list(pdf_iter)).sort_values(["ts", "event_id"])
+        ts_us = (rows["ts"].astype("int64") // 1000).tolist()
+        eids = rows["event_id"].tolist()
+        recent: list[int] = list(state.get[0]) if state.exists else []
+        out = []
+        for t, eid in zip(ts_us, eids):
+            recent = [x for x in recent if x >= t - win_us]
+            recent.append(t)
+            if len(recent) >= k:
+                out.append((user_id, eid, t, len(recent)))
+        state.update((recent,))
+        yield pd.DataFrame(
+            out,
+            columns=["user_id", "event_id", "alert_ts_us", "n_errors_1h"],
+        )
+
+    return (
+        events.filter(F.col("event_type") == "error")
+        .select("user_id", "event_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            detect,
+            outputStructType=ALERT_OUT_SCHEMA,
+            stateStructType=ALERT_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -354,3 +354,44 @@ def test_streaming_count_min_accumulation_equals_batch(spark, tmp_path):
     assert got == want and len(got) > 0
     # total mass check: every event counted once per hash row
     assert sum(got.values()) == 4 * events.count()
+
+
+def test_error_burst_alerts_tie_semantics(spark):
+    """Tied timestamps count predecessors only (event_id order), matching
+    the rank-minus-older batch identity."""
+    import datetime as dt
+
+    from map_spark_sql_spark.streaming import error_burst_alerts
+    from map_spark_sql_spark.streaming.events import run_to_memory
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def row(eid, sec, typ="error", uid=1):
+        return (eid, t0 + dt.timedelta(seconds=sec), uid, typ, 1.0, None)
+
+    rows = [
+        row(1, 0),
+        row(2, 10),            # 2nd error within window -> alert (n=2)
+        row(3, 10),            # tied ts, higher id -> counts 1,2 -> alert (n=3)
+        row(4, 4000),          # everything evicted -> no alert
+        row(5, 4005),          # 2nd in window -> alert (n=2)
+        row(6, 30, "view"),    # non-error never counts
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "ev.parquet")
+        df.write.parquet(p)
+        stream = spark.readStream.schema(df.schema).parquet(p)
+        out = run_to_memory(
+            error_burst_alerts(stream, k=2, window_minutes=60),
+            "t_burst_alerts",
+            output_mode="update",
+        )
+        got = {
+            r["event_id"]: r["n_errors_1h"] for r in out.collect()
+        }
+    assert got == {2: 2, 3: 3, 5: 2}
