@@ -4953,6 +4953,89 @@ def stream_error_burst_alerts(spark, sf_dir):
     )
 
 
+@q(
+    "events_k_anonymity",
+    """
+WITH qi AS (
+  SELECT event_type,
+         CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS day_us,
+         user_id % 100 AS user_bucket,
+         count(*) AS grp_n
+  FROM events
+  GROUP BY event_type, day_us, user_bucket
+)
+SELECT event_type,
+       count(*) AS n_groups,
+       CAST(sum(CASE WHEN grp_n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_small_groups,
+       CAST(sum(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+       CAST(min(grp_n) AS BIGINT) AS min_group_size
+FROM qi GROUP BY event_type
+""",
+)
+def events_k_anonymity(spark, sf_dir):
+    """k-anonymity audit over a quasi-identifier tuple (event type, day,
+    coarse user bucket): how many QI groups have fewer than k=5 members,
+    and how many rows sit in them — the re-identification risk measure a
+    release pipeline checks BEFORE exporting "anonymized" slices (a
+    group of 1 is a fingerprint). One fact-sized groupBy on the QI tuple,
+    then a per-type reduction of the group-size table; the k threshold
+    and QI choice are the policy surface, the plumbing is two hash
+    aggs."""
+    ev = load_table(spark, sf_dir, "events")
+    qi = ev.groupBy(
+        "event_type",
+        F.unix_micros(F.date_trunc("day", "ts")).alias("day_us"),
+        (F.col("user_id") % 100).alias("user_bucket"),
+    ).agg(F.count(F.lit(1)).alias("grp_n"))
+    return qi.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(F.col("grp_n") < 5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_small_groups"),
+        F.sum(F.when(F.col("grp_n") < 5, F.col("grp_n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_rows_at_risk"),
+        F.min("grp_n").cast("bigint").alias("min_group_size"),
+    )
+
+
+def _winsorize_sql(pct: str, d: str) -> str:
+    return f"""
+WITH v AS (
+  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+), b AS (
+  SELECT event_type,
+         CAST(ceil({pct}(cents, 0.01)) AS BIGINT) AS lo,
+         CAST(floor({pct}(cents, 0.99)) AS BIGINT) AS hi
+  FROM v GROUP BY event_type
+)
+SELECT v.event_type,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN v.cents < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+       CAST(sum(CASE WHEN v.cents > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+       CAST(sum(v.cents) AS BIGINT) AS sum_cents_raw,
+       CAST(sum(greatest(least(v.cents, b.hi), b.lo)) AS BIGINT) AS sum_cents_winsorized
+FROM v JOIN b ON v.event_type = b.event_type
+GROUP BY v.event_type
+"""
+
+
+@q("events_winsorize_p01_p99", _winsorize_sql("quantile_cont", "duckdb"))
+def events_winsorize_p01_p99(spark, sf_dir):
+    """Winsorization audit: per event type, clip integer-cent values to
+    the [p1, p99] band and report clipped counts plus raw vs winsorized
+    sums — the standard heavy-tail taming step before value-weighted
+    training statistics, reported rather than silently applied (the
+    no-silent-caps principle). The exact percentile bounds are snapped to
+    integers (ceil(p1)/floor(p99), identical on identical doubles) so
+    every downstream comparison and sum is order-free int64; the clip
+    pass is one broadcast join of the |types|-row bound table back onto
+    the facts."""
+    _register_views(spark, sf_dir)
+    return spark.sql(_winsorize_sql("percentile", "spark"))
+
+
 # ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
