@@ -1132,18 +1132,22 @@ def quantized_knn_edges(emb: DataFrame, k: int = 3) -> DataFrame:
     """Engine-side twin of :func:`quantized_knn_edges_sql` — the IDENTICAL
     edge set (same quantization, same exact integer dot, same (dot desc,
     dst) tie-break), shaped for actual execution. Running the SQL string
-    through Spark plans the ``<>`` self-join as a BroadcastNestedLoopJoin
-    whose parallelism is the STREAMED side's partitioning — one parquet
-    file in, ONE task doing all N² higher-order-function dots — and
-    inlines the quantization CTE into both join inputs, re-quantizing per
-    PAIR instead of per vector. This builder materializes the quantized
-    vectors once (localCheckpoint) and spreads the streamed side across
-    the cluster before the join, which is the entire difference between
-    one core and all of them; the brute-force N² candidate set itself is
-    unchanged and remains the documented sub-10^5-vector rung (swap
-    :func:`knn_graph`'s LSH candidates beyond that).
+    through Spark had two pathologies: the ``<>`` self-join planned as a
+    BroadcastNestedLoopJoin whose parallelism is the STREAMED side's
+    partitioning (one parquet file in → ONE task doing all N² dots), and
+    the quantization CTE inlined into both join inputs (re-quantizing per
+    PAIR). Worse, the per-pair ``zip_with``/``aggregate`` dot is
+    interpreted element-at-a-time — even perfectly parallelized it walls
+    at ~10^4 vectors. This builder quantizes JVM-side once (oracle-exact
+    codes), broadcasts the int64 code matrix, and runs one numpy GEMM +
+    top-k argpartition per Arrow batch via ``mapInPandas`` — the shape a
+    broadcast-side brute-force ANN stage actually runs. Still the
+    documented sub-10^5-vector rung (the broadcast is dimension-table
+    sized there); swap :func:`knn_graph`'s LSH candidates beyond that.
     """
     from pyspark.sql import Window
+
+    import numpy as np
 
     q_expr, _ = _sq8_sql("embedding", "spark")
     spark = emb.sparkSession
@@ -1151,21 +1155,57 @@ def quantized_knn_edges(emb: DataFrame, k: int = 3) -> DataFrame:
     qv = (
         emb.select("vec_id", F.expr(q_expr).alias("q"))
         .repartition(par)
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
-    a = qv.select(F.col("vec_id").alias("src"), F.col("q").alias("qa"))
-    b = qv.select(F.col("vec_id").alias("dst"), F.col("q").alias("qb"))
-    cand = a.join(F.broadcast(b), F.col("src") != F.col("dst")).select(
-        "src",
-        "dst",
-        F.expr(_sq8_dot_sql("qa", "qb", "spark")).alias("dot"),
-    )
-    w = Window.partitionBy("src").orderBy(F.col("dot").desc(), F.col("dst"))
-    return (
-        cand.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("src", "dst")
-    )
+    # Quantization happens JVM-side above (Spark round() is HALF_UP; numpy
+    # rounds half-even — codes must come from the SAME expression as the
+    # oracle). The code matrix is then broadcast for a vectorized int64
+    # matmul: the interpreted zip_with/aggregate dot costs ~1 µs/pair-dim,
+    # a dead end past ~10^4 vectors, while one numpy GEMM per Arrow batch
+    # is the shape every broadcast-side brute-force ANN stage (faiss-on-
+    # Spark et al.) actually runs. The driver collect is bounded by the
+    # operator's own applicability bound (~10^5 vectors × 64 dims × 8 B =
+    # 51 MB — dimension-table sized); beyond that the docstring already
+    # prescribes swapping in knn_graph's LSH candidates.
+    pdf_all = qv.toPandas()
+    ids = pdf_all["vec_id"].to_numpy(dtype=np.int64)
+    mat = np.stack(pdf_all["q"].to_numpy()).astype(np.int64)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+    dim = mat.shape[1] if mat.size else 1
+    # composite sort key (dot DESC, dst ASC) in one int64: dots are bounded
+    # by dim * 127^2, so (maxdot - dot) << 32 | dst_rank never overflows
+    maxdot = dim * 127 * 127 + 1
+
+    def topk_batches(batches):
+        import pandas as pd
+
+        all_ids = b_ids.value
+        all_mat = b_mat.value
+        n = all_ids.shape[0]
+        id_order = np.argsort(all_ids, kind="stable")
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            src_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            q = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            dots = q @ all_mat.T  # exact int64, |q| <= 127
+            # key = (maxdot - dot) * 2^32 + rank(dst id): orders by dot
+            # DESC then dst id ASC, matching the oracle's row_number
+            rank_of = np.empty(n, dtype=np.int64)
+            rank_of[id_order] = np.arange(n, dtype=np.int64)
+            key = (maxdot - dots) * (np.int64(1) << 32) + rank_of[None, :]
+            self_mask = all_ids[None, :] == src_ids[:, None]
+            key[self_mask] = np.iinfo(np.int64).max
+            kk = min(k, n - 1)
+            if kk <= 0:
+                continue
+            part = np.argpartition(key, kk - 1, axis=1)[:, :kk]
+            rows_src = np.repeat(src_ids, kk)
+            rows_dst = all_ids[part].reshape(-1)
+            yield pd.DataFrame({"src": rows_src, "dst": rows_dst})
+
+    return qv.mapInPandas(topk_batches, schema="src long, dst long")
 
 
 def topk_quantized_sql(d: str, k: int = 10, query_id: int = 0) -> str:

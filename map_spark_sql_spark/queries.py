@@ -5063,6 +5063,14 @@ def events_winsorize_p01_p99(spark, sf_dir):
 #     dedup_winnowing_pairs), text_lm_score_bigram (variant of the
 #     r4-certified text_lm_score), similarity_topk_batch (variant of the
 #     certified brute-force top-k family).
+# The 16 queries landed AFTER the window froze (personalized PageRank,
+# triangle counts, k-core, streaming dedup/hopping/CEP-alert gates,
+# rolling 1h features, Pareto frontier, table profile, quantile norm,
+# PSI drift, grouped moments, MAD outliers, histogram exact median,
+# bitmask rollup, assortativity, ER resolve, k-anonymity, winsorize)
+# queue for the round-6 rotation with the seven above; every one is
+# hash-gated locally at sf0.01 AND sf0.1 (several additionally at the
+# .scratch 100x rung — see SCALE.md round-5 closing section).
 # Queries whose plans changed during round 5 after an earlier green board
 # (min_by argmax family, DECIMAL mixture math, banded-pairs refactor) are
 # NOT re-windowed — the full registry is locally re-certified at sf0.01
