@@ -5036,6 +5036,36 @@ def events_winsorize_p01_p99(spark, sf_dir):
     return spark.sql(_winsorize_sql("percentile", "spark"))
 
 
+@q(
+    "corpus_curate_and_pack",
+    f"""
+WITH keep AS ({curate_corpus_oracle()}),
+kept_docs AS (
+  SELECT d.* FROM documents d
+  JOIN keep k ON d.doc_id = k.doc_id
+  WHERE k.split = 'train'
+),
+{pack_sequences_oracle('kept_docs').strip().removeprefix('WITH ')}
+""",
+)
+def corpus_curate_and_pack(spark, sf_dir):
+    """The COMPLETE training-data factory in one plan: quality gate →
+    exact dedup → MinHash/LSH near-dup clustering → keeper selection →
+    deterministic hash split, then the surviving train-split documents
+    packed into fixed-token training chunks (two-phase distributed
+    running sum — packing starts from the curated corpus, not the raw
+    crawl). Every stage is an already-hash-gated operator; this query
+    gates their COMPOSITION, where the real pipeline bugs live (stage
+    boundaries, split leakage into packing, keeper/text re-join). Scale
+    shape is the sum of its parts: scan-local gate, one digest shuffle,
+    banded LSH, per-round CC shuffles, then the packing exchange — no
+    stage multiplies another's output."""
+    docs = load_table(spark, sf_dir, "documents")
+    keep = curate_corpus(docs).filter(F.col("split") == "train")
+    kept_docs = docs.join(keep.select("doc_id"), "doc_id")
+    return pack_sequences(kept_docs)
+
+
 # ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
