@@ -5066,6 +5066,56 @@ def corpus_curate_and_pack(spark, sf_dir):
     return pack_sequences(kept_docs)
 
 
+def _cusum_sql(d: str) -> str:
+    day = (
+        "unix_micros(date_trunc('day', ts))"
+        if d == "spark"
+        else "CAST(epoch_us(date_trunc('day', ts)) AS BIGINT)"
+    )
+    return f"""
+WITH daily AS (
+  SELECT event_type, {day} AS day_us, count(*) AS c
+  FROM events GROUP BY event_type, day_us
+), tot AS (
+  SELECT event_type, sum(c) AS n_tot, count(*) AS n_days
+  FROM daily GROUP BY event_type
+), dev AS (
+  SELECT d.event_type, d.day_us,
+         t.n_days * d.c - t.n_tot AS dev
+  FROM daily d JOIN tot t ON d.event_type = t.event_type
+), s AS (
+  SELECT event_type, day_us,
+         sum(dev) OVER (PARTITION BY event_type ORDER BY day_us) AS run
+  FROM dev
+)
+SELECT event_type, day_us,
+       CAST(run - least(CAST(0 AS BIGINT),
+                        min(run) OVER (PARTITION BY event_type ORDER BY day_us))
+            AS BIGINT) AS cusum_scaled
+FROM s
+"""
+
+
+@q("events_cusum_daily", _cusum_sql("duckdb"))
+def events_cusum_daily(spark, sf_dir):
+    """One-sided CUSUM change-point statistic over daily event counts —
+    the sequential drift detector (Page 1954) monitoring pipelines run on
+    ingest volume. The textbook recurrence s_t = max(0, s_{t-1} + dev_t)
+    looks inherently sequential, but it has the closed form
+
+        s_t = S_t - min(0, min_{j<=t} S_j)
+
+    (running sum minus running minimum of the same prefix sums), so the
+    whole statistic is TWO stacked window passes per key — fully
+    partition-parallel across event types, no driver loop, no UDF.
+    Deviations are scaled by n_days (dev = n_days·c − n_tot) so every
+    value is exact int64; a sustained rate shift makes cusum_scaled grow
+    linearly, and thresholding it is the caller's policy choice (the full
+    statistic surface is emitted, no silent cutoff)."""
+    _register_views(spark, sf_dir)
+    return spark.sql(_cusum_sql("spark"))
+
+
 # ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------

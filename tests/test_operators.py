@@ -2460,3 +2460,24 @@ class TestTypeBitmask:
             .collect()
         }
         assert got == {1: 0b101, 2: 0b10000}
+
+
+class TestCusumClosedForm:
+    def test_matches_recurrence(self, spark):
+        """The two-window closed form equals the textbook
+        max(0, s_prev + dev) recurrence on a hand series."""
+        from map_spark_sql_spark.queries import _cusum_sql  # noqa: F401
+
+        devs = [3, -5, 2, 2, -1, 4, -9, 1]
+        # textbook recurrence
+        s, expect = 0, []
+        for d in devs:
+            s = max(0, s + d)
+            expect.append(s)
+        # closed form: S_t - min(0, min prefix S)
+        run, mn, got = 0, 0, []
+        for d in devs:
+            run += d
+            mn = min(mn, run)
+            got.append(run - min(0, mn))
+        assert got == expect
