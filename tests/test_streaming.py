@@ -395,3 +395,56 @@ def test_error_burst_alerts_tie_semantics(spark):
             r["event_id"]: r["n_errors_1h"] for r in out.collect()
         }
     assert got == {2: 2, 3: 3, 5: 2}
+
+
+def test_error_burst_alerts_state_carries_across_batches(spark):
+    """Split the feed at a time boundary into two files and force
+    maxFilesPerTrigger=1: the second error arrives in a LATER micro-batch
+    and must still see the first one through the state store."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from map_spark_sql_spark.streaming import error_burst_alerts
+    from map_spark_sql_spark.streaming.events import drain
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def mk(eid, sec):
+        return (eid, t0 + dt.timedelta(seconds=sec), 1, "error", 1.0, None)
+
+    with tempfile.TemporaryDirectory() as d:
+        src_dir = os.path.join(d, "feed")
+        os.makedirs(src_dir)
+        spark.createDataFrame([mk(1, 0)], schema).coalesce(1).write.parquet(
+            os.path.join(src_dir, "f0.parquet")
+        )
+        spark.createDataFrame([mk(2, 60)], schema).coalesce(1).write.parquet(
+            os.path.join(src_dir, "f1.parquet")
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(src_dir)
+        )
+        res = error_burst_alerts(stream, k=2, window_minutes=60)
+        q = (
+            res.writeStream.format("memory")
+            .queryName("t_burst_two_batches")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain(q, 600)
+        batches = q.recentProgress
+        out = {
+            r["event_id"]: r["n_errors_1h"]
+            for r in spark.table("t_burst_two_batches").collect()
+        }
+    assert len(batches) >= 2, "expected multiple micro-batches"
+    assert out == {2: 2}
