@@ -5116,6 +5116,45 @@ def events_cusum_daily(spark, sf_dir):
     return spark.sql(_cusum_sql("spark"))
 
 
+@q(
+    "stream_purchase_view_join_bucketed",
+    """
+SELECT p.event_id, p.user_id, epoch_us(p.ts) AS p_ts_us,
+       v.event_id AS view_id, epoch_us(v.ts) AS view_ts_us
+FROM events p JOIN events v
+  ON p.user_id = v.user_id
+ AND v.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+""",
+)
+def stream_purchase_view_join_bucketed(spark, sf_dir):
+    """Whale-safe twin of stream_purchase_view_join (streaming/events.py
+    purchase_view_join_bucketed): the same interval-join OUTPUT — the
+    oracle is byte-identical — but state keyed on (user_id, time_bucket)
+    with the view side exploded to its two candidate buckets, so one hot
+    user's views×purchases cross product splits across the timeline
+    instead of landing in a single symmetric-join task. The bucket salt
+    is semantics-free: bucket width = join window means a matching pair
+    differs by 0 or 1 bucket, each pair matches exactly once, and the
+    exact BETWEEN stays as the residual filter."""
+    import os
+
+    from map_spark_sql_spark.streaming import events as STE
+
+    stream = STE.read_event_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    res = STE.purchase_view_join_bucketed(stream)
+    out = STE.run_to_memory(
+        res, _stream_query_name("pvjoinb"), output_mode="append"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("p_ts").alias("p_ts_us"),
+        "view_id",
+        F.unix_micros("view_ts").alias("view_ts_us"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------

@@ -544,3 +544,55 @@ def error_burst_alerts(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def purchase_view_join_bucketed(
+    events: DataFrame, window_minutes: int = 30, watermark: str = "1 hour"
+) -> DataFrame:
+    """Whale-key-safe stream-stream interval join — IDENTICAL output to
+    :func:`purchase_view_join`, different state key. The plain join keys
+    state on user_id alone, so one hot user (the 100x rung plants one
+    with 275k views × 50k purchases) concentrates a ~10^10-pair cross
+    product in a single join task. Salting by TIME fixes it without
+    changing semantics: with bucket width = the join window, a matching
+    pair always has purchase_bucket − view_bucket ∈ {0, 1}, so each view
+    is emitted under its own bucket and the next one, purchases keep
+    their single bucket, and the join becomes an EQUI-join on
+    (user_id, bucket) with the exact interval bound left as a residual
+    filter. Every true pair matches exactly once (the purchase has one
+    bucket; the view emits that bucket once), so no dedup stage. State
+    splits across (user, bucket) — the whale parallelizes over time and
+    eviction stays watermark-driven per bucket."""
+    win_us = window_minutes * 60 * 1_000_000
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+            F.explode(
+                F.array(
+                    F.expr(f"unix_micros(ts) div {win_us}"),
+                    F.expr(f"unix_micros(ts) div {win_us} + 1"),
+                )
+            ).alias("v_bucket"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").alias("p_ts"),
+            "event_id",
+            F.expr(f"unix_micros(ts) div {win_us}").alias("p_bucket"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    cond = F.expr(
+        "user_id = v_user AND p_bucket = v_bucket AND "
+        f"view_ts BETWEEN p_ts - INTERVAL {window_minutes} MINUTES AND p_ts"
+    )
+    return p.join(v, cond, "inner").select(
+        "event_id", "user_id", "p_ts", "view_id", "view_ts"
+    )

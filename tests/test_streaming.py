@@ -448,3 +448,31 @@ def test_error_burst_alerts_state_carries_across_batches(spark):
         }
     assert len(batches) >= 2, "expected multiple micro-batches"
     assert out == {2: 2}
+
+
+def test_bucketed_join_equals_plain_join(spark):
+    """purchase_view_join_bucketed emits EXACTLY the plain join's pairs —
+    including window-boundary and bucket-boundary views — with no dups."""
+    from map_spark_sql_spark.sources.readers import load_table
+    from map_spark_sql_spark.streaming.events import (
+        purchase_view_join,
+        purchase_view_join_bucketed,
+        read_event_stream,
+        run_to_memory,
+    )
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    plain = run_to_memory(
+        purchase_view_join(read_event_stream(spark, path)),
+        "t_pv_plain",
+        output_mode="append",
+    )
+    bucketed = run_to_memory(
+        purchase_view_join_bucketed(read_event_stream(spark, path)),
+        "t_pv_bucketed",
+        output_mode="append",
+    )
+    key = lambda r: (r["event_id"], r["view_id"])
+    a = sorted(map(key, plain.collect()))
+    b = sorted(map(key, bucketed.collect()))
+    assert a == b and len(b) == len(set(b))
