@@ -5155,6 +5155,34 @@ def stream_purchase_view_join_bucketed(spark, sf_dir):
     )
 
 
+@q(
+    "events_observed_ingest",
+    """
+SELECT event_id, user_id, event_type
+FROM events WHERE event_type IN ('purchase', 'view')
+""",
+)
+def events_observed_ingest(spark, sf_dir):
+    """Pipeline observability surface: the ingest projection instrumented
+    with ``df.observe()`` — named accumulator metrics (row count, null
+    count, value sum) that Spark collects ON THE SAME PASS as the query
+    (no second scan, no count() re-run) and exposes to the driver /
+    StreamingQueryListener after the action. The query OUTPUT is the
+    plain projection (what the oracle checks); the metrics side-channel
+    is pinned by TestObservedIngest. At 100 TB this is how a factory
+    job reports per-stage row accounting without doubling its I/O."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    observed = ev.observe(
+        "ingest_metrics",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").isNull().cast("long")).alias("n_null_value"),
+        F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("sum_cents"),
+    )
+    return observed.select("event_id", "user_id", "event_type")
+
+
 # ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------

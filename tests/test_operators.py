@@ -2481,3 +2481,23 @@ class TestCusumClosedForm:
             mn = min(mn, run)
             got.append(run - min(0, mn))
         assert got == expect
+
+
+class TestObservedIngest:
+    def test_metrics_arrive_with_the_action(self, spark):
+        from pyspark.sql import Observation
+        from map_spark_sql_spark.sources.readers import load_table
+
+        ev = load_table(spark, "/root/testdata/sf0.001", "events").filter(
+            F.col("event_type").isin("purchase", "view")
+        )
+        obs = Observation("m")
+        out = ev.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("value").isNull().cast("long")).alias("n_null_value"),
+        )
+        n = out.select("event_id").count()
+        got = obs.get
+        assert got["n_rows"] == n
+        assert got["n_null_value"] == ev.filter(F.col("value").isNull()).count()

@@ -476,3 +476,50 @@ def test_bucketed_join_equals_plain_join(spark):
     a = sorted(map(key, plain.collect()))
     b = sorted(map(key, bucketed.collect()))
     assert a == b and len(b) == len(set(b))
+
+
+def test_checkpoint_resume_is_exactly_once(spark):
+    """A restarted availableNow query resumes from its checkpoint: the
+    second run processes ONLY the newly-arrived file — already-committed
+    input is never reprocessed into the sink (exactly-once file→file)."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from map_spark_sql_spark.streaming.events import drain
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    schema = "event_id long, ts timestamp, user_id long"
+
+    def run(src_dir, ckpt, sink):
+        stream = spark.readStream.schema(schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(src_dir)
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain(q, 600)
+
+    with tempfile.TemporaryDirectory() as d:
+        src_dir = os.path.join(d, "feed")
+        ckpt = os.path.join(d, "ckpt")
+        sink = os.path.join(d, "out")
+        os.makedirs(src_dir)
+        spark.createDataFrame(
+            [(1, t0, 1), (2, t0, 2)], schema
+        ).coalesce(1).write.parquet(os.path.join(src_dir, "f0.parquet"))
+        run(src_dir, ckpt, sink)
+        assert spark.read.parquet(sink).count() == 2
+        spark.createDataFrame(
+            [(3, t0, 3)], schema
+        ).coalesce(1).write.parquet(os.path.join(src_dir, "f1.parquet"))
+        run(src_dir, ckpt, sink)
+        got = sorted(
+            r["event_id"] for r in spark.read.parquet(sink).collect()
+        )
+    assert got == [1, 2, 3], f"duplicated or lost rows across restart: {got}"
