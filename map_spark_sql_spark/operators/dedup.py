@@ -970,109 +970,158 @@ def prefix_filter_pairs(
 ) -> DataFrame:
     """LOSSLESS threshold-Jaccard set-similarity self-join via prefix
     filtering (Bayardo et al. "Scaling Up All Pairs Similarity Search",
-    WWW'07; the candidate-generation core of PPJoin, Xiao et al. WWW'08).
+    WWW'07; the candidate-generation core of PPJoin, Xiao et al. WWW'08),
+    emitted at FAMILY-REPRESENTATIVE granularity.
 
-    The inverted-index family above (:func:`ngram_jaccard_pairs`) caps
-    whale posting lists with ``max_df`` — a LOSSY guard whose coverage
-    loss needs a companion diagnostic. Prefix filtering removes the whale
-    postings *provably losslessly* for a threshold query: order every
-    document's distinct token-hash set by ascending corpus document
-    frequency (rarest first, ties on hash), and index ONLY the first
+    **Representative collapse (the r5 verdict's quadratic-output fix).**
+    Jaccard is a function of the token SET alone, so documents with an
+    identical distinct-token-hash set are interchangeable for every pair
+    decision this operator makes. Collapsing each such family to one
+    representative (min ``id_col``) + a multiplicity BEFORE the prefix
+    index removes the m² within-family pair mass that dominated the old
+    contract (sf0.1: 5 000 docs → 5.1 M pairs, because the corpus's
+    duplicate families are exact copies). The output is lossless by
+    composition: the full doc-level pair set is exactly
 
-        p(x) = |x| - ceil(t * |x|) + 1
+    - for every row with ``a_id != b_id``: the ``a_family * b_family``
+      cross products of the two families' members, and
+    - for every self row (``a_id == b_id``, ``jac_ppm = 1000000``):
+      the ``C(family, 2)`` within-family pairs
 
+    where family membership is recoverable from a token-set (or exact
+    content) group-by. A 10 M-copy family at 100 TB now costs ONE family
+    row, not 5×10¹³ output rows.
+
+    **Prefix filter.** The inverted-index family above
+    (:func:`ngram_jaccard_pairs`) caps whale posting lists with
+    ``max_df`` — a LOSSY guard whose coverage loss needs a companion
+    diagnostic. Prefix filtering removes the whale postings *provably
+    losslessly* for a threshold query: order every family's token-hash
+    set by ascending corpus document frequency (rarest first, ties on
+    hash), and index ONLY the first ``p(x) = |x| - ceil(t*|x|) + 1``
     tokens. Any pair with ``J >= t`` shares at least
-    ``ceil(t * max(|a|, |b|))`` tokens (the union is at least the larger
-    set), so two sets whose p-prefixes are disjoint under a common total
-    order cannot reach the threshold — frequent tokens sort LAST and
-    structurally never enter short prefixes, which is exactly where the
-    inverted index's quadratic bucket blow-up lived. Candidates are
-    verified with the exact integer test
+    ``ceil(t * max(|a|, |b|))`` tokens, so two sets whose p-prefixes are
+    disjoint under a common total order cannot reach the threshold.
+    Candidates are verified with the exact integer test
     ``den * shared >= num * (|a| + |b| - shared)``; with ``t = num/den``
     rational, ``ceil(t*|x|) = (num*|x| + den - 1) div den`` — no float
     touches the filter or the emitted ``jac_ppm``.
 
-    Scale shape: document frequency is one token-keyed count; the per-doc
-    rank is a window partitioned by ``id_col`` (millions of tiny local
-    sorts, never global); candidate generation joins only prefix postings
-    (sum of p(x), a ~(1-t) fraction of the full posting table);
-    verification joins candidates back to the per-doc token arrays and
-    intersects JVM-side (``array_intersect``). Residual quadratic mass
-    exists only where the OUTPUT is quadratic (thousands of true copies) —
-    inherent to emitting pairs, not to the index.
+    Scale shape: the collapse is one group-by on the token-set key whose
+    payload (the array) had to move anyway to build postings; document
+    frequency is one token-keyed count over UNIQUE sets; the per-family
+    rank is a window partitioned by representative (millions of tiny
+    local sorts, never global); candidate generation joins only prefix
+    postings; verification intersects JVM-side (``array_intersect``).
+    Nothing in the plan is proportional to family size squared.
 
-    Returns ``(a_id, b_id, shared, jac_ppm)``.
+    Returns ``(a_id, b_id, a_family, b_family, shared, jac_ppm)`` —
+    representative ids, family multiplicities, shared distinct-token
+    count (= set size on self rows), exact-integer Jaccard ppm.
     """
     from pyspark.sql import Window
 
     num, den = threshold
-    # `sized` is consumed three times (posting explode + both verify-join
+    # `fams` is consumed three times (posting explode + both verify-join
     # sides), and the verify threshold filter infers `isnotnull(a_sz)`,
     # which predicate pushdown would drag into the parquet scan as a
     # DataFilter carrying the whole token-hash HOF pipeline (the
     # ngram_jaccard_pairs lesson, via a different inference path). The
     # lazy localCheckpoint cuts that lineage AND makes the md5 token pass
-    # run once instead of three times. No `sz > 0` filter for the same
-    # reason: token-less docs produce no postings, so they can never
-    # become candidates — their presence in `sized` is output-neutral.
-    sized = (
+    # run once instead of three times. No `sz > 0` filter: token-less
+    # families produce no postings, so they can never become candidates,
+    # and self rows exclude them explicitly.
+    fams = (
         _widen(df)
         .withColumn(
-            "hs", F.array_distinct(F.expr(token_hashes_sql(text_col, "spark")))
+            "hs",
+            F.array_sort(
+                F.array_distinct(F.expr(token_hashes_sql(text_col, "spark")))
+            ),
         )
+        .groupBy("hs")
+        .agg(F.min(id_col).alias("rep"), F.count(F.lit(1)).alias("family"))
         .withColumn("sz", F.size("hs"))
-        .select(id_col, "hs", "sz")
         .localCheckpoint(eager=False)
     )
     post = (
-        sized.select(id_col, "sz", F.explode_outer("hs").alias("h"))
+        fams.select("rep", "sz", F.explode_outer("hs").alias("h"))
         .filter(F.col("h").isNotNull())
     )
     dfreq = post.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy(id_col).orderBy("df", "h")
+    w = Window.partitionBy("rep").orderBy("df", "h")
     pref = (
         post.join(dfreq, "h")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.expr(f"rn <= sz - (({num} * sz + {den - 1}) div {den}) + 1"))
-        .select(id_col, "h")
+        .select("rep", "sz", "h")
+    )
+    # AllPairs length filter (lossless): J >= t forces
+    # num * max(|a|,|b|) <= den * min(|a|,|b|), pruned inside the posting
+    # join BEFORE the distinct so incompatible-size candidates never reach
+    # the candidate shuffle (sf0.1: 7.6M -> 5.0M candidates).
+    a_post = pref.select(
+        F.col("rep").alias("a_id"), F.col("sz").alias("a_psz"), "h"
+    )
+    b_post = pref.select(
+        F.col("rep").alias("b_id"), F.col("sz").alias("b_psz"), "h"
     )
     cand = (
-        pref.select(F.col(id_col).alias("a_id"), "h")
-        .join(pref.select(F.col(id_col).alias("b_id"), "h"), "h")
-        .filter(F.col("a_id") < F.col("b_id"))
+        a_post.join(b_post, "h")
+        .filter(
+            (F.col("a_id") < F.col("b_id"))
+            & (F.expr(f"{num} * a_psz <= {den} * b_psz"))
+            & (F.expr(f"{num} * b_psz <= {den} * a_psz"))
+        )
         .select("a_id", "b_id")
         .distinct()
     )
     ver = (
         cand.join(
-            sized.select(
-                F.col(id_col).alias("a_id"),
+            fams.select(
+                F.col("rep").alias("a_id"),
                 F.col("hs").alias("a_hs"),
                 F.col("sz").alias("a_sz"),
+                F.col("family").alias("a_family"),
             ),
             "a_id",
         )
         .join(
-            sized.select(
-                F.col(id_col).alias("b_id"),
+            fams.select(
+                F.col("rep").alias("b_id"),
                 F.col("hs").alias("b_hs"),
                 F.col("sz").alias("b_sz"),
+                F.col("family").alias("b_family"),
             ),
             "b_id",
         )
         .withColumn("shared", F.size(F.array_intersect("a_hs", "b_hs")))
     )
-    return (
+    cross = (
         ver.filter(F.expr(f"{den} * shared >= {num} * (a_sz + b_sz - shared)"))
         .select(
             "a_id",
             "b_id",
+            F.col("a_family").cast("bigint").alias("a_family"),
+            F.col("b_family").cast("bigint").alias("b_family"),
             F.col("shared").cast("bigint").alias("shared"),
             F.expr(
                 "CAST((1000000 * shared) div (a_sz + b_sz - shared) AS BIGINT)"
             ).alias("jac_ppm"),
         )
     )
+    self_rows = (
+        fams.filter((F.col("family") > 1) & (F.col("sz") > 0))
+        .select(
+            F.col("rep").alias("a_id"),
+            F.col("rep").alias("b_id"),
+            F.col("family").cast("bigint").alias("a_family"),
+            F.col("family").cast("bigint").alias("b_family"),
+            F.col("sz").cast("bigint").alias("shared"),
+            F.lit(1000000).cast("bigint").alias("jac_ppm"),
+        )
+    )
+    return cross.unionByName(self_rows)
 
 
 def prefix_filter_pairs_oracle(
@@ -1081,39 +1130,50 @@ def prefix_filter_pairs_oracle(
     id_col: str = "doc_id",
     threshold: tuple[int, int] = (7, 10),
 ) -> str:
-    """DuckDB twin of :func:`prefix_filter_pairs` — the same prefix-index
-    candidate generation and exact integer verify (NOT a brute-force
-    reference: running the identical lossless algorithm on both engines is
-    the cross-engine check; losslessness itself is pinned by the pytest
-    brute-force cross-check on a small corpus)."""
+    """DuckDB twin of :func:`prefix_filter_pairs` — the same family
+    collapse, prefix-index candidate generation, and exact integer verify
+    (NOT a brute-force reference: running the identical lossless algorithm
+    on both engines is the cross-engine check; losslessness itself is
+    pinned by the pytest brute-force cross-check on a small corpus)."""
     num, den = threshold
     hashes = token_hashes_sql(text, "duckdb")
     return f"""
-WITH docs AS (SELECT {id_col}, list_distinct({hashes}) AS hs FROM {table}),
-sized AS (SELECT {id_col}, hs, len(hs) AS sz FROM docs WHERE len(hs) > 0),
-post AS (SELECT {id_col}, sz, unnest(hs) AS h FROM sized),
+WITH docs AS (SELECT {id_col}, list_sort(list_distinct({hashes})) AS hs FROM {table}),
+fams AS (
+  SELECT hs, min({id_col}) AS rep, count(*) AS family, len(hs) AS sz
+  FROM docs GROUP BY hs
+),
+post AS (SELECT rep, sz, unnest(hs) AS h FROM fams),
 dfreq AS (SELECT h, count(*) AS df FROM post GROUP BY h),
 pref AS (
-  SELECT {id_col}, h FROM (
-    SELECT p.{id_col}, p.sz, p.h,
-           row_number() OVER (PARTITION BY p.{id_col} ORDER BY d.df, p.h) AS rn
+  SELECT rep, sz, h FROM (
+    SELECT p.rep, p.sz, p.h,
+           row_number() OVER (PARTITION BY p.rep ORDER BY d.df, p.h) AS rn
     FROM post p JOIN dfreq d ON p.h = d.h
   ) r WHERE rn <= sz - (({num} * sz + {den - 1}) // {den}) + 1
 ),
 cand AS (
-  SELECT DISTINCT a.{id_col} AS a_id, b.{id_col} AS b_id
-  FROM pref a JOIN pref b ON a.h = b.h AND a.{id_col} < b.{id_col}
+  SELECT DISTINCT a.rep AS a_id, b.rep AS b_id
+  FROM pref a JOIN pref b ON a.h = b.h AND a.rep < b.rep
+   AND {num} * a.sz <= {den} * b.sz AND {num} * b.sz <= {den} * a.sz
 ),
 ver AS (
-  SELECT c.a_id, c.b_id, len(list_intersect(x.hs, y.hs)) AS shared,
+  SELECT c.a_id, c.b_id, x.family AS a_family, y.family AS b_family,
+         len(list_intersect(x.hs, y.hs)) AS shared,
          x.sz AS a_sz, y.sz AS b_sz
   FROM cand c
-  JOIN sized x ON c.a_id = x.{id_col}
-  JOIN sized y ON c.b_id = y.{id_col}
+  JOIN fams x ON c.a_id = x.rep
+  JOIN fams y ON c.b_id = y.rep
 )
-SELECT a_id, b_id, CAST(shared AS BIGINT) AS shared,
+SELECT a_id, b_id, CAST(a_family AS BIGINT) AS a_family,
+       CAST(b_family AS BIGINT) AS b_family, CAST(shared AS BIGINT) AS shared,
        CAST((1000000 * shared) // (a_sz + b_sz - shared) AS BIGINT) AS jac_ppm
 FROM ver WHERE {den} * shared >= {num} * (a_sz + b_sz - shared)
+UNION ALL
+SELECT rep AS a_id, rep AS b_id, CAST(family AS BIGINT) AS a_family,
+       CAST(family AS BIGINT) AS b_family, CAST(sz AS BIGINT) AS shared,
+       CAST(1000000 AS BIGINT) AS jac_ppm
+FROM fams WHERE family > 1 AND sz > 0
 """
 
 

@@ -3770,7 +3770,7 @@ WITH seq AS (
   SELECT from_type, sum(n) AS tot FROM counts GROUP BY from_type
 )
 SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n,
-       (1000000 * c.n) // t.tot AS prob_ppm
+       CAST((1000000 * c.n) // t.tot AS BIGINT) AS prob_ppm
 FROM counts c JOIN totals t ON c.from_type = t.from_type
 """,
 )
@@ -4137,12 +4137,17 @@ def orders_snapshot_diff(spark, sf_dir):
 @q("dedup_prefix_filter_pairs", DD.prefix_filter_pairs_oracle())
 def dedup_prefix_filter_pairs(spark, sf_dir):
     """LOSSLESS Jaccard>=0.7 near-dup pairs via prefix filtering
-    (AllPairs/PPJoin, operators/dedup.py prefix_filter_pairs): documents
-    index only their df-rarest ``|x| - ceil(0.7|x|) + 1`` token hashes, so
-    whale tokens never create postings for short docs — the provably
-    complete alternative to the max_df-capped inverted index (no coverage
-    diagnostic needed; there is no coverage loss). All threshold math and
-    the output jac_ppm are exact integers."""
+    (AllPairs/PPJoin, operators/dedup.py prefix_filter_pairs) at
+    family-representative granularity: identical token sets collapse to
+    one representative + multiplicity BEFORE the prefix index (r5 verdict
+    fix — the old doc-level contract emitted 5.1M pairs from 5k docs at
+    sf0.1 because duplicate families are exact copies; a 10M-copy family
+    at 100 TB would emit 5e13 rows). Families index only their df-rarest
+    ``|x| - ceil(0.7|x|) + 1`` token hashes, so whale tokens never create
+    postings for short docs — provably complete, no coverage loss. Cross
+    rows carry both family sizes; self rows (a_id=b_id, jac_ppm=1e6)
+    carry exact-duplicate families, so the doc-level pair set is
+    derivable by composition. All threshold math is exact integer."""
     return DD.prefix_filter_pairs(load_table(spark, sf_dir, "documents"))
 
 
@@ -4286,7 +4291,7 @@ pairs AS (
   SELECT substr(w.w, CAST(i.i AS INTEGER), 2) AS pair, w.cnt
   FROM words w, unnest(range(1, len(w.w))) AS i(i)
 )
-SELECT pair, sum(cnt) AS n
+SELECT pair, CAST(sum(cnt) AS BIGINT) AS n
 FROM pairs GROUP BY pair
 ORDER BY n DESC, pair
 LIMIT 20
@@ -5190,93 +5195,86 @@ def events_observed_ingest(spark, sf_dir):
 # (observed in CORRECTNESS_r01/r02: the board stopped at registry position
 # 50 and every LLM-pipeline operator registered after it went unchecked).
 # The window ROTATES across rounds to accumulate driver-side evidence over
-# the whole registry (round-3 verdict #1). After round 4 the union of
-# driver boards covered 127 of the then-134 queries; the round-5 window
-# spends every slot on queries with NO driver evidence yet:
+# the whole registry (round-3 verdict #1). After round 5 the union of
+# driver boards covered 172 of the 209 queries, with 35 more verified by
+# the r5 judge under the driver-identical protocol but never yet on a
+# driver board. The round-6 window (per r5 verdict ask #2):
 #   - position 1: the entry flagship (continuity anchor);
-#   - positions 2-8: the last 7 never-driver-certified pre-round-5 queries
-#     (r4 verdict item #1) — green here makes the union of boards cover
-#     every query that existed before this round;
-#   - positions 9-50: 42 of the 49 queries ADDED in round 5, i.e. all of
-#     them except seven companion/variant twins deferred to the round-6
-#     rotation because their family representative IS in the window and
-#     they are pinned locally at sf0.01/sf0.1 (+ scale rungs, SCALE.md):
-#     events_interval_bin_skew (companion of events_interval_overlap),
-#     docs_select_budget_by_source (variant of docs_select_budget),
-#     multimodal_frames (same mapInPandas plumbing as multimodal_resize),
-#     similarity_ivf_recall + dedup_minhash_recall (recall audits of
-#     windowed families), similarity_diversity_stats (stats companion),
-#     text_winnowing_fingerprints (exercised transitively by
-#     dedup_winnowing_pairs), text_lm_score_bigram (variant of the
-#     r4-certified text_lm_score), similarity_topk_batch (variant of the
-#     certified brute-force top-k family).
-# The 16 queries landed AFTER the window froze (personalized PageRank,
-# triangle counts, k-core, streaming dedup/hopping/CEP-alert gates,
-# rolling 1h features, Pareto frontier, table profile, quantile norm,
-# PSI drift, grouped moments, MAD outliers, histogram exact median,
-# bitmask rollup, assortativity, ER resolve, k-anonymity, winsorize)
-# queue for the round-6 rotation with the seven above; every one is
-# hash-gated locally at sf0.01 AND sf0.1 (several additionally at the
-# .scratch 100x rung — see SCALE.md round-5 closing section).
-# Queries whose plans changed during round 5 after an earlier green board
-# (min_by argmax family, DECIMAL mixture math, banded-pairs refactor) are
-# NOT re-windowed — the full registry is locally re-certified at sf0.01
-# AND sf0.1 every round via tools/check_correctness.py (see SCALE.md), and
-# window slots buy more evidence on never-certified queries.
+#   - positions 2-36: the 35 never-driver-certified queries — green here
+#     makes the union of driver boards cover the FULL 209-query registry;
+#   - positions 37-38: the two r5 reds (events_transition_matrix,
+#     text_bpe_pair_merges), whose oracles' HUGEINT output columns are now
+#     CAST to BIGINT (r5 verdict ask #1; the class is linted shut in
+#     tools/check_correctness.py and tests/test_oracle_types.py);
+#   - positions 39-40: the two queries whose operators change in round 6
+#     (dedup_prefix_filter_pairs representative collapse, tiles_features_z1
+#     whale-row guard) so the driver certifies the NEW plans;
+#   - positions 41-50: continuity slots spanning the SURVEY §2 families
+#     (scan+pushdown, filtered CTAS, broadcast semi/anti, aggregations,
+#     salted keys, z16 tiling, encode/decode, pixel roll-up, binary
+#     encoder blob gate).
+# The full registry remains locally re-certified at sf0.01 AND sf0.1 every
+# round via tools/check_correctness.py (see SCALE.md).
 
 _WINDOW_ORDER = [
-    "mapkeys_stats",            # entry flagship (driver-green r1-r4)
-    # -- the last 7 never-driver-certified pre-r5 queries (r4 verdict #1) --
-    "tpch_q4_order_priority",
-    "dedup_cross_source_overlap",
-    "dedup_prefix_clusters",
-    "dedup_cluster_histogram",
-    "text_boilerplate_ngrams",
-    "text_boilerplate_doc_stats",
-    "docs_tokenize",
-    # -- round-5 additions, in the order they landed --
-    "tiles_encode_blob_md5",    # X5+X6 wire-format hash gate
-    "points_encode_blob_md5",   # X4+X6 wire-format hash gate (f64 bit math)
-    "similarity_lsh_bucket_stats",  # max_bucket coverage-loss surface
-    "docs_weighted_sample",
-    "docs_domain_cap",
-    "text_bm25_topk",
-    "similarity_topk_pq",
-    "dedup_minhash_band_stats",
-    "dedup_simhash_bucket_stats",
-    "similarity_topk_filtered",
-    "dedup_method_agreement",
-    "multimodal_resize",
-    "dedup_ngram_prune_stats",
-    "retrieval_hybrid_rrf",
-    "dedup_incremental_near",
-    "dedup_repeated_spans",
-    "text_quality_classifier",
-    "events_heavy_hitters_cm",
-    "text_strip_boilerplate",
-    "dedup_cluster_keepers",
-    "similarity_topk_two_stage",
-    "similarity_topk_ivfpq",
-    "text_char_entropy",
-    "dedup_segments_global",
-    "docs_bloom_prefilter",
-    "docs_dsir_weights",
-    "similarity_mmr_rerank",
-    "events_interval_overlap",
-    "docs_select_budget",
-    "dedup_winnowing_pairs",
-    "stream_purchase_view_join",
-    "orders_snapshot_diff",
-    "events_funnel_conversion",
-    "events_cohort_retention",
+    "mapkeys_stats",            # entry flagship (driver-green r1-r5)
+    # -- the 35 never-driver-certified queries (r5 verdict ask #2); all 35
+    #    were pre-verified by the r5 judge with the driver-identical harness
+    #    (35/35 hash-match at sf0.01), so this is evidence conversion --
+    "similarity_ppr_seed_expand",
+    "similarity_triangle_density",
+    "similarity_kcore",
+    "similarity_graph_assortativity",
+    "events_profile",
+    "events_cusum_daily",
+    "events_k_anonymity",
+    "events_winsorize_p01_p99",
+    "events_mad_outliers",
+    "events_median_exact_hist",
+    "events_type_bitmask_daily",
+    "events_interval_bin_skew",
+    "docs_quality_quantile_norm",
+    "docs_source_drift_psi",
+    "part_corr_qty_price",
+    "docs_pareto_frontier",
+    "events_rolling_1h_user",
+    "stream_events_dedup",
+    "stream_events_hopping",
+    "stream_error_burst_alerts",
+    "stream_purchase_view_join_bucketed",
+    "events_observed_ingest",
+    "similarity_topk_batch",
+    "similarity_ivf_recall",
+    "similarity_diversity_stats",
+    "dedup_minhash_recall",
+    "text_winnowing_fingerprints",
+    "text_lm_score_bigram",
+    "text_bpe_train_rounds",
+    "docs_select_budget_by_source",
+    "multimodal_frames",
+    "corpus_curate_and_pack",
+    "customers_er_resolve",
+    "tiles_wgs84_z1",
+    "tiles_antarctic_z1",
+    # -- the two r5 reds, oracle HUGEINT now CAST to BIGINT (ask #1) --
     "events_transition_matrix",
-    "events_funnel_windowed",
-    "text_pmi_collocations",
-    "dedup_prefix_filter_pairs",
-    "events_top_paths",
-    "events_time_to_convert",
-    "similarity_pagerank_central",
     "text_bpe_pair_merges",
+    # -- queries whose operator implementations change in round 6, so the
+    #    driver re-certifies the new plans (prefix-pairs representative
+    #    collapse, A5 z<=1 whale guard) --
+    "dedup_prefix_filter_pairs",
+    "tiles_features_z1",
+    # -- continuity slots spanning the SURVEY §2 operator families --
+    "occ_ingest_filter",        # S1/P1/P2
+    "antarctic_subset",         # S4/P5
+    "route_tiles_semi",         # J1 broadcast semi
+    "route_points_anti",        # J2 broadcast anti
+    "points_counts",            # A2
+    "points_salted_keys",       # U5/S7 salted sink keys
+    "tiles_mercator_z16",       # U4 z16 wraparound pin
+    "boryear_decode",           # U2 encode/decode inverse
+    "t1_mercator_z4",           # U3/A4 pixel roll-up
+    "tiles_encode_blob_md5",    # X5+X6 wire-format hash gate
 ]
 
 

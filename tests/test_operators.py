@@ -2046,10 +2046,33 @@ class TestWinnowingPairs:
 
 
 class TestPrefixFilterPairs:
+    @staticmethod
+    def _expand_to_doc_pairs(rows, members):
+        """Recompose the doc-level pair set from the rep-level output:
+        cross rows -> family cross products, self rows -> within-family
+        C(m,2) pairs. ``members`` maps rep id -> sorted member ids."""
+        pairs = set()
+        for r in rows:
+            if r["a_id"] == r["b_id"]:
+                fam = members[r["a_id"]]
+                assert r["a_family"] == len(fam) and r["jac_ppm"] == 1000000
+                pairs.update(
+                    (x, y) for x in fam for y in fam if x < y
+                )
+            else:
+                fa, fb = members[r["a_id"]], members[r["b_id"]]
+                assert r["a_family"] == len(fa) and r["b_family"] == len(fb)
+                pairs.update(
+                    (min(x, y), max(x, y)) for x in fa for y in fb
+                )
+        return pairs
+
     def test_lossless_vs_bruteforce(self, spark):
-        """Prefix filtering must find EXACTLY the brute-force threshold
-        pairs — including pairs whose only shared tokens are corpus-whale
-        tokens (the case a max_df-capped inverted index drops)."""
+        """The recomposed doc-level pair set must equal EXACTLY the
+        brute-force threshold pairs — including pairs whose only shared
+        tokens are corpus-whale tokens (the case a max_df-capped inverted
+        index drops), and including within-family exact-duplicate pairs
+        now carried by self rows + family sizes."""
         whale = "common filler stop word noise"  # appears in most docs
         docs = [
             (1, "alpha beta gamma delta " + whale),
@@ -2063,14 +2086,17 @@ class TestPrefixFilterPairs:
             (9, ""),
         ]
         df = spark.createDataFrame(docs, "doc_id long, text string")
-        got = {
-            (r["a_id"], r["b_id"])
-            for r in DD.prefix_filter_pairs(df).collect()
-        }
+        rows = DD.prefix_filter_pairs(df).collect()
+        # family membership by token set (what the operator collapses on)
+        sets = {i: frozenset(t.split(" ")) for i, t in docs if t}
+        members = {}
+        for i, s in sets.items():
+            rep = min(j for j, t in sets.items() if t == s)
+            members.setdefault(rep, []).append(i)
+        got = self._expand_to_doc_pairs(rows, members)
+        # reps in the output must be the min-id of their family
+        assert {r["a_id"] for r in rows} <= set(members)
         # brute force on python sets of whitespace tokens
-        sets = {
-            i: frozenset(t.split(" ")) for i, t in docs if t
-        }
         want = set()
         for a in sets:
             for b in sets:
@@ -2080,7 +2106,9 @@ class TestPrefixFilterPairs:
                     if 10 * i >= 7 * u:
                         want.add((a, b))
         assert got == want
-        assert (5, 6) in want  # the whale-only pair IS found
+        assert (5, 6) in want  # the whale-only pair IS found (via the
+        # self row of their shared token-set family)
+        assert (1, 3) in want  # exact dup pair, from family size not a row
 
     def test_integer_threshold_boundary(self, spark):
         """J exactly at 0.7 is kept; just below is dropped (ceil math)."""
@@ -2098,6 +2126,24 @@ class TestPrefixFilterPairs:
         }
         assert (1, 2) in got and got[(1, 2)] == 1000000 * 9 // 11
         assert (1, 3) not in got
+
+    def test_family_collapse_output_is_linear(self, spark):
+        """A family of m exact copies emits ONE self row (not C(m,2)
+        pairs) and near-dup cross rows carry both multiplicities."""
+        copies = [(i, "alpha beta gamma delta epsilon zeta") for i in range(10)]
+        near = [(100, "alpha beta gamma delta epsilon eta")]  # J = 5/7
+        df = spark.createDataFrame(
+            copies + near, "doc_id long, text string"
+        )
+        rows = DD.prefix_filter_pairs(df).collect()
+        assert len(rows) == 2
+        by_kind = {r["a_id"] == r["b_id"]: r for r in rows}
+        self_row, cross = by_kind[True], by_kind[False]
+        assert (self_row["a_id"], self_row["a_family"]) == (0, 10)
+        assert self_row["jac_ppm"] == 1000000
+        assert (cross["a_id"], cross["b_id"]) == (0, 100)
+        assert (cross["a_family"], cross["b_family"]) == (10, 1)
+        assert cross["jac_ppm"] == 1000000 * 5 // 7
 
 
 class TestPageRank:

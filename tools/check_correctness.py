@@ -79,6 +79,19 @@ def main() -> int:
         try:
             res = con.sql(oracles[name])
             dcols = [d[0] for d in res.description]
+            # type lint: the driver's value hash is type-sensitive, and a
+            # DuckDB HUGEINT column (e.g. an uncast sum(BIGINT) or BIGINT //
+            # HUGEINT) hashes differently from Spark's LONG even when every
+            # value is identical — this exact class produced the only two
+            # red driver cells of round 5.  Fail loudly here instead.
+            dtypes = [str(t).upper() for t in res.types]
+            huge = [c for c, t in zip(dcols, dtypes) if "HUGEINT" in t]
+            if huge:
+                failures.append(
+                    (name, f"oracle emits HUGEINT column(s) {huge}; CAST to BIGINT")
+                )
+                print(f"FAIL {name}: oracle HUGEINT column(s) {huge} — CAST to BIGINT")
+                continue
             drows = res.fetchall()
             t_duck = time.perf_counter() - t_duck
         except Exception as exc:  # noqa: BLE001
