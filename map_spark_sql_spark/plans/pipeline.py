@@ -271,30 +271,57 @@ def tile_pyramid(
     return out
 
 
+_WHALE_ZOOM = 2  # zooms <= this take the two-level pixel-block aggregation
+_WHALE_BLOCK_PX = 64  # pixel-block width for the whale-safe first level
+
+
 def _t2_t3(t1: DataFrame, cfg: MapConfiguration, epsg: str, zoom: int) -> DataFrame:
     t2 = t1.groupBy("mapKey", "xy").agg(
         F.sort_array(F.collect_list(F.struct("borYear", "occCount"))).alias("features")
     )
-    t3 = (
-        t2.withColumn(
-            "tile",
-            F.explode(
-                tile_addresses(epsg, zoom, cfg.tile_size, cfg.tile_buffer_size, "xy.x", "xy.y")
-            ),
-        )
-        .groupBy("mapKey", F.col("tile.tileX").alias("x"), F.col("tile.tileY").alias("y"))
-        .agg(
-            F.sort_array(
-                F.collect_list(
-                    F.struct(
-                        F.col("tile.pixelX").alias("px"),
-                        F.col("tile.pixelY").alias("py"),
-                        F.col("features"),
-                    )
-                )
-            ).alias("tile")
-        )
+    addressed = t2.withColumn(
+        "tile",
+        F.explode(
+            tile_addresses(epsg, zoom, cfg.tile_size, cfg.tile_buffer_size, "xy.x", "xy.y")
+        ),
     )
+    px_struct = F.struct(
+        F.col("tile.pixelX").alias("px"),
+        F.col("tile.pixelY").alias("py"),
+        F.col("features"),
+    )
+    if zoom > _WHALE_ZOOM:
+        t3 = addressed.groupBy(
+            "mapKey", F.col("tile.tileX").alias("x"), F.col("tile.tileY").alias("y")
+        ).agg(F.sort_array(F.collect_list(px_struct)).alias("tile"))
+    else:
+        # Low-zoom whale guard (round-5 verdict #4): at z<=1 a single tile
+        # covers a constant fraction of the world, so one collect_list
+        # buffer is N-proportional in *Java object count* — ~10M boxed
+        # structs OOM'd the default 8 GiB heap at the 100x rung. Two-level
+        # aggregation bounds every generic buffer: level 1 collects per
+        # (tile, pixelX-block) sub-lists (<= block_px * tile_height pixels
+        # each), level 2 collects the ~tile_width/block_px serialized
+        # sub-ARRAYS (compact UnsafeArrayData, not object-per-struct) and
+        # flattens. Output is byte-identical to the one-level sort_array:
+        # blocks partition the px range monotonically (integer div is
+        # monotone), so block-sorted + within-block-sorted = globally
+        # sorted by (px, py, features). The final row is still
+        # tile-proportional — inherent to the A5 contract — but no
+        # aggregation BUFFER is, which is what OOMs.
+        sub = addressed.groupBy(
+            "mapKey",
+            F.col("tile.tileX").alias("x"),
+            F.col("tile.tileY").alias("y"),
+            (F.col("tile.pixelX") - (((F.col("tile.pixelX") % _WHALE_BLOCK_PX) + _WHALE_BLOCK_PX) % _WHALE_BLOCK_PX))
+            .alias("blk"),
+        ).agg(F.sort_array(F.collect_list(px_struct)).alias("sub"))
+        t3 = (
+            sub.groupBy("mapKey", "x", "y")
+            .agg(F.sort_array(F.collect_list(F.struct("blk", "sub"))).alias("blocks"))
+            .withColumn("tile", F.flatten(F.expr("transform(blocks, b -> b.sub)")))
+            .drop("blocks")
+        )
     return t3.select(
         salted_key(
             F.col("mapKey"), F.lit(zoom), F.col("x"), F.col("y"), modulus=cfg.key_salt_modulus

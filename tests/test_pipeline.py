@@ -101,6 +101,32 @@ def test_pyramid_derivation_equivalence(occurrence_df):
     routed.unpersist()
 
 
+def test_whale_guard_two_level_equals_one_level(occurrence_df, monkeypatch):
+    """The z<=_WHALE_ZOOM two-level pixel-block aggregation (round-5
+    verdict #4: one z1 collect_list buffer hit ~10M boxed structs and
+    OOM'd the 8 GiB heap at the 100x rung) must produce BYTE-identical
+    tiles to the one-level sort_array — blocks partition the pixelX range
+    monotonically (including the NEGATIVE buffer-region px the date-line
+    wrap produces), so block-sorted + within-block-sorted = globally
+    sorted."""
+    ing = P.ingest(occurrence_df, CFG)
+    large = P.keys_exceeding_threshold(P.map_key_stats(ing), CFG)
+    routed = P.route_tiles(ing, large).cache()
+    for epsg, zoom in (("EPSG:3857", 1), ("EPSG:4326", 0), ("EPSG:3031", 2)):
+        guarded = P.tiles_path(routed, CFG, epsg, zoom)
+        monkeypatch.setattr(P, "_WHALE_ZOOM", -1)  # force one-level
+        flat = P.tiles_path(routed, CFG, epsg, zoom)
+        monkeypatch.undo()
+        g = {(r.key, r.x, r.y): r.tile for r in guarded.collect()}
+        f_ = {(r.key, r.x, r.y): r.tile for r in flat.collect()}
+        assert g == f_, f"{epsg} z{zoom} mismatch"
+    # negative buffer px actually exercised: z1 mercator has wrap buffers
+    t3 = P.tiles_path(routed, CFG, "EPSG:3857", 1)
+    pxs = [p.px for r in t3.collect() for p in r.tile]
+    assert min(pxs) < 0, "fixture no longer exercises the buffer wrap"
+    routed.unpersist()
+
+
 def test_binary_encoders_roundtrip(occurrence_df):
     ing = P.ingest(occurrence_df, CFG)
     large = P.keys_exceeding_threshold(P.map_key_stats(ing), CFG)
