@@ -70,13 +70,22 @@ def _ts_is_nanos(path: str) -> bool:
     return False
 
 
-def read_event_stream(spark: SparkSession, path: str, nanos: bool | None = None) -> DataFrame:
+def read_event_stream(
+    spark: SparkSession,
+    path: str,
+    nanos: bool | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """File-source event stream. Streaming sources need an explicit schema
     (no inference), and the nanos-timestamp normalization of
     sources/readers.py applies here too via the legacy flag + rebuild.
     ``nanos`` defaults to sniffing the feed's parquet footer; pass a bool to
     pin the behavior (e.g. a directory whose first files aren't ns but later
-    ones are)."""
+    ones are). ``max_files_per_trigger`` chops a multi-file feed into real
+    micro-batches (cross-batch state carry, per-batch watermark advance)
+    instead of one availableNow mega-batch — the production cadence;
+    tools/stream_chop_sweep.py uses it to certify the stateful operators
+    batch-boundary-independent at the 100x rung."""
     if nanos is None:
         nanos = _ts_is_nanos(path)
     # The file stream source monitors a *directory*. Test fixtures are single
@@ -88,13 +97,16 @@ def read_event_stream(spark: SparkSession, path: str, nanos: bool | None = None)
         # dangle (zero files listed, stream drains empty) — see documents.py
         os.symlink(os.path.abspath(path), os.path.join(d, os.path.basename(path)))
         path = d
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     if not nanos:
-        return spark.readStream.schema(EVENT_SCHEMA).parquet(path)
+        return reader.schema(EVENT_SCHEMA).parquet(path)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = StructType(
         [f if f.name != "ts" else StructField("ts", LongType()) for f in EVENT_SCHEMA]
     )
-    stream = spark.readStream.schema(raw_schema).parquet(path)
+    stream = reader.schema(raw_schema).parquet(path)
     return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 

@@ -340,6 +340,44 @@ class TestSimilarity:
             sims = [r.sim for r in sorted(rows, key=lambda x: x.rank)]
             assert sims == sorted(sims, reverse=True)
 
+    def test_lsh_knn_edges_match_exact_on_clustered_corpus(self, spark):
+        """The LSH edge path must recover (nearly) the exact kNN edges on
+        the driver embeddings: the exact builder is the ground truth, and
+        with generous tables/bits the bucketed path should find almost all
+        of it. Determinism of the hash gate is pinned separately
+        (similarity_knn_edges_lsh's DuckDB twin); this pins QUALITY."""
+        from map_spark_sql_spark.sources.readers import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        row = SIM.knn_edges_lsh_recall(
+            emb, k=3, bits=4, n_tables=8, max_bucket=1000
+        ).collect()[0]
+        assert row.n_exact == emb.count() * 3
+        assert row.recall_ppm >= 600000, row.asDict()
+
+    def test_lsh_knn_edges_salt_split_keeps_tight_clusters(self, spark):
+        """A tight cluster larger than max_bucket must be salt-SPLIT, not
+        dropped: every member still gets k in-cluster edges (a dropped
+        bucket would emit nothing for the densest neighborhood)."""
+        rows = [(i, [1.0, 0.001 * (i % 7)]) for i in range(30)] + [
+            (100 + i, [0.001 * (i % 5), 1.0]) for i in range(30)
+        ]
+        vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = SIM.quantized_knn_edges_lsh(
+            vecs, k=2, dim=2, bits=2, n_tables=2, max_bucket=10
+        ).collect()
+        by_src = {}
+        for r in out:
+            assert r.src != r.dst
+            by_src.setdefault(r.src, set()).add(r.dst)
+        # every vector found neighbors despite its bucket exceeding max_bucket
+        assert len(by_src) == 60
+        # and neighbors stay within the direction-cluster (orthogonal
+        # cluster would need dot ~0 vs in-cluster ~127^2*2)
+        for src, dsts in by_src.items():
+            same = all((d < 100) == (src < 100) for d in dsts)
+            assert same, (src, dsts)
+
     def test_kmeans_converges_on_separated_clusters(self, spark):
         # two tight direction-clusters; after 2 rounds each centroid must
         # point into its own cluster (cosine >= 0.99 to every member)

@@ -1,0 +1,155 @@
+"""Chopped-feed streaming sweep (round-5 verdict ask #8).
+
+The per-round hash gates run each streaming query over the feed as ONE
+availableNow batch, which never exercises cross-batch state carry: the
+stream-stream join's buffered-state eviction, the CEP detector's
+state.update round-trip, per-batch watermark advancement. This tool chops
+the events feed into N time-ordered parquet slabs, replays them through
+the SAME pipelines with ``maxFilesPerTrigger=1`` (N real micro-batches),
+and asserts the accumulated sink equals the DuckDB batch oracle — i.e.
+the stateful operators are batch-boundary-INDEPENDENT, which is the
+property a production trigger cadence relies on.
+
+Slabs are sorted by (ts, event_id) and chunked in order, so no event is
+late relative to the previous batch's watermark — any row difference is a
+state-carry bug, not watermark-mandated drop semantics.
+
+Usage: python tools/stream_chop_sweep.py [sf_dir] [n_slabs]
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__))))
+
+print = functools.partial(print, flush=True)
+
+
+def chop_feed(src: str, n_slabs: int) -> str:
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    feed = tempfile.mkdtemp(prefix="chopfeed_")
+    t = pq.read_table(src)
+    idx = pc.sort_indices(
+        t, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+    )
+    t = t.take(idx)
+    step = -(-t.num_rows // n_slabs)
+    now = time.time()
+    for i in range(n_slabs):
+        sl = t.slice(i * step, step)
+        if not sl.num_rows:
+            break
+        p = os.path.join(feed, f"slab_{i:03d}.parquet")
+        pq.write_table(sl, p)
+        # mtime order = event-time order, so the file source lists slabs
+        # in replay order
+        os.utime(p, (now + i, now + i))
+    return feed
+
+
+def run_chopped(spark, feed: str, build, name: str, output_mode: str):
+    """writeStream -> memory sink with maxFilesPerTrigger=1, returning
+    (rows, n_batches, seconds). Inlines run_to_memory to keep the query
+    handle for progress accounting."""
+    from map_spark_sql_spark.streaming import events as STE
+
+    stream = STE.read_event_stream(spark, feed, max_files_per_trigger=1)
+    res = build(stream)
+    t0 = time.perf_counter()
+    query = (
+        res.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    STE.drain(query, timeout_sec=1800)
+    secs = time.perf_counter() - t0
+    batches = [p for p in query.recentProgress if p["numInputRows"] > 0]
+    return spark.table(name), len(batches), secs
+
+
+def main() -> int:
+    import duckdb
+
+    from check_correctness import normalize
+    from map_spark_sql_spark.session import get_session
+    from map_spark_sql_spark.streaming import events as STE
+    import __spark_entry__ as entry
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else ".scratch/sf100x"
+    n_slabs = int(sys.argv[2]) if len(sys.argv) > 2 else 12
+    src = os.path.join(sf_dir, "events.parquet")
+
+    print(f"chopping {src} into {n_slabs} time-ordered slabs ...")
+    feed = chop_feed(src, n_slabs)
+
+    spark = get_session(app_name="chop_sweep", master="local[8]", shuffle_partitions=16)
+    spark.sparkContext.setLogLevel("ERROR")
+    from pyspark.sql import functions as F
+
+    oracles = entry.oracle_sql()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{src}'")
+
+    cases = [
+        (
+            "stream_error_burst_alerts",
+            lambda s: STE.error_burst_alerts(s, k=2, window_minutes=60),
+            "update",
+            lambda out: out,
+        ),
+        (
+            "stream_purchase_view_join_bucketed",
+            STE.purchase_view_join_bucketed,
+            "append",
+            lambda out: out.select(
+                "event_id",
+                "user_id",
+                F.unix_micros("p_ts").alias("p_ts_us"),
+                "view_id",
+                F.unix_micros("view_ts").alias("view_ts_us"),
+            ),
+        ),
+    ]
+
+    failures = []
+    for qname, build, mode, shape in cases:
+        out, n_batches, secs = run_chopped(
+            spark, feed, build, f"chop_{qname}", mode
+        )
+        sdf = shape(out)
+        scols = sorted(sdf.columns)
+        srows = normalize([tuple(r[c] for c in scols) for r in sdf.collect()])
+
+        t0 = time.perf_counter()
+        rel = con.sql(oracles[qname])
+        dcols = [d[0] for d in rel.description]
+        order = sorted(range(len(dcols)), key=lambda i: dcols[i])
+        drows = normalize([tuple(row[i] for i in order) for row in rel.fetchall()])
+        t_duck = time.perf_counter() - t0
+
+        ok = sorted(dcols) == scols and srows == drows
+        status = "PASS" if ok else "FAIL"
+        print(
+            f"{status} {qname}: {len(srows)} rows over {n_batches} micro-batches "
+            f"(spark {secs:.1f}s, duckdb {t_duck:.1f}s)"
+        )
+        if not ok:
+            failures.append(qname)
+            print(f"  spark cols {scols} rows {len(srows)}; duck cols {sorted(dcols)} rows {len(drows)}")
+
+    print(f"== {len(cases) - len(failures)} pass, {len(failures)} fail (of {len(cases)}) ==")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
