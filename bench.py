@@ -91,6 +91,11 @@ HEADLINE = [
     "docs_pareto_frontier",
     "events_profile",
     "customers_er_resolve",
+    # round-6 additions: the whale-guarded two-level low-zoom tile
+    # aggregation and the bucketed-GEMM LSH kNN edge builder (the
+    # >10^5-vector path)
+    "tiles_features_z1",
+    "similarity_knn_edges_lsh",
 ]
 
 

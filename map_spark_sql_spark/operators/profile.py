@@ -58,6 +58,90 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     )
 
 
+def profile_columns_approx(
+    df: DataFrame, cols: list[str], rsd: float = 0.05
+) -> DataFrame:
+    """The 100 TB form of :func:`profile_columns`: identical output schema,
+    but ``n_distinct`` is the HLL++ estimate (``approx_count_distinct``).
+    This drops the Expand — the exact multi-distinct replicates every scan
+    row once per profiled column through the partial agg (k x scan rows;
+    measured 363.8s vs DuckDB's 14.3s on 100M events at the 1000x rung) —
+    and shuffles fixed-size sketch registers instead. Everything else
+    (row count, null counts, min/max) stays exact."""
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"_nn_{c}"))
+        aggs.append(F.approx_count_distinct(F.col(c), rsd).alias(f"_nd_{c}"))
+        aggs.append(F.min(F.col(c)).cast("string").alias(f"_min_{c}"))
+        aggs.append(F.max(F.col(c)).cast("string").alias(f"_max_{c}"))
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', _n - _nn_{c}, _nd_{c}, _min_{c}, _max_{c}" for c in cols
+    )
+    return one.select(
+        F.col("_n").cast("bigint").alias("n_rows"),
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(column_name, n_null, n_distinct, min_str, max_str)"
+        ),
+    ).select(
+        "column_name",
+        "n_rows",
+        F.col("n_null").cast("bigint").alias("n_null"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        "min_str",
+        "max_str",
+    )
+
+
+def profile_approx_verdicts(
+    df: DataFrame, cols: list[str], rsd: float = 0.05
+) -> DataFrame:
+    """Hash-gateable face of :func:`profile_columns_approx`, the
+    sketch_bound_verdicts pattern: HLL++ registers aren't reproducible
+    across engines, but the bound they promise is. Emits per column the
+    EXACT profile fields (n_rows, n_null, min/max — hash-checked for
+    free) plus ``hll_within_bound``: |approx − exact| / exact <= 3·rsd
+    (the HLL++ standard-error guarantee at 3 sigma). The DuckDB oracle
+    emits the same rows with literal TRUE, so the driver's value hash
+    certifies the bound itself. A verification query — it runs BOTH
+    distinct plans; production runs only the approx one."""
+    exact = profile_columns(df, cols)
+    approx = profile_columns_approx(df, cols, rsd).select(
+        F.col("column_name"), F.col("n_distinct").alias("n_distinct_approx")
+    )
+    return (
+        exact.join(approx, "column_name")
+        .select(
+            "column_name",
+            "n_rows",
+            "n_null",
+            "min_str",
+            "max_str",
+            (
+                F.abs(F.col("n_distinct_approx") - F.col("n_distinct"))
+                <= 3 * rsd * F.col("n_distinct")
+            ).alias("hll_within_bound"),
+        )
+    )
+
+
+def profile_approx_verdicts_oracle(table_sql: str, cols: list[str]) -> str:
+    """DuckDB twin of :func:`profile_approx_verdicts`: exact fields +
+    literal TRUE bound verdicts."""
+    branches = []
+    for c in cols:
+        branches.append(
+            f"SELECT '{c}' AS column_name, count(*) AS n_rows, "
+            f"count(*) - count({c}) AS n_null, "
+            f"CAST(min({c}) AS VARCHAR) AS min_str, "
+            f"CAST(max({c}) AS VARCHAR) AS max_str, "
+            f"TRUE AS hll_within_bound FROM base"
+        )
+    body = "\nUNION ALL\n".join(branches)
+    return f"WITH base AS MATERIALIZED (SELECT * FROM ({table_sql}) t)\n{body}"
+
+
 def profile_columns_oracle(table_sql: str, cols: list[str]) -> str:
     """DuckDB twin: one UNION ALL branch per column over a shared
     MATERIALIZED base (the oracle need not be one-pass)."""

@@ -2486,6 +2486,27 @@ class TestProfileColumns:
         got = profile_columns(df, ["k"]).collect()[0]
         assert (got["min_str"], got["max_str"]) == ("9", "10")
 
+    def test_approx_same_schema_and_bound(self, spark):
+        """profile_columns_approx keeps the exact schema (only n_distinct
+        becomes an HLL++ estimate) and the bound verdicts hold — the
+        contract events_profile_approx's oracle pins with literal TRUE."""
+        from map_spark_sql_spark.operators.profile import (
+            profile_approx_verdicts,
+            profile_columns,
+            profile_columns_approx,
+        )
+
+        rows = [(i % 97, f"s{i % 53}") for i in range(2000)] + [(None, None)]
+        df = spark.createDataFrame(rows, "k long, s string")
+        exact = profile_columns(df, ["k", "s"])
+        approx = profile_columns_approx(df, ["k", "s"])
+        assert exact.schema == approx.schema
+        verdicts = profile_approx_verdicts(df, ["k", "s"]).collect()
+        assert len(verdicts) == 2
+        for r in verdicts:
+            assert r["hll_within_bound"] is True
+            assert r["n_rows"] == 2001 and r["n_null"] == 1
+
 
 class TestQuantileNorm:
     def test_rank_ties_share_lower(self, spark):
