@@ -835,27 +835,50 @@ def char_entropy(
 
     Cross-engine determinism (the text_lm_score discipline): each distinct
     char contributes ``round(-ln(cnt/n) * 1e6) * cnt`` — an exact BIGINT —
-    and the per-document sum of integers is order-independent, so
-    array_distinct ordering differences between engines cannot matter.
+    and the per-document sum of integers is order-independent, so the two
+    engines may build the histogram DIFFERENTLY as long as the (char ->
+    count) multiset is the same. The Spark side exploits that freedom: the
+    naive ``transform(distinct, c -> size(filter(chars, x -> x = c)))``
+    histogram is O(len x distinct) interpreted lambda work with one array
+    allocation per distinct char (measured 552.9s for 4.95M docs at the
+    1000x rung, 5.7x behind DuckDB's vectorized HOFs on the identical
+    shape); sorting the char array once and folding RUN LENGTHS in a
+    single ``aggregate`` pass is O(len log len) + O(len) with no per-char
+    allocation — identical counts, identical integers, same zero-shuffle
+    scan-local plan. The DuckDB oracle keeps the naive shape (its HOFs are
+    vectorized; parity there is not the bottleneck).
     ``mean_entropy_nats`` is the raw division of identical integers.
     Output: ``(doc_id, n_chars_split, n_distinct_chars, sum_ent_micro,
     mean_entropy_nats)``; NULL and empty texts are excluded (no
     distribution to measure).
     """
-    ent = (
-        "aggregate(_cnt, CAST(0 AS BIGINT), (s, k) -> s + "
-        "CAST(round(-ln(CAST(k AS DOUBLE) / size(_c)) * 1000000) AS BIGINT) * k)"
+    # run contribution: round(-ln(r/n) * 1e6) * r as exact BIGINT
+    fr = (
+        "CAST(round(-ln(CAST({r} AS DOUBLE) / _n) * 1000000) AS BIGINT) * {r}"
+    )
+    # fold sorted chars into (prev, run_len, ent_sum, n_runs); finish
+    # flushes the trailing run. The state never holds more than one run.
+    fold = (
+        "aggregate(_cs, "
+        "named_struct('p', CAST(NULL AS STRING), 'r', CAST(0 AS BIGINT), "
+        "'s', CAST(0 AS BIGINT), 'd', CAST(0 AS BIGINT)), "
+        "(st, x) -> IF(st.p IS NULL, "
+        "  named_struct('p', x, 'r', CAST(1 AS BIGINT), 's', st.s, 'd', CAST(1 AS BIGINT)), "
+        "  IF(x = st.p, "
+        "    named_struct('p', st.p, 'r', st.r + 1, 's', st.s, 'd', st.d), "
+        f"    named_struct('p', x, 'r', CAST(1 AS BIGINT), 's', st.s + {fr.format(r='st.r')}, 'd', st.d + 1))), "
+        f"st -> named_struct('s', st.s + IF(st.p IS NULL, CAST(0 AS BIGINT), {fr.format(r='st.r')}), 'd', st.d))"
     )
     return (
         df.where(F.col(text_col).isNotNull() & (F.length(text_col) > 0))
-        .withColumn("_c", F.expr(f"split({text_col}, '')"))
-        .withColumn("_dc", F.expr("array_distinct(_c)"))
-        .withColumn("_cnt", F.expr("transform(_dc, c -> size(filter(_c, x -> x = c)))"))
+        .withColumn("_cs", F.expr(f"array_sort(split({text_col}, ''))"))
+        .withColumn("_n", F.expr("size(_cs)"))
+        .withColumn("_f", F.expr(fold))
         .select(
             F.col(id_col),
-            F.expr("size(_c)").cast("long").alias("n_chars_split"),
-            F.expr("size(_dc)").cast("long").alias("n_distinct_chars"),
-            F.expr(ent).alias("sum_ent_micro"),
+            F.col("_n").cast("long").alias("n_chars_split"),
+            F.expr("_f.d").cast("long").alias("n_distinct_chars"),
+            F.expr("_f.s").alias("sum_ent_micro"),
         )
         .withColumn(
             "mean_entropy_nats",

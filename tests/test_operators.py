@@ -1531,6 +1531,31 @@ class TestCharEntropy:
         assert rows[2]["sum_ent_micro"] == 0  # degenerate repetition
         assert 3 not in rows and 4 not in rows  # NULL/empty excluded
 
+    def test_sorted_run_fold_equals_naive_histogram(self, spark):
+        """The round-6 sorted-run fold must emit the EXACT integers of the
+        naive O(len x distinct) histogram it replaced — including the
+        single-char, all-same, all-distinct, and unicode edge cases the
+        fold's run-flush logic could plausibly get wrong."""
+        docs = [
+            (1, "z"),                     # single char: one run, flushed by finish
+            (2, "zzzzzz"),                # one long run
+            (3, "abcdef"),                # all runs length 1
+            (4, "ba" * 50 + "c"),         # interleaved -> sort regroups
+            (5, "née çà née"),            # multi-byte chars
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in TX.char_entropy(df).collect()}
+        import math
+        from collections import Counter
+
+        for i, t in docs:
+            cnt = Counter(list(t))
+            n = len(list(t))
+            want = sum(round(-math.log(k / n) * 1000000) * k for k in cnt.values())
+            assert got[i]["n_chars_split"] == n
+            assert got[i]["n_distinct_chars"] == len(cnt)
+            assert got[i]["sum_ent_micro"] == want, (i, t)
+
 
 class TestIVFPQTopK:
     def test_probe_restricts_then_pq_ranks(self, spark):
