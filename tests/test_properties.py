@@ -228,3 +228,86 @@ def test_packing_invariants_random_lengths(lengths, chunk_tokens):
     if by_chunk:
         last_chunk = max(by_chunk)
         assert all(v == chunk_tokens for c, v in by_chunk.items() if c != last_chunk)
+
+
+# --- round-6 randomized invariants (dense corpora, one Spark job each) -------
+
+
+def test_prefix_pairs_recompose_random_corpora(spark):
+    """Family-collapsed prefix_filter_pairs must recompose to EXACTLY the
+    brute-force doc-level threshold pairs on randomized corpora with
+    engineered duplicate families, whale tokens, and near-dup variants."""
+    import random
+
+    from map_spark_sql_spark.operators.dedup import prefix_filter_pairs
+
+    rng = random.Random(606)
+    vocab = [f"w{i}" for i in range(40)]
+    whale = "the of and"  # appears in most docs
+    docs = []
+    did = 0
+    for _ in range(12):  # families of exact copies
+        base = " ".join(rng.sample(vocab, rng.randint(3, 8))) + " " + whale
+        for _ in range(rng.randint(1, 4)):
+            docs.append((did, base)); did += 1
+        # near-dup variant: one token swapped
+        toks = base.split(); toks[0] = rng.choice(vocab)
+        docs.append((did, " ".join(toks))); did += 1
+    for _ in range(10):  # singletons
+        docs.append((did, " ".join(rng.sample(vocab, rng.randint(1, 6))))); did += 1
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = prefix_filter_pairs(df).collect()
+
+    sets = {i: frozenset(t.split(" ")) for i, t in docs if t}
+    members: dict[int, list[int]] = {}
+    for i, s in sets.items():
+        rep = min(j for j, t in sets.items() if t == s)
+        members.setdefault(rep, []).append(i)
+    got = set()
+    for r in rows:
+        if r["a_id"] == r["b_id"]:
+            fam = members[r["a_id"]]
+            assert r["a_family"] == len(fam) >= 2
+            got.update((x, y) for x in fam for y in fam if x < y)
+        else:
+            fa, fb = members[r["a_id"]], members[r["b_id"]]
+            assert (r["a_family"], r["b_family"]) == (len(fa), len(fb))
+            got.update((min(x, y), max(x, y)) for x in fa for y in fb)
+
+    want = set()
+    ids = sorted(sets)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and 10 * inter >= 7 * union:
+                want.add((a, b))
+    assert got == want
+
+
+def test_char_entropy_fold_random_strings(spark):
+    """The sorted-run entropy fold must match the Counter-based mirror on
+    randomized strings: repeated runs, full-distinct, unicode, whitespace."""
+    import math
+    import random
+    from collections import Counter
+
+    from map_spark_sql_spark.operators.text import char_entropy
+
+    rng = random.Random(66)
+    alphabet = "abcXYZ 019_éç中"
+    docs = []
+    for i in range(120):
+        n = rng.randint(1, 60)
+        docs.append((i, "".join(rng.choice(alphabet) for _ in range(n))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in char_entropy(df).collect()}
+    for i, t in docs:
+        cnt = Counter(list(t))
+        n = sum(cnt.values())
+        want = sum(round(-math.log(k / n) * 1000000) * k for k in cnt.values())
+        assert got[i]["n_chars_split"] == n
+        assert got[i]["n_distinct_chars"] == len(cnt)
+        assert got[i]["sum_ent_micro"] == want, (i, t)
