@@ -1473,6 +1473,91 @@ FROM quant_top t LEFT JOIN exact_top x ON t.vec_id = x.vec_id
 """
 
 
+def topk_quantized(df: DataFrame, k: int = 10, query_id: int = 0) -> DataFrame:
+    """Engine-side twin of :func:`topk_quantized_sql` — IDENTICAL output
+    (same quantization expression, same integer dot, same rounding and
+    tie-breaks), shaped for actual execution. Running the SQL string
+    through ``spark.sql`` had the two quantized_knn_edges pathologies at
+    once: Catalyst collapses the quantization CTE into the consumers, so
+    (a) the ``array_max`` scale factor inlines INTO the per-element
+    transform lambda (64 ops become ~64^2 per row — Catalyst does not CSE
+    inside lambdas), and (b) the un-materialized ``e`` CTE re-evaluates
+    for BOTH the quantized and the exact top-k scans. Measured at the
+    1000x rung (2M vectors): 1046.7s for the SQL route. This builder
+    stages mx -> q -> qnorm as columns with a lazy localCheckpoint (both
+    cuts the projection collapse and makes the encode pass run once),
+    broadcasts the 1-row query (its code comes from the SAME staged JVM
+    expressions, so codes are oracle-exact), and leaves both top-ks as
+    TakeOrderedAndProject."""
+    from map_spark_sql_spark.sources.readers import widen
+
+    q_lambda = "transform(embedding, a -> CAST(round(CAST(a AS DOUBLE) * 127.0 / _mx) AS BIGINT))"
+    staged = (
+        widen(df)
+        .select("vec_id", "embedding")
+        .withColumn(
+            "_mx",
+            F.expr(
+                "greatest(array_max(transform(embedding, a -> abs(CAST(a AS DOUBLE)))), "
+                "CAST(1e-12 AS DOUBLE))"
+            ),
+        )
+        .withColumn("q", F.expr(q_lambda))
+        .withColumn(
+            "qnorm",
+            F.expr(
+                "sqrt(CAST(aggregate(q, CAST(0 AS BIGINT), (s, x) -> s + x * x) AS DOUBLE))"
+            ),
+        )
+        .drop("_mx")
+        .localCheckpoint(eager=False)
+    )
+    qv = F.broadcast(
+        staged.filter(F.col("vec_id") == query_id).select(
+            F.col("embedding").alias("qe"),
+            F.col("q").alias("qq"),
+            F.col("qnorm").alias("qqnorm"),
+        )
+    )
+    e = staged.filter(F.col("vec_id") != query_id).crossJoin(qv)
+    qdot = (
+        "aggregate(zip_with(q, qq, (x, y) -> x * y), CAST(0 AS BIGINT), (s, x) -> s + x)"
+    )
+    edot = (
+        "aggregate(zip_with(embedding, qe, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0 AS DOUBLE), (s, x) -> s + x)"
+    )
+    ne = norm_sql("embedding", "spark")
+    nq = norm_sql("qe", "spark")
+    quant_top = (
+        e.select(
+            "vec_id",
+            F.expr(f"round({qdot} / (qnorm * qqnorm), 6)").alias("approx_sim"),
+        )
+        .orderBy(F.desc("approx_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+    exact_top = (
+        e.select(
+            "vec_id", F.expr(f"round({edot} / ({ne} * {nq}), 6)").alias("sim")
+        )
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+    return (
+        quant_top.join(
+            exact_top.select(F.col("vec_id").alias("x_id")),
+            quant_top.vec_id == F.col("x_id"),
+            "left",
+        )
+        .select(
+            "vec_id",
+            "approx_sim",
+            F.col("x_id").isNotNull().alias("in_exact_topk"),
+        )
+    )
+
+
 # --- hybrid retrieval: reciprocal-rank fusion --------------------------------
 
 

@@ -3466,9 +3466,13 @@ def similarity_topk_quantized(spark, sf_dir):
     """Int8 scalar-quantized cosine top-10 vs the exact top-10 in one
     result (approx ranking + in_exact_topk recall flags). Quantized dot
     products are exact integer arithmetic — the 4x-smaller scan path for
-    100 TB ANN; both top-ks are TakeOrderedAndProject, no global sort."""
-    _register_views(spark, sf_dir)
-    return spark.sql(SIM.topk_quantized_sql("spark"))
+    100 TB ANN; both top-ks are TakeOrderedAndProject, no global sort.
+    Runs the engine-side builder (operators/similarity.py topk_quantized):
+    the spark.sql route re-inlined the quantization scale into the
+    per-element lambda and re-evaluated the encode CTE for both top-ks —
+    1046.7s at 2M vectors; staged columns + one lazy checkpoint produce
+    the identical rows (round-6 fix, same lesson as quantized_knn_edges)."""
+    return SIM.topk_quantized(load_table(spark, sf_dir, "embeddings"))
 
 
 @q("docs_shuffle_shards", SP.shuffle_shards_oracle())

@@ -1218,6 +1218,28 @@ class TestQuantizedTopK:
         assert all(r.in_exact_topk for r in rows)
         spark.catalog.dropTempView("embeddings")
 
+    def test_builder_matches_sql_route(self, spark):
+        """The round-6 engine-side builder (staged quantization columns,
+        broadcast 1-row query) must emit exactly the spark.sql route's
+        rows — same codes, same rounding, same tie-breaks."""
+        import random
+
+        from map_spark_sql_spark.operators.similarity import (
+            topk_quantized,
+            topk_quantized_sql,
+        )
+
+        rng = random.Random(7)
+        vecs = [
+            (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+        ]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+        df.createOrReplaceTempView("embeddings")
+        via_sql = {tuple(r) for r in spark.sql(topk_quantized_sql("spark", k=5)).collect()}
+        via_builder = {tuple(r) for r in topk_quantized(df, k=5).collect()}
+        assert via_builder == via_sql
+        spark.catalog.dropTempView("embeddings")
+
 
 class TestShuffleShards:
     def test_shard_range_positions_and_stability(self, spark):
