@@ -17,12 +17,19 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# FROZEN for round 7 (r6 verdict ask #7): the 50-query set below is
+# byte-identical to round 6's, so BENCH_r07.json compares 1:1 with r06.
+# Known structural delta carried from round 6, NOT a regression:
+# tiles_mercator_z2 runs +44% (1.94 -> 2.79 s) because z <= _WHALE_ZOOM
+# routes through the two-level pixel-block aggregation — the deliberate
+# trade that cut the 100x rung's heap floor 3x (plans/pipeline.py _t2_t3;
+# SCALE.md round-6).
 HEADLINE = [
     # reference-pipeline operators
     "mapkeys_stats",
     "points_features",
     "t1_mercator_z4",
-    "tiles_mercator_z2",
+    "tiles_mercator_z2",  # +44% vs r5 = the two-level whale-guard trade (see above)
     "pyramid_rollup_z3",
     # relational coverage
     "tpch_q1_pricing_summary",

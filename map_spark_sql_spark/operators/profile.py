@@ -101,11 +101,23 @@ def profile_approx_verdicts(
     sketch_bound_verdicts pattern: HLL++ registers aren't reproducible
     across engines, but the bound they promise is. Emits per column the
     EXACT profile fields (n_rows, n_null, min/max — hash-checked for
-    free) plus ``hll_within_bound``: |approx − exact| / exact <= 3·rsd
-    (the HLL++ standard-error guarantee at 3 sigma). The DuckDB oracle
-    emits the same rows with literal TRUE, so the driver's value hash
-    certifies the bound itself. A verification query — it runs BOTH
-    distinct plans; production runs only the approx one."""
+    free) plus ``hll_within_bound``: |approx − exact| / exact <= 5·rsd.
+    The DuckDB oracle emits the same rows with literal TRUE, so the
+    driver's value hash certifies the bound itself. A verification
+    query — it runs BOTH distinct plans; production runs only the
+    approx one.
+
+    Margin note (r6 advice): Spark's HLL++ ``rsd`` is a standard
+    DEVIATION, not a hard bound, and the sketch carries known bias in
+    the sparse-to-dense transition range; because the estimate is
+    deterministic per dataset, a 3-sigma assertion could red a future
+    column/scale rung with no engine defect present. 5 sigma keeps the
+    gate meaningful (a real defect is orders of magnitude off) while
+    making a bound-miss-by-noise effectively impossible. If this gate
+    ever reds: compare n_distinct_approx to the exact profile at the
+    failing rung BEFORE suspecting the operator — a near-miss ratio
+    (|err|/exact just past 5·rsd) is sketch noise/bias, not a wrong
+    plan."""
     exact = profile_columns(df, cols)
     approx = profile_columns_approx(df, cols, rsd).select(
         F.col("column_name"), F.col("n_distinct").alias("n_distinct_approx")
@@ -120,7 +132,7 @@ def profile_approx_verdicts(
             "max_str",
             (
                 F.abs(F.col("n_distinct_approx") - F.col("n_distinct"))
-                <= 3 * rsd * F.col("n_distinct")
+                <= 5 * rsd * F.col("n_distinct")
             ).alias("hll_within_bound"),
         )
     )

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from map_spark_sql_spark.functions.keys import stable_hash_sql
+from map_spark_sql_spark.functions.keys import stable_hash, stable_hash_sql
 
 
 def _vec_lit(vec: list[float], d: str) -> str:
@@ -1231,7 +1231,11 @@ def quantized_knn_edges_lsh(
       table. More tables = higher recall at linear cost.
     - **Degenerate buckets** are SPLIT, not dropped: a bucket holding
       ``n > max_bucket`` vectors (a tight cluster no origin-crossing
-      hyperplane separates) is salted by ``vec_id % ceil(n/max_bucket)``,
+      hyperplane separates) is salted by ``stable_hash(vec_id) %
+      ceil(n/max_bucket)`` — a HASH of the id, not the raw residue, so
+      arithmetically structured id sets (strided shards whose members
+      share residues) still spread across salt groups instead of
+      collapsing into one unbounded group (r6 advice) —
       bounding every group while keeping intra-cluster candidates —
       dropping the bucket (the pair-operator guard) would zero the
       recall of exactly the densest neighborhoods a kNN graph cares
@@ -1291,7 +1295,13 @@ def quantized_knn_edges_lsh(
         sig.join(counts.filter(F.col("n") > 1), ["t", "b"])
         .withColumn(
             "salt",
-            (F.col("vec_id") % F.expr(f"CAST(ceil(n / {max_bucket}.0) AS BIGINT)")),
+            # hash the id before the modulus: raw vec_id residues collapse
+            # strided/sharded id sets into one salt group (r6 advice); the
+            # md5-based stable_hash is dialect-shared with the SQL twin
+            (
+                stable_hash(F.col("vec_id").cast("string"))
+                % F.expr(f"CAST(ceil(n / {max_bucket}.0) AS BIGINT)")
+            ),
         )
     )
     maxdot = dim * 127 * 127 + 1
@@ -1358,7 +1368,8 @@ sig AS ({tables}),
 cnt AS (SELECT t, b, count(*) AS n FROM sig GROUP BY t, b HAVING count(*) > 1),
 kept AS (
   SELECT s.vec_id, s.q, s.t, s.b,
-         s.vec_id % ((c.n + {max_bucket} - 1) {intdiv} {max_bucket}) AS salt
+         {stable_hash_sql(f"CAST(s.vec_id AS {'STRING' if d == 'spark' else 'VARCHAR'})", d)}
+           % ((c.n + {max_bucket} - 1) {intdiv} {max_bucket}) AS salt
   FROM sig s JOIN cnt c ON s.t = c.t AND s.b = c.b
 ),
 cand AS (
@@ -1389,10 +1400,16 @@ def knn_edges_lsh_recall(
     exact builder is still feasible (<= ~10^5 vectors); past that rung the
     LSH path is the only one that runs, and this gate is the evidence it
     earned the swap."""
-    exact = quantized_knn_edges(emb, k=k)
+    # Materialize both edge tables once (lazy localCheckpoint: the first
+    # action computes and pins the blocks); without this the three counts
+    # below recompute the full LSH pipeline (explode -> shuffle ->
+    # applyInPandas GEMM -> window) and the exact broadcast GEMM twice
+    # each — costly at exactly the ~10^5-vector rung this gate targets
+    # (r6 advice).
+    exact = quantized_knn_edges(emb, k=k).localCheckpoint(eager=False)
     lsh = quantized_knn_edges_lsh(
         emb, k=k, dim=dim, bits=bits, n_tables=n_tables, max_bucket=max_bucket
-    )
+    ).localCheckpoint(eager=False)
     hit = exact.join(lsh, ["src", "dst"], "left_semi")
     n_exact = exact.count()
     n_lsh = lsh.count()

@@ -1038,14 +1038,32 @@ def tokenize_docs_oracle(
     table: str = "documents",
     text: str = "text",
     id_col: str = "doc_id",
+    shard: tuple[int, int] | None = None,
+    vocab_table: str | None = None,
 ) -> str:
+    """Dialect-shared tokenization oracle.
+
+    ``shard=(k, n)`` restricts the EXPLODED portion to ``{id_col} % n = k``
+    while the vocabulary stays corpus-global — the sharded-oracle escape
+    hatch for rungs where DuckDB's list explode over the whole corpus dies
+    in its allocator (the 1000x `docs_tokenize` ceiling; the
+    union-find-mirror precedent: shard the harness, not the semantics).
+    ``vocab_table`` points the join at a precomputed temp table so an
+    n-shard sweep builds the vocab once, not n times
+    (tools/check_tokenize_at_scale.py).
+    """
     words = _words(f"lower({text})", "duckdb")
-    vocab = build_vocab_oracle(min_count=min_count, table=table, text=text)
+    shard_pred = f" AND {id_col} % {shard[1]} = {shard[0]}" if shard else ""
+    if vocab_table:
+        vocab_cte = f"vocab AS (SELECT * FROM {vocab_table})"
+    else:
+        vocab = build_vocab_oracle(min_count=min_count, table=table, text=text)
+        vocab_cte = f"vocab AS ({vocab})"
     return f"""
-WITH vocab AS ({vocab}),
+WITH {vocab_cte},
 w AS (
   SELECT {id_col}, list_filter({words}, t -> t <> '') AS _w FROM {table}
-  WHERE {text} IS NOT NULL
+  WHERE {text} IS NOT NULL{shard_pred}
 ),
 toks AS (
   SELECT {id_col}, unnest(generate_series(1, len(_w))) AS pos, _w FROM w

@@ -214,6 +214,7 @@ def tile_pyramid(
     epsg: str,
     derive_lower_zooms: bool = True,
     persist_t1: bool | None = None,
+    persisted_sink: list[DataFrame] | None = None,
 ) -> dict[int, DataFrame]:
     """All zoom levels maxZoom..0 for one projection (TileMapBuilder.java:66-77).
 
@@ -225,13 +226,21 @@ def tile_pyramid(
     pyramid. Both modes produce identical t1 aggregates; tests assert the
     equivalence and the oracle pins the recompute semantics.
 
-    ``persist_t1`` (default: on when deriving) caches each level's t1
-    aggregate so the derivation chain doesn't lazily recompute all higher
-    zooms on every level's action — without it, deriving is *slower* than
-    recomputing, because level z's action replays z+1..maxZoom. This is the
-    in-memory form of the reference's O2 materialization barriers; swap the
-    persist for a parquet echo (``materialize``) when t1 exceeds cluster
-    cache.
+    ``persist_t1`` (default: on when deriving) pins each level's t1
+    aggregate via ``localCheckpoint`` so the derivation chain doesn't
+    lazily recompute all higher zooms on every level's action — without
+    it, deriving is *slower* than recomputing, because level z's action
+    replays z+1..maxZoom. localCheckpoint (not ``persist``) because it
+    CUTS LINEAGE, which a 17-level chain needs twice over: Catalyst
+    re-optimizes the whole accumulated plan on every zoom's write
+    (quadratic planning), and each action stringifies its physical plan
+    for the UI/listener — at depth ~17 x whale-guard width those
+    descriptions reach tens of MB each and OOM'd the composed 4-CRS run's
+    8 GiB heap in ``StringConcat.toString`` (caught by the full-build
+    receipt, round 7). This is the in-memory form of the reference's O2
+    materialization barriers; on a real cluster swap it for a parquet
+    echo (``materialize``) — localCheckpoint does not survive executor
+    loss and t1 may exceed cluster cache.
     """
     if persist_t1 is None:
         persist_t1 = derive_lower_zooms
@@ -266,7 +275,9 @@ def tile_pyramid(
                 .agg(F.sum("occCount").alias("occCount"))
             )
         if persist_t1:
-            t1 = t1.persist()
+            t1 = t1.localCheckpoint(eager=False)
+            if persisted_sink is not None:
+                persisted_sink.append(t1)
         out[zoom] = _t2_t3(t1, cfg, epsg, zoom)
     return out
 
@@ -295,7 +306,8 @@ def _t2_t3(t1: DataFrame, cfg: MapConfiguration, epsg: str, zoom: int) -> DataFr
             "mapKey", F.col("tile.tileX").alias("x"), F.col("tile.tileY").alias("y")
         ).agg(F.sort_array(F.collect_list(px_struct)).alias("tile"))
     else:
-        # Low-zoom whale guard (round-5 verdict #4): at z<=1 a single tile
+        # Low-zoom whale guard (round-5 verdict #4): at z <= _WHALE_ZOOM a
+        # single tile
         # covers a constant fraction of the world, so one collect_list
         # buffer is N-proportional in *Java object count* — ~10M boxed
         # structs OOM'd the default 8 GiB heap at the 100x rung. Two-level
@@ -349,12 +361,21 @@ def run_pipeline(
     cfg: MapConfiguration,
     out_dir: str,
     derive_lower_zooms: bool = True,
+    instrument=None,
 ) -> dict[str, str]:
     """The complete reference job (``MapBuilder.run``, SURVEY §3.1), end to
     end: ingest -> materialize -> stats -> route -> points (encode + salted
     sorted write) and per-projection tile pyramids (encode + salted sorted
     write per zoom). Returns the output layout.
+
+    ``instrument``, if given, is a callable ``name -> context manager``
+    wrapped around each stage (ingest / stats / points / tiles:<family>);
+    tools/run_full_build.py uses it for the per-stage wall-clock +
+    peak-RSS receipt so the receipt measures THIS function, not a
+    re-composition of it.
     """
+    from contextlib import nullcontext
+
     from map_spark_sql_spark.plans.tiles import (
         encode_point_features,
         encode_tiles,
@@ -362,32 +383,59 @@ def run_pipeline(
     )
     from map_spark_sql_spark.sources.writers import write_salted_sorted
 
-    ing = materialize(ingest(occurrence, cfg), f"{out_dir}/ingested")
-    large = keys_exceeding_threshold(map_key_stats(ing), cfg)
+    ins = instrument or (lambda name: nullcontext())
 
-    points = points_path(route_points(ing, large), cfg)
-    kv = to_key_values(encode_point_features(points), "EPSG_4326", "features")
-    write_salted_sorted(
-        with_salt_column(kv),
-        f"{out_dir}/points",
-        num_partitions=cfg.key_salt_modulus,
-    )
+    with ins("ingest"):
+        ing = materialize(ingest(occurrence, cfg), f"{out_dir}/ingested")
+    with ins("stats"):
+        # The threshold key set is consumed by every downstream action (the
+        # points write plus ~(maxZoom+1) writes per projection, each with a
+        # broadcast of it); localCheckpoint computes the stats aggregation
+        # ONCE and pins the result, where a lazy plan would rescan the
+        # ingested table per action. This is the bounded-result barrier the
+        # reference gets from its driver collect (S11,
+        # MapBuilder.java:199-205) without moving the rows to the driver.
+        large = keys_exceeding_threshold(map_key_stats(ing), cfg).localCheckpoint()
+
+    with ins("points"):
+        points = points_path(route_points(ing, large), cfg)
+        kv = to_key_values(encode_point_features(points), "EPSG_4326", "features")
+        write_salted_sorted(
+            with_salt_column(kv),
+            f"{out_dir}/points",
+            num_partitions=cfg.key_salt_modulus,
+        )
 
     routed = route_tiles(ing, large)
     layout = {"ingested": f"{out_dir}/ingested", "points": f"{out_dir}/points"}
     for epsg in cfg.projections:
-        pyramid = tile_pyramid(routed, cfg, epsg, derive_lower_zooms=derive_lower_zooms)
         family = epsg.replace(":", "_")
-
-        def write_zoom(zoom: int, df: DataFrame, _family: str = family) -> None:
-            kv = to_key_values(encode_tiles(df), _family, "tile")
-            write_salted_sorted(
-                with_salt_column(kv),
-                f"{out_dir}/tiles/{_family}/z{zoom}",
-                num_partitions=cfg.key_salt_modulus,
+        with ins(f"tiles:{family}"):
+            persisted: list[DataFrame] = []
+            pyramid = tile_pyramid(
+                routed,
+                cfg,
+                epsg,
+                derive_lower_zooms=derive_lower_zooms,
+                persisted_sink=persisted,
             )
 
-        materialize_pyramid(pyramid, write_zoom)
+            def write_zoom(zoom: int, df: DataFrame, _family: str = family) -> None:
+                kv = to_key_values(encode_tiles(df), _family, "tile")
+                write_salted_sorted(
+                    with_salt_column(kv),
+                    f"{out_dir}/tiles/{_family}/z{zoom}",
+                    num_partitions=cfg.key_salt_modulus,
+                )
+
+            materialize_pyramid(pyramid, write_zoom)
+            # Drop this CRS's checkpointed t1 chain before starting the
+            # next one: four pyramids x 17 pinned levels would otherwise
+            # stack in storage memory for the whole job (the per-CRS
+            # blocks are never re-read once the CRS's writes land).
+            for df in persisted:
+                df.unpersist()
+            persisted.clear()
         layout[f"tiles/{family}"] = f"{out_dir}/tiles/{family}"
     return layout
 

@@ -3176,6 +3176,56 @@ def stream_events_sessions(spark, sf_dir):
 
 
 @q(
+    "stream_sessions_update_snapshot",
+    """
+WITH marked AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+numbered AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM marked)
+SELECT user_id, CAST(min(epoch_us(ts)) AS BIGINT) AS session_start_us,
+       CAST(max(epoch_us(ts)) AS BIGINT) AS session_end_us,
+       count(*) AS n_events, round(sum(value), 2) AS session_value
+FROM numbered GROUP BY user_id, session_no
+""",
+)
+def stream_sessions_update_snapshot(spark, sf_dir):
+    """Sessionization in UPDATE mode via foreachBatch into the idempotent
+    overlap-merge parquet snapshot (streaming/events.py
+    sessions_to_snapshot) — the at-scale sessions path: changed sessions
+    stream to the sink instead of the full result materializing in driver
+    memory (complete-mode's ceiling, r6 verdict ask #3). The drained
+    snapshot must equal the gap-islands batch oracle — the same one that
+    gates events_sessions_batch and complete-mode stream_events_sessions,
+    pinning all three routes to one semantics.
+    tools/stream_chop_sweep.py replays the same sink over 12 real
+    micro-batches at the 100x rung (cross-batch session growth + overlap
+    supersession)."""
+    import os
+    import tempfile
+
+    from map_spark_sql_spark.streaming import events as STE
+
+    stream = STE.read_event_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    snap_dir = tempfile.mkdtemp(prefix="spark_stream_sess_")
+    query = STE.sessions_to_snapshot(stream, spark, snap_dir, gap_minutes=30)
+    STE.drain(query)
+    snap = STE.read_sessions_snapshot(spark, snap_dir)
+    return snap.select(
+        "user_id",
+        "session_start_us",
+        "session_end_us",
+        "n_events",
+        F.round("session_value", 2).alias("session_value"),
+    )
+
+
+@q(
     "stream_docs_ingest",
     f"""
 WITH gated AS (
@@ -5262,92 +5312,82 @@ def similarity_knn_edges_lsh_recall(spark, sf_dir):
 # (observed in CORRECTNESS_r01/r02: the board stopped at registry position
 # 50 and every LLM-pipeline operator registered after it went unchecked).
 # The window ROTATES across rounds to accumulate driver-side evidence over
-# the whole registry (round-3 verdict #1). After round 5 the union of
-# driver boards covered 172 of the 209 queries, with 35 more verified by
-# the r5 judge under the driver-identical protocol but never yet on a
-# driver board. The round-6 window (per r5 verdict ask #2):
+# the whole registry; after round 6 the union of driver boards covers the
+# FULL registry (212/212), so rotation is now continuity hygiene: each
+# round re-certifies the queries whose newest green board is OLDEST, plus
+# everything the round changed or added. The round-7 window (r6 verdict
+# ask #5):
 #   - position 1: the entry flagship (continuity anchor);
-#   - positions 2-36: the 35 never-driver-certified queries — green here
-#     makes the union of driver boards cover the FULL 209-query registry;
-#   - positions 37-38: the two r5 reds (events_transition_matrix,
-#     text_bpe_pair_merges), whose oracles' HUGEINT output columns are now
-#     CAST to BIGINT (r5 verdict ask #1; the class is linted shut in
-#     tools/check_correctness.py and tests/test_oracle_types.py);
-#   - positions 39-40: the two queries whose operators change in round 6
-#     (dedup_prefix_filter_pairs representative collapse, tiles_features_z1
-#     whale-row guard) so the driver certifies the NEW plans;
-#   - positions 41-43: the three queries ADDED in round 6 (LSH kNN edge
-#     builder + recall audit, HLL profile bound gate) — green here makes
-#     the union of driver boards cover the full 212-query registry;
-#   - positions 44-50: continuity slots spanning the SURVEY §2 families
-#     (scan+pushdown, filtered CTAS, broadcast semi, salted keys, z16
-#     tiling, pixel roll-up, binary encoder blob gate).
-# The full registry remains locally re-certified at sf0.01 AND sf0.1 every
-# round via tools/check_correctness.py (see SCALE.md).
+#   - positions 2-29: the 28 queries whose newest green board dates to
+#     round 2 (the stable TPC-H/relational shared-SQL block, set ops,
+#     windows, t1_wgs84_z2/t1_arctic_z1, points_features_salted);
+#   - positions 30-34: the round-7 additions and operator changes
+#     (update-mode sessions snapshot gate NEW; LSH kNN salt now hashed,
+#     r6 advice #1; its recall audit now materializes before counting,
+#     advice #3; the HLL profile bound widened to 5 sigma, advice #2;
+#     docs_tokenize's oracle refactored for the sharded 1000x twin);
+#   - positions 35-50: 16 of the 41 round-3-certified queries, chosen to
+#     span the SURVEY (S)2 operator families (P3 threshold, J2 anti, A2/A6
+#     points, U2 decode, U3 polar t1, U4 arctic/whale-zoom tiles, A4
+#     derived rollup, z-order sink keys) plus the dedup/similarity/text/
+#     events families; the remaining 25 round-3 queries rotate in round 8.
+# The full registry remains locally re-certified at sf0.01 every round via
+# tools/check_correctness.py (see SCALE.md).
 
 _WINDOW_ORDER = [
-    "mapkeys_stats",            # entry flagship (driver-green r1-r5)
-    # -- the 35 never-driver-certified queries (r5 verdict ask #2); all 35
-    #    were pre-verified by the r5 judge with the driver-identical harness
-    #    (35/35 hash-match at sf0.01), so this is evidence conversion --
-    "similarity_ppr_seed_expand",
-    "similarity_triangle_density",
-    "similarity_kcore",
-    "similarity_graph_assortativity",
-    "events_profile",
-    "events_cusum_daily",
-    "events_k_anonymity",
-    "events_winsorize_p01_p99",
-    "events_mad_outliers",
-    "events_median_exact_hist",
-    "events_type_bitmask_daily",
-    "events_interval_bin_skew",
-    "docs_quality_quantile_norm",
-    "docs_source_drift_psi",
-    "part_corr_qty_price",
-    "docs_pareto_frontier",
-    "events_rolling_1h_user",
-    "stream_events_dedup",
-    "stream_events_hopping",
-    "stream_error_burst_alerts",
-    "stream_purchase_view_join_bucketed",
-    "events_observed_ingest",
-    "similarity_topk_batch",
-    "similarity_ivf_recall",
-    "similarity_diversity_stats",
-    "dedup_minhash_recall",
-    "text_winnowing_fingerprints",
-    "text_lm_score_bigram",
-    "text_bpe_train_rounds",
-    "docs_select_budget_by_source",
-    "multimodal_frames",
-    "corpus_curate_and_pack",
-    "customers_er_resolve",
-    "tiles_wgs84_z1",
-    "tiles_antarctic_z1",
-    # -- the two r5 reds, oracle HUGEINT now CAST to BIGINT (ask #1) --
-    "events_transition_matrix",
-    "text_bpe_pair_merges",
-    # -- queries whose operator implementations change in round 6, so the
-    #    driver re-certifies the new plans (prefix-pairs representative
-    #    collapse, A5 z<=1 whale guard) --
-    "dedup_prefix_filter_pairs",
-    "tiles_features_z1",
-    # -- the three queries ADDED in round 6, so the union of driver boards
-    #    covers the FULL 212-query registry once this window goes green --
-    "similarity_knn_edges_lsh",         # >10^5-vector LSH edge builder
-    "similarity_knn_edges_lsh_recall",  # its recall audit vs exact
-    "events_profile_approx",            # HLL profile, bound-verdict gate
-    # -- continuity slots spanning the SURVEY §2 operator families
-    #    (route_points_anti/points_counts/boryear_decode rotate out this
-    #    round — each carries multiple prior green boards) --
-    "occ_ingest_filter",        # S1/P1/P2
-    "antarctic_subset",         # S4/P5
-    "route_tiles_semi",         # J1 broadcast semi
-    "points_salted_keys",       # U5/S7 salted sink keys
-    "tiles_mercator_z16",       # U4 z16 wraparound pin
-    "t1_mercator_z4",           # U3/A4 pixel roll-up
-    "tiles_encode_blob_md5",    # X5+X6 wire-format hash gate
+    "mapkeys_stats",            # entry flagship (driver-green r1-r6)
+    # -- the 28 round-2-certified queries (r6 verdict ask #5) --
+    "tpch_q1_pricing_summary",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q14_promo_revenue",
+    "tpch_q17_small_quantity",
+    "tpch_q19_disjunctive_predicates",
+    "join_orders_customer_agg",
+    "join_semi_exists",
+    "join_anti_not_exists",
+    "range_join_price_bands",
+    "agg_distinct_customers",
+    "agg_rollup_region_nation",
+    "agg_grouping_sets_orders",
+    "orders_priority_histogram",
+    "set_ops_purchasers_vs_errors",
+    "set_ops_viewers_minus_buyers",
+    "union_all_contacts_by_nation",
+    "window_running_revenue",
+    "t1_wgs84_z2",
+    "t1_arctic_z1",
+    "points_features_salted",
+    # -- round-7 additions + operator changes --
+    "stream_sessions_update_snapshot",  # NEW: update-mode foreachBatch sink
+    "similarity_knn_edges_lsh",         # salt now stable_hash(vec_id)
+    "similarity_knn_edges_lsh_recall",  # + localCheckpoint before counts
+    "events_profile_approx",            # HLL bound widened to 5 sigma
+    "docs_tokenize",                    # oracle refactored (sharded twin)
+    # -- 16 round-3-certified continuity slots spanning SURVEY (S)2 --
+    "mapkeys_threshold",        # P3
+    "route_points_anti",        # J2 broadcast anti
+    "points_counts",            # A2
+    "points_features",          # A6
+    "boryear_decode",           # U2 encode/decode inverse
+    "t1_antarctic_z1",          # U3 polar projection
+    "tiles_arctic_z1",          # U4 arctic tiles
+    "tiles_mercator_z2",        # U4 whale-guard zoom (bench-watch)
+    "pyramid_rollup_z3",        # A4 derived rollup
+    "tiles_zorder_keys",        # sink z-order keys
+    "dedup_exact",
+    "dedup_simhash_banded",     # bench-watch drift, re-certify
+    "similarity_pairs_lsh",
+    "text_tfidf_top_terms",     # bench-watch drift, re-certify
+    "events_sessions_batch",    # batch twin of the new sessions gate
+    "json_props_stats",
 ]
 
 

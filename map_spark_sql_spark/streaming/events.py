@@ -273,7 +273,11 @@ def custom_sessionize(
 
 
 def purchase_view_join(
-    events: DataFrame, window_minutes: int = 30, watermark: str = "1 hour"
+    events: DataFrame,
+    window_minutes: int = 30,
+    watermark: str = "1 hour",
+    state_sample: DataFrame | None = None,
+    hot_pair_threshold: int = 100_000_000,
 ) -> DataFrame:
     """Stream-stream interval join: each purchase joined to the same user's
     views within the preceding ``window_minutes``.
@@ -283,7 +287,39 @@ def purchase_view_join(
     older than watermark + window). This is the streaming twin of the
     as-of/interval join family in operators/temporal.py, restricted as
     streaming requires: equality key + two-sided time bound.
+
+    SCALE STEER: state is keyed on user_id ALONE, so one hot user
+    concentrates its views x purchases cross-product in a single join
+    task (the 100x rung plants a 275k-view x 50k-purchase whale — ~10^10
+    pairs in one task). Use :func:`purchase_view_join_bucketed` at scale:
+    identical output, state split over (user, time-bucket). To turn this
+    hazard into a guided choice (r6 advice), pass ``state_sample`` — a
+    BATCH DataFrame of representative events (a historical slice; a
+    streaming input can't be pre-counted) — and this function warns when
+    any user's estimated in-state pair product crosses
+    ``hot_pair_threshold`` (pinned in tests/test_streaming.py).
     """
+    if state_sample is not None and not state_sample.isStreaming:
+        import warnings
+
+        hot = (
+            state_sample.groupBy("user_id")
+            .agg(
+                F.sum((F.col("event_type") == "view").cast("long")).alias("nv"),
+                F.sum((F.col("event_type") == "purchase").cast("long")).alias("np"),
+            )
+            .select(F.max(F.col("nv") * F.col("np")).alias("mx"))
+            .collect()[0]
+        )
+        if (hot.mx or 0) > hot_pair_threshold:
+            warnings.warn(
+                f"purchase_view_join: hottest user in state_sample implies "
+                f"~{hot.mx:.2e} view x purchase pairs in ONE join task "
+                f"(threshold {hot_pair_threshold:.0e}); use "
+                f"purchase_view_join_bucketed — identical output, state "
+                f"split over (user, time-bucket).",
+                stacklevel=2,
+            )
     v = (
         events.filter(F.col("event_type") == "view")
         .select(
@@ -426,6 +462,83 @@ def upsert_to_snapshot(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def sessions_to_snapshot(
+    stream: DataFrame,
+    spark: SparkSession,
+    snapshot_dir: str,
+    gap_minutes: int = 30,
+) -> "object":
+    """Sessionization in UPDATE output mode via ``foreachBatch`` into an
+    idempotent parquet snapshot — the at-scale form of the sessions gate
+    (r6 verdict ask #3).
+
+    Complete-mode into a memory sink materializes every session in driver
+    memory (~9.4M rows OOM'd the 100x rung harness). Update mode emits
+    only the sessions CHANGED per micro-batch, and the sink — not the
+    driver — holds the accumulated result. Spark's built-in
+    ``session_window`` aggregation rejects update mode
+    (STREAMING_OUTPUT_MODE.UNSUPPORTED_OPERATION — merging windows can't
+    be keyed as per-row updates), so this rides :func:`custom_sessionize`
+    (``applyInPandasWithState``), whose per-user fixed-width state IS
+    update-shaped and is pinned against the built-in by pytest.
+
+    Merge rule: a session only ever GROWS (or closes) with its window
+    spanning every prior emission of itself, and two distinct sessions of
+    one user never overlap (the gap rule would have folded them), so each
+    batch deletes the snapshot rows of the same user whose [start, end]
+    interval overlaps an incoming row, then inserts the incoming rows.
+    Snapshot versioning is MVCC-by-directory (the upsert_to_snapshot
+    convention; on Delta/Iceberg the body is a native MERGE with a range
+    predicate).
+
+    Returns the started StreamingQuery (caller awaits termination).
+    """
+    import os
+
+    sessions = custom_sessionize(stream, gap_minutes=gap_minutes)
+    cols = sessions.columns
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        prev = os.path.join(snapshot_dir, f"v{batch_id - 1}")
+        cur = os.path.join(snapshot_dir, f"v{batch_id}")
+        if os.path.isdir(prev):
+            prev_df = spark.read.parquet(prev)
+            src = batch.select(
+                F.col("user_id").alias("s_user"),
+                F.col("session_start_us").alias("s_start"),
+                F.col("session_end_us").alias("s_end"),
+            )
+            survived = prev_df.join(
+                src,
+                (prev_df["user_id"] == src["s_user"])
+                & (prev_df["session_start_us"] <= src["s_end"])
+                & (prev_df["session_end_us"] >= src["s_start"]),
+                "left_anti",
+            )
+            out = survived.select(*cols).unionByName(batch.select(*cols))
+        else:
+            out = batch.select(*cols)
+        out.write.mode("overwrite").parquet(cur)
+
+    return (
+        sessions.writeStream.foreachBatch(_apply)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(snapshot_dir, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_sessions_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame:
+    """Read the newest MVCC version written by :func:`sessions_to_snapshot`."""
+    import os
+
+    versions = [
+        int(d[1:]) for d in os.listdir(snapshot_dir) if d.startswith("v") and d[1:].isdigit()
+    ]
+    return spark.read.parquet(os.path.join(snapshot_dir, f"v{max(versions)}"))
 
 
 def accumulate_count_min(

@@ -523,3 +523,31 @@ def test_checkpoint_resume_is_exactly_once(spark):
             r["event_id"] for r in spark.read.parquet(sink).collect()
         )
     assert got == [1, 2, 3], f"duplicated or lost rows across restart: {got}"
+
+
+def test_purchase_view_join_warns_on_hot_key_sample(spark):
+    """The plain stream-stream join keys state on user_id alone; with a
+    batch state_sample whose hottest user crosses the pair threshold it
+    must steer the caller to purchase_view_join_bucketed (r6 advice #8 —
+    the one registry-exposed scale hazard becomes a guided choice)."""
+    import warnings
+
+    import pytest
+
+    from map_spark_sql_spark.streaming.events import purchase_view_join
+
+    stream = read_event_stream(spark, f"{SF_DIR}/events.parquet")
+    hot = spark.createDataFrame(
+        [(i, "view" if i % 2 else "purchase", 7) for i in range(40)],
+        "event_id long, event_type string, user_id long",
+    )
+    with pytest.warns(UserWarning, match="purchase_view_join_bucketed"):
+        purchase_view_join(stream, state_sample=hot, hot_pair_threshold=100)
+
+    cold = spark.createDataFrame(
+        [(i, "view" if i % 2 else "purchase", i) for i in range(40)],
+        "event_id long, event_type string, user_id long",
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        purchase_view_join(stream, state_sample=cold, hot_pair_threshold=100)

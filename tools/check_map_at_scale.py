@@ -1,0 +1,148 @@
+"""Reference-parity map families at scale rungs past the collect ceiling.
+
+The r6 verdict's ask #2: the 1000x rung (100M events -> ~94M derived
+occurrence rows, the sandbox analog of the reference's 2.5B-row regime,
+``MapBuilder.java:166``) skipped mapkeys/t1/tiles/salted-keys/blob. Two
+verification modes close it:
+
+- ``collect``: the driver-identical collect + normalize + multiset compare
+  (tools/check_correctness.py), for queries whose OUTPUT is small (stats,
+  salted keys, routes, z2 blobs) even when the compute is 1.2B fanned rows.
+- ``digest``: for queries whose output is itself rung-sized (t1 roll-ups,
+  z16 tile counts — hundreds of millions of rows that no harness should
+  collect), BOTH engines reduce the full result to ONE row:
+  ``(count, sum(h1), sum(h2))`` where h1/h2 are two independent 32-bit
+  windows of the dialect-shared md5 over the canonical '|'-joined row
+  string (the stable_hash convention of functions/keys.py). Order-
+  insensitive, exact-integer (2^32 x 5x10^8 rows < 2^63 — no overflow),
+  collision odds ~2^-64 per differing multiset; the harness transfer is
+  O(1) instead of O(rows). The semantics checked are IDENTICAL to the
+  collect gate: same query SQL on both sides, reduced by the same digest.
+
+Usage: python tools/check_map_at_scale.py [sf_dir] [query ...]
+Queries: mapkeys_stats, points_salted_keys, route_tiles_semi (collect);
+         tiles_encode_blob_md5 (collect, heavy);
+         t1_mercator_z4, tiles_mercator_z16 (digest, heavy).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+print = functools.partial(print, flush=True)
+
+DIGEST = {"t1_mercator_z4", "tiles_mercator_z16"}
+DEFAULT = [
+    "mapkeys_stats",
+    "points_salted_keys",
+    "route_tiles_semi",
+    "tiles_encode_blob_md5",
+    "t1_mercator_z4",
+    "tiles_mercator_z16",
+]
+
+
+def digest_spark(sdf):
+    from pyspark.sql import functions as F
+
+    canon = F.concat_ws("|", *[F.col(c).cast("string") for c in sdf.columns])
+    h1 = F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring(F.md5(canon), 9, 8), 16, 10).cast("bigint")
+    return sdf.select(h1.alias("h1"), h2.alias("h2")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("h1").alias("s1"),
+        F.sum("h2").alias("s2"),
+    )
+
+
+def digest_duck_sql(oracle_sql: str, cols: list[str]) -> str:
+    canon = " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+    return f"""
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST('0x' || substr(md5({canon}), 1, 8) AS BIGINT)) AS BIGINT) AS s1,
+       CAST(sum(CAST('0x' || substr(md5({canon}), 9, 8) AS BIGINT)) AS BIGINT) AS s2
+FROM ({oracle_sql}) _q
+"""
+
+
+def main() -> int:
+    import duckdb
+
+    from check_correctness import normalize
+    from map_spark_sql_spark import queries as Q
+    from map_spark_sql_spark.session import get_session
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scratch/sf1000x"
+    names = sys.argv[2:] or DEFAULT
+
+    spark = get_session(app_name="map_scale", master="local[8]", shuffle_partitions=64)
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
+
+    failures = []
+    for name in names:
+        mode = "digest" if name in DIGEST else "collect"
+        fn, oracle = Q.QUERIES[name], Q.ORACLES[name]
+        t0 = time.perf_counter()
+        try:
+            sdf = fn(spark, sf_dir)
+            if mode == "digest":
+                cols = list(sdf.columns)
+                srows = [tuple(r) for r in digest_spark(sdf).collect()]
+                scols = ["n", "s1", "s2"]
+            else:
+                srows = [tuple(r) for r in sdf.collect()]
+                scols = list(sdf.columns)
+            t_spark = time.perf_counter() - t0
+        except Exception as exc:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {str(exc)[:400]}")
+            continue
+        t0 = time.perf_counter()
+        try:
+            sql = digest_duck_sql(oracle, cols) if mode == "digest" else oracle
+            res = con.sql(sql)
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+            t_duck = time.perf_counter() - t0
+        except Exception as exc:  # noqa: BLE001
+            # the docs_tokenize precedent: the oracle, not the engine, is
+            # the ceiling — record engine-verified with the engine digest
+            print(
+                f"ENGINE-VERIFIED {name} ({mode}): oracle died "
+                f"({str(exc)[:200]}); spark {t_spark:.1f}s, result {srows}"
+            )
+            continue
+        s_idx = [scols.index(c) for c in sorted(scols, key=str.lower)]
+        d_idx = [dcols.index(c) for c in sorted(dcols, key=str.lower)]
+        s_n = normalize([tuple(r[i] for i in s_idx) for r in srows])
+        d_n = normalize([tuple(r[i] for i in d_idx) for r in drows])
+        ok = s_n == d_n
+        if not ok:
+            failures.append(name)
+            first = next(
+                ((i, a, b) for i, (a, b) in enumerate(zip(s_n, d_n)) if a != b),
+                ("len", len(s_n), len(d_n)),
+            )
+            print(f"FAIL {name} ({mode}): first diff {str(first)[:300]}")
+        else:
+            detail = f"digest {s_n[0]}" if mode == "digest" else f"{len(s_n)} rows"
+            print(
+                f"PASS {name} ({mode}): {detail} "
+                f"(spark {t_spark:.1f}s, duckdb {t_duck:.1f}s)"
+            )
+
+    print(f"== {len(names) - len(failures)} pass, {len(failures)} fail (of {len(names)}) ==")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

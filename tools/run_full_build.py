@@ -1,0 +1,471 @@
+"""The composed full-build receipt (r6 verdict ask #1).
+
+Runs the COMPLETE reference job — ``run_pipeline`` (plans/pipeline.py), the
+analog of ``MapBuilder.run()`` (MapBuilder.java:88-127) +
+``TileMapBuilder.generate()`` (TileMapBuilder.java:51-77): ingest ->
+materialize -> map_key_stats -> threshold routing -> points branch
+(A2 -> A6 -> X4 encode -> S7 salted sorted sink) + 4-CRS x 17-zoom tile
+pyramids (derive-with-persist, t2/t3 -> X5 encode -> S7 sink per zoom) —
+as ONE job at a scale rung, and records:
+
+- wall-clock + peak process-tree RSS per stage (the receipt measures
+  ``run_pipeline`` itself via its ``instrument`` hook, not a
+  re-composition);
+- hash gates at every stage boundary, checked from the bytes ON DISK
+  against the existing DuckDB oracles (registry oracles where the build
+  output matches them 1:1; routed variants built from the same SQL
+  helpers where the build's J1 routing restricts the input);
+- the S7 sink-shape receipt: per-directory file count == salt modulus and
+  within-file key sortedness.
+
+Usage: python tools/run_full_build.py [sf_dir] [out_dir] [tiles_threshold]
+Env:   SPARK_GRAFT_CPUS (default 32), SPARK_DRIVER_MEMORY (default 8g).
+
+``tiles_threshold`` defaults to the registry constant (1000, sized for the
+sf0.01 harness). At the 100x rung every one of the 89 synthetic map keys
+exceeds 1000, which would leave the points branch empty; pass the
+reference's PRODUCTION threshold 250000 (``MapBuilder.java:63`` via
+config.py) there — it routes 39 of the 89 views (8.7M fanned rows) to the
+points branch and 50 to the tiles branch, so the composed receipt
+exercises both. Threshold-dependent gate oracles are regenerated from the
+queries.py factories at the chosen value.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import sys
+import threading
+import time
+from contextlib import contextmanager
+
+sys.path.insert(0, ".")
+
+print = functools.partial(print, flush=True)
+
+
+# --------------------------------------------------------------------------
+# process-tree RSS sampling (driver JVM + python workers are children)
+# --------------------------------------------------------------------------
+
+
+def _proc_tree_rss_kib(root_pid: int) -> int:
+    children: dict[int, list[int]] = {}
+    rss: dict[int, int] = {}
+    for entry in os.listdir("/proc"):
+        if not entry.isdigit():
+            continue
+        pid = int(entry)
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                parts = f.read().split()
+            ppid = int(parts[3])
+            rss[pid] = int(parts[23]) * (os.sysconf("SC_PAGE_SIZE") // 1024)
+            children.setdefault(ppid, []).append(pid)
+        except (OSError, IndexError, ValueError):
+            continue
+    total, stack, seen = 0, [root_pid], set()
+    while stack:
+        pid = stack.pop()
+        if pid in seen:
+            continue
+        seen.add(pid)
+        total += rss.get(pid, 0)
+        stack.extend(children.get(pid, []))
+    return total
+
+
+class RssSampler(threading.Thread):
+    def __init__(self, interval: float = 0.5):
+        super().__init__(daemon=True)
+        self.interval = interval
+        self.root = os.getpid()
+        self.global_peak = 0
+        self.stage_peak = 0
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+
+    def run(self) -> None:
+        while not self._stop.is_set():
+            kib = _proc_tree_rss_kib(self.root)
+            with self._lock:
+                self.global_peak = max(self.global_peak, kib)
+                self.stage_peak = max(self.stage_peak, kib)
+            self._stop.wait(self.interval)
+
+    def reset_stage(self) -> int:
+        with self._lock:
+            self.stage_peak = _proc_tree_rss_kib(self.root)
+            return self.stage_peak
+
+    def read_stage(self) -> int:
+        with self._lock:
+            return self.stage_peak
+
+
+# --------------------------------------------------------------------------
+# stage-boundary gates (disk bytes vs DuckDB oracles)
+# --------------------------------------------------------------------------
+
+
+def _normalize(rows, ndigits: int = 9):
+    from tools.check_correctness import normalize
+
+    return normalize(rows, ndigits)
+
+
+def compare(name: str, sdf, oracle_sql: str, con, results: list) -> None:
+    """check_correctness-identical compare: columns sorted by name, rows
+    normalized + sorted, exact multiset equality."""
+    t0 = time.perf_counter()
+    try:
+        srows = [tuple(r) for r in sdf.collect()]
+        scols = list(sdf.columns)
+        t_spark = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        res = con.sql(oracle_sql)
+        dcols = [d[0] for d in res.description]
+        dtypes = [str(t).upper() for t in res.types]
+        huge = [c for c, t in zip(dcols, dtypes) if "HUGEINT" in t]
+        if huge:
+            raise ValueError(f"oracle emits HUGEINT column(s) {huge}")
+        drows = res.fetchall()
+        t_duck = time.perf_counter() - t0
+    except Exception as exc:  # noqa: BLE001
+        results.append({"gate": name, "ok": False, "err": str(exc)[:500]})
+        print(f"GATE FAIL {name}: {str(exc)[:500]}")
+        return
+    s_idx = [scols.index(c) for c in sorted(scols, key=str.lower)]
+    d_idx = [dcols.index(c) for c in sorted(dcols, key=str.lower)]
+    s_n = _normalize([tuple(r[i] for i in s_idx) for r in srows])
+    d_n = _normalize([tuple(r[i] for i in d_idx) for r in drows])
+    ok = s_n == d_n
+    results.append(
+        {
+            "gate": name,
+            "ok": ok,
+            "rows": len(s_n),
+            "spark_s": round(t_spark, 1),
+            "duckdb_s": round(t_duck, 1),
+        }
+    )
+    print(
+        f"GATE {'PASS' if ok else 'FAIL'} {name}: {len(s_n)} rows "
+        f"(spark {t_spark:.1f}s, duckdb {t_duck:.1f}s)"
+    )
+
+
+def routed_t3_oracle(epsg: str, zoom: int) -> str:
+    """tiles_* t3 counts oracle (queries._t3_query) restricted to the build's
+    J1 routing (mapKey IN large) and, for EPSG:3031, the S4 lat<=1 subset."""
+    from map_spark_sql_spark import queries as Q
+    from map_spark_sql_spark.functions import keys as K
+    from map_spark_sql_spark.functions import projection as PJ
+    from map_spark_sql_spark.functions import tiling as TL
+
+    xs, ys = PJ.global_pixel_xy_sql(epsg, zoom, Q.TILE_SIZE, "lat", "lng")
+    d_tiles = TL.tile_addresses_sql(epsg, zoom, Q.TILE_SIZE, Q.BUFFER, "px", "py", "duckdb")
+    latf = "AND lat <= 1" if epsg == "EPSG:3031" else ""
+    return Q._oracle(
+        f"SELECT mapKey, x, y, nFeatures, occCount, "
+        f"{K.salted_key_sql('mapKey', str(zoom), 'x', 'y', modulus=Q.SALT_MOD)} AS key FROM ("
+        f"  SELECT mapKey, u.tileX AS x, u.tileY AS y, count(*) AS nFeatures,"
+        f"         CAST(sum(occCount) AS BIGINT) AS occCount"
+        f"  FROM ("
+        f"    SELECT mapKey, px, py, borYear, occCount, unnest({d_tiles}) AS u FROM ("
+        f"      SELECT mapKey, px, py, borYear, count(*) AS occCount FROM ("
+        f"        SELECT mapKey, borYear, {xs} AS px, {ys} AS py FROM expl"
+        f"        WHERE mapKey IN (SELECT mapKey FROM large) {latf}"
+        f"      ) a WHERE px IS NOT NULL GROUP BY mapKey, px, py, borYear"
+        f"    ) b"
+        f"  ) c GROUP BY mapKey, x, y"
+        f") d"
+    )
+
+
+def routed_blob_oracle(epsg: str, zoom: int) -> str:
+    """tiles_encode_blob_md5 oracle (queries._tile_blob_query) with the same
+    J1 routing restriction the build applies."""
+    from map_spark_sql_spark import queries as Q
+    from map_spark_sql_spark.functions import keys as K
+    from map_spark_sql_spark.functions import projection as PJ
+    from map_spark_sql_spark.functions import tiling as TL
+    from map_spark_sql_spark.plans import tiles as TBLOB
+
+    xs, ys = PJ.global_pixel_xy_sql(epsg, zoom, Q.TILE_SIZE, "lat", "lng")
+    d_tiles = TL.tile_addresses_sql(epsg, zoom, Q.TILE_SIZE, Q.BUFFER, "px", "py", "duckdb")
+    family = epsg.replace(":", "_")
+    latf = "AND lat <= 1" if epsg == "EPSG:3031" else ""
+    feat_hex = f"{TBLOB.i32le_hex('borYear')} || {TBLOB.i64le_hex('occCount')}"
+    pix_hex = (
+        f"{TBLOB.i32le_hex('lpx')} || {TBLOB.i32le_hex('lpy')} || "
+        f"{TBLOB.u32le_hex('nf')} || fh"
+    )
+    return Q._oracle(
+        f""",
+t1 AS (
+  SELECT mapKey, px, py, borYear, count(*) AS occCount FROM (
+    SELECT mapKey, borYear, {xs} AS px, {ys} AS py FROM expl
+    WHERE mapKey IN (SELECT mapKey FROM large) {latf}
+  ) a WHERE px IS NOT NULL GROUP BY mapKey, px, py, borYear),
+feats AS (
+  SELECT mapKey, px, py, count(*) AS nf,
+         string_agg({feat_hex}, '' ORDER BY borYear) AS fh
+  FROM t1 GROUP BY mapKey, px, py),
+fan AS (
+  SELECT mapKey, u.tileX AS x, u.tileY AS y, u.pixelX AS lpx, u.pixelY AS lpy, nf, fh
+  FROM (SELECT mapKey, nf, fh, unnest({d_tiles}) AS u FROM feats) b),
+tiles AS (
+  SELECT mapKey, x, y, count(*) AS npx, CAST(sum(nf) AS BIGINT) AS tot_nf,
+         string_agg({pix_hex}, '' ORDER BY lpx, lpy) AS ph
+  FROM fan GROUP BY mapKey, x, y)
+SELECT {K.salted_key_sql('mapKey', str(zoom), 'x', 'y', modulus=Q.SALT_MOD)} AS key,
+       '{family}' AS family, 'tile' AS qualifier,
+       md5('56543100' || {TBLOB.u32le_hex('npx')} || ph) AS blob_md5,
+       CAST(8 + 12 * npx + 12 * tot_nf AS BIGINT) AS n_bytes
+FROM tiles"""
+    )
+
+
+def decoded_tile_counts(spark, path: str):
+    """Decode WRITTEN tile blobs back to the t3 counts shape: the gate then
+    certifies projection + fan-out + aggregation + ENCODE + sink from the
+    bytes on disk."""
+    import pandas as pd
+
+    from map_spark_sql_spark.plans.tiles import decode_tile_py
+
+    df = spark.read.parquet(path).select("key", "value")
+
+    def gen(it):
+        for pdf in it:
+            out = {"mapKey": [], "x": [], "y": [], "nFeatures": [], "occCount": [], "key": []}
+            for key, blob in zip(pdf["key"], pdf["value"]):
+                parts = key.split(":")
+                # key = salt:mapKey(with ':'):z:x:y — parse from the end
+                x, y = int(parts[-2]), int(parts[-1])
+                map_key = ":".join(parts[1:-3])
+                pixels = decode_tile_py(bytes(blob))
+                nf = sum(len(p["features"]) for p in pixels)
+                occ = sum(f["occCount"] for p in pixels for f in p["features"])
+                out["mapKey"].append(map_key)
+                out["x"].append(x)
+                out["y"].append(y)
+                out["nFeatures"].append(nf)
+                out["occCount"].append(occ)
+                out["key"].append(key)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        gen, "mapKey string, x int, y int, nFeatures long, occCount long, key string"
+    )
+
+
+def blob_md5_view(spark, path: str):
+    from pyspark.sql import functions as F
+
+    return spark.read.parquet(path).select(
+        "key",
+        "family",
+        "qualifier",
+        F.md5(F.lower(F.hex("value"))).alias("blob_md5"),
+        F.length("value").alias("n_bytes"),
+    )
+
+
+def sink_shape_receipt(out_dir: str, modulus: int) -> dict:
+    """S7 shape: each sink dir has <= modulus part files (repartition(salt)
+    can leave empty partitions unwritten) and keys are sorted within files."""
+    import pyarrow.parquet as pq
+
+    report = {}
+    dirs = [os.path.join(out_dir, "points")]
+    tiles_root = os.path.join(out_dir, "tiles")
+    for family in sorted(os.listdir(tiles_root)):
+        for z in sorted(os.listdir(os.path.join(tiles_root, family))):
+            dirs.append(os.path.join(tiles_root, family, z))
+    sorted_files = checked = 0
+    max_files = 0
+    for d in dirs:
+        parts = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        max_files = max(max_files, len(parts))
+        # spot-check sortedness on the largest file of each dir
+        if parts:
+            biggest = max(parts, key=lambda f: os.path.getsize(os.path.join(d, f)))
+            keys = pq.read_table(os.path.join(d, biggest), columns=["key"])["key"].to_pylist()
+            checked += 1
+            if keys == sorted(keys):
+                sorted_files += 1
+    report["dirs"] = len(dirs)
+    report["max_part_files"] = max_files
+    report["modulus"] = modulus
+    report["files_checked_sorted"] = f"{sorted_files}/{checked}"
+    report["ok"] = max_files <= modulus and sorted_files == checked
+    return report
+
+
+def main() -> int:
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from map_spark_sql_spark import queries as Q
+    from map_spark_sql_spark.config import MapConfiguration
+    from map_spark_sql_spark.plans.pipeline import map_key_stats, run_pipeline
+    from map_spark_sql_spark.session import get_session
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scratch/sf100x"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.scratch/full_build_100x"
+    threshold = int(sys.argv[3]) if len(sys.argv) > 3 else Q.TILES_THRESHOLD
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    # Registry constants (queries.py) so the existing oracles gate the
+    # stage boundaries 1:1. The threshold may be overridden (docstring);
+    # queries.py reads TILES_THRESHOLD at call time, so setting the module
+    # global re-parameterizes every factory-built oracle below.
+    Q.TILES_THRESHOLD = threshold
+    cfg = MapConfiguration(tiles_threshold=threshold, key_salt_modulus=Q.SALT_MOD)
+
+    spark = get_session(
+        app_name="full_build",
+        master=f"local[{cpus}]",
+        shuffle_partitions=2 * int(cpus),
+        # ~68 write actions in one session: bound what the listener retains
+        # per action (plan-description strings were the composed run's heap
+        # leak before the t1 localCheckpoint fix; these caps are defense in
+        # depth for the harness).
+        extra_conf={
+            "spark.sql.maxPlanStringLength": "1000000",
+            "spark.sql.ui.retainedExecutions": "25",
+        },
+    )
+    sampler = RssSampler()
+    sampler.start()
+
+    stages: list[dict] = []
+
+    @contextmanager
+    def instrument(name: str):
+        base = sampler.reset_stage()
+        t0 = time.monotonic()
+        print(f"STAGE {name}: start (rss {base // 1024} MiB)")
+        yield
+        wall = time.monotonic() - t0
+        peak = sampler.read_stage()
+        stages.append({"stage": name, "wall_s": round(wall, 1), "peak_rss_mib": peak // 1024})
+        print(f"STAGE {name}: {wall:.1f}s, peak rss {peak // 1024} MiB")
+
+    occ = Q.occurrence_df(spark, sf_dir)
+    t_total = time.monotonic()
+    layout = run_pipeline(occ, cfg, out_dir, derive_lower_zooms=True, instrument=instrument)
+    total_wall = time.monotonic() - t_total
+    print(f"BUILD DONE: {total_wall:.1f}s total, global peak rss "
+          f"{sampler.global_peak // 1024} MiB; layout: {json.dumps(layout)}")
+
+    # ---- stage-boundary gates, from the bytes on disk ----
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    gates: list[dict] = []
+    ing = spark.read.parquet(f"{out_dir}/ingested")
+
+    # G1: the materialized ingest vs the registry S1/P1/P2 oracle (unmodified)
+    g1 = ing.select(
+        "datasetKey",
+        "countryCode",
+        "basisOfRecord",
+        F.floor(F.col("decimalLatitude") * 10000).alias("lat_px"),
+        F.floor(F.col("decimalLongitude") * 10000).alias("lng_px"),
+        "year",
+    )
+    compare("ingest(disk) == occ_ingest_filter", g1, Q.ORACLES["occ_ingest_filter"], con, gates)
+
+    # G2/G3: stats + threshold keys from the materialized ingest
+    stats = map_key_stats(ing)
+    compare("stats(ingest@disk) == mapkeys_stats", stats, Q.ORACLES["mapkeys_stats"], con, gates)
+    compare(
+        "threshold(ingest@disk) == mapkeys_threshold",
+        stats.filter(F.col("occCount") >= cfg.tiles_threshold),
+        Q._oracle(f"SELECT mapKey, occCount FROM stats WHERE occCount >= {threshold}"),
+        con,
+        gates,
+    )
+
+    # G4: the WRITTEN points blobs vs the registry X4 wire-format oracle
+    # (factory-regenerated so it carries the chosen threshold)
+    _, points_blob_oracle = Q._points_blob_query()
+    compare(
+        "points blobs (disk) == points_encode_blob_md5",
+        blob_md5_view(spark, f"{out_dir}/points"),
+        points_blob_oracle,
+        con,
+        gates,
+    )
+
+    # G5: WRITTEN z2 mercator blobs (whale-guard zoom, derived pyramid) vs
+    # the routed X5 wire-format oracle
+    compare(
+        "tiles EPSG_3857/z2 blobs (disk) == routed blob oracle",
+        blob_md5_view(spark, f"{out_dir}/tiles/EPSG_3857/z2"),
+        routed_blob_oracle("EPSG:3857", 2),
+        con,
+        gates,
+    )
+
+    # G6: WRITTEN z16 mercator blobs DECODED back to t3 counts vs the routed
+    # t3 oracle (gates the base zoom the whole derived pyramid hangs off)
+    compare(
+        "tiles EPSG_3857/z16 decoded (disk) == routed t3 oracle",
+        decoded_tile_counts(spark, f"{out_dir}/tiles/EPSG_3857/z16"),
+        routed_t3_oracle("EPSG:3857", 16),
+        con,
+        gates,
+    )
+
+    # G7: WRITTEN z1 antarctic blobs decoded — covers the S4 lat<=1 subset
+    # branch and a second CRS's derived pyramid
+    compare(
+        "tiles EPSG_3031/z1 decoded (disk) == routed t3 oracle",
+        decoded_tile_counts(spark, f"{out_dir}/tiles/EPSG_3031/z1"),
+        routed_t3_oracle("EPSG:3031", 1),
+        con,
+        gates,
+    )
+
+    shape = sink_shape_receipt(out_dir, cfg.key_salt_modulus)
+    print(f"SINK SHAPE: {json.dumps(shape)}")
+
+    receipt = {
+        "sf_dir": sf_dir,
+        "out_dir": out_dir,
+        "cpus": int(cpus),
+        "driver_memory": os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
+        "config": {
+            "tiles_threshold": cfg.tiles_threshold,
+            "tile_size": cfg.tile_size,
+            "tile_buffer_size": cfg.tile_buffer_size,
+            "max_zoom": cfg.max_zoom,
+            "key_salt_modulus": cfg.key_salt_modulus,
+            "projections": list(cfg.projections),
+            "derive_lower_zooms": True,
+        },
+        "total_wall_s": round(total_wall, 1),
+        "global_peak_rss_mib": sampler.global_peak // 1024,
+        "stages": stages,
+        "gates": gates,
+        "sink_shape": shape,
+    }
+    with open(f"{out_dir}/receipt.json", "w") as f:
+        json.dump(receipt, f, indent=1)
+    print("RECEIPT " + json.dumps(receipt))
+    spark.stop()
+    return 0 if all(g["ok"] for g in gates) and shape["ok"] else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

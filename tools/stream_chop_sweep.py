@@ -122,6 +122,47 @@ def main() -> int:
     ]
 
     failures = []
+
+    # --- sessions in UPDATE mode via the foreachBatch overlap-merge
+    # snapshot sink (r6 verdict ask #3): the complete-mode memory-sink gate
+    # materialized ~9.4M sessions in driver memory at 100x; this replays
+    # the same feed through sessions_to_snapshot over N real micro-batches
+    # (cross-batch session growth + overlap supersession) and compares the
+    # DRAINED SINK to the gap-islands batch oracle. ---
+    import tempfile as _tf
+
+    snap_dir = _tf.mkdtemp(prefix="chop_sessions_snap_")
+    stream = STE.read_event_stream(spark, feed, max_files_per_trigger=1)
+    t0 = time.perf_counter()
+    query = STE.sessions_to_snapshot(stream, spark, snap_dir, gap_minutes=30)
+    STE.drain(query, timeout_sec=3600)
+    secs = time.perf_counter() - t0
+    n_batches = len([p for p in query.recentProgress if p["numInputRows"] > 0])
+    snap = STE.read_sessions_snapshot(spark, snap_dir).select(
+        "user_id",
+        "session_start_us",
+        "session_end_us",
+        "n_events",
+        F.round("session_value", 2).alias("session_value"),
+    )
+    scols = sorted(snap.columns)
+    srows = normalize([tuple(r[c] for c in scols) for r in snap.collect()])
+    t0 = time.perf_counter()
+    rel = con.sql(oracles["stream_sessions_update_snapshot"])
+    dcols = [d[0] for d in rel.description]
+    order = sorted(range(len(dcols)), key=lambda i: dcols[i])
+    drows = normalize([tuple(row[i] for i in order) for row in rel.fetchall()])
+    t_duck = time.perf_counter() - t0
+    ok = sorted(dcols) == scols and srows == drows
+    print(
+        f"{'PASS' if ok else 'FAIL'} stream_sessions_update_snapshot: "
+        f"{len(srows)} rows over {n_batches} micro-batches "
+        f"(spark {secs:.1f}s, duckdb {t_duck:.1f}s)"
+    )
+    if not ok:
+        failures.append("stream_sessions_update_snapshot")
+        print(f"  spark rows {len(srows)}; duck rows {len(drows)}")
+
     for qname, build, mode, shape in cases:
         out, n_batches, secs = run_chopped(
             spark, feed, build, f"chop_{qname}", mode
@@ -147,7 +188,8 @@ def main() -> int:
             failures.append(qname)
             print(f"  spark cols {scols} rows {len(srows)}; duck cols {sorted(dcols)} rows {len(drows)}")
 
-    print(f"== {len(cases) - len(failures)} pass, {len(failures)} fail (of {len(cases)}) ==")
+    n_total = len(cases) + 1  # + the sessions-snapshot case above
+    print(f"== {n_total - len(failures)} pass, {len(failures)} fail (of {n_total}) ==")
     return 1 if failures else 0
 
 
