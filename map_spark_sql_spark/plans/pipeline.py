@@ -215,6 +215,7 @@ def tile_pyramid(
     derive_lower_zooms: bool = True,
     persist_t1: bool | None = None,
     persisted_sink: list[DataFrame] | None = None,
+    t1_echo_dir: str | None = None,
 ) -> dict[int, DataFrame]:
     """All zoom levels maxZoom..0 for one projection (TileMapBuilder.java:66-77).
 
@@ -241,6 +242,17 @@ def tile_pyramid(
     materialization barriers; on a real cluster swap it for a parquet
     echo (``materialize``) — localCheckpoint does not survive executor
     loss and t1 may exceed cluster cache.
+
+    ``t1_echo_dir`` IS that swap: when set, each level's t1 is written to
+    ``{t1_echo_dir}/z{zoom}`` parquet and re-read instead of block-cached —
+    the reference's own O2 materialization barrier (S2/S3 CTAS,
+    ``TileMapBuilder.java:85-104``). Required at rung scale: the 100x
+    composed run's t1 chain is ~100M rows PER LEVEL at deep zooms, and
+    pinning 17 such levels in block storage OOM'd the 8 GiB heap
+    (GCLocker thrash in the spill read-ahead) where the parquet echo
+    streams through executor memory and bounds the footprint at one
+    shuffle's worth. Callers own cleanup of the echo dir (run_pipeline
+    deletes it per CRS).
     """
     if persist_t1 is None:
         persist_t1 = derive_lower_zooms
@@ -274,7 +286,9 @@ def tile_pyramid(
                 .groupBy("mapKey", "xy", "borYear")
                 .agg(F.sum("occCount").alias("occCount"))
             )
-        if persist_t1:
+        if t1_echo_dir is not None:
+            t1 = materialize(t1, f"{t1_echo_dir}/z{zoom}")
+        elif persist_t1:
             t1 = t1.localCheckpoint(eager=False)
             if persisted_sink is not None:
                 persisted_sink.append(t1)
@@ -411,13 +425,17 @@ def run_pipeline(
     for epsg in cfg.projections:
         family = epsg.replace(":", "_")
         with ins(f"tiles:{family}"):
-            persisted: list[DataFrame] = []
+            # t1 levels echo through parquet (the reference's O2 CTAS
+            # barrier) rather than block storage: at rung scale a deep-zoom
+            # t1 level is ~the corpus size, and 17 cached levels OOM'd the
+            # default heap where the parquet echo streams through.
+            echo_dir = f"{out_dir}/_t1/{family}"
             pyramid = tile_pyramid(
                 routed,
                 cfg,
                 epsg,
                 derive_lower_zooms=derive_lower_zooms,
-                persisted_sink=persisted,
+                t1_echo_dir=echo_dir,
             )
 
             def write_zoom(zoom: int, df: DataFrame, _family: str = family) -> None:
@@ -429,13 +447,11 @@ def run_pipeline(
                 )
 
             materialize_pyramid(pyramid, write_zoom)
-            # Drop this CRS's checkpointed t1 chain before starting the
-            # next one: four pyramids x 17 pinned levels would otherwise
-            # stack in storage memory for the whole job (the per-CRS
-            # blocks are never re-read once the CRS's writes land).
-            for df in persisted:
-                df.unpersist()
-            persisted.clear()
+            # The echo dir is scratch: this CRS's levels are never re-read
+            # once its writes land.
+            import shutil
+
+            shutil.rmtree(echo_dir, ignore_errors=True)
         layout[f"tiles/{family}"] = f"{out_dir}/tiles/{family}"
     return layout
 
