@@ -229,7 +229,7 @@ def custom_sessionize(
         values = rows["value"].tolist()
 
         start = end = None
-        n, val = 0, 0.0
+        n, val = 0, None
         if state.exists:
             start, end, n, val = state.get
 
@@ -237,11 +237,19 @@ def custom_sessionize(
         for t, v in zip(ts_us, values):
             if start is not None and t - end > gap_us:
                 out.append((user_id, start, end, n, val, False))
-                start, n, val = None, 0, 0.0
+                start, n, val = None, 0, None
             if start is None:
                 start = t
             n += 1
-            val += float(v)
+            # SQL sum semantics: NULL values (NaN after the Arrow float64
+            # transfer) are SKIPPED, and an all-NULL session sums to NULL —
+            # matching both the built-in session_window's F.sum and the
+            # DuckDB gap-islands oracle. A naive ``val += float(v)`` poisons
+            # the whole session to NaN on one NULL event; the 100x
+            # NULL-injected corpus caught exactly that through the
+            # update-mode snapshot gate (round 7).
+            if not pd.isna(v):
+                val = float(v) if val is None else val + float(v)
             end = t
         out.append((user_id, start, end, n, val, True))
         state.update((start, end, n, val))

@@ -551,3 +551,38 @@ def test_purchase_view_join_warns_on_hot_key_sample(spark):
     with warnings.catch_warnings():
         warnings.simplefilter("error")
         purchase_view_join(stream, state_sample=cold, hot_pair_threshold=100)
+
+
+def test_custom_sessionize_null_values_use_sql_sum_semantics(spark, tmp_path):
+    """NULL event values must be SKIPPED by the session-value fold (SQL
+    sum semantics: one NULL doesn't poison the session to NaN, an
+    all-NULL session sums to NULL) — matching the built-in
+    session_window + F.sum twin. Caught at the 100x rung by the
+    update-mode snapshot gate (round 7)."""
+    import os
+
+    from map_spark_sql_spark.streaming import custom_sessionize
+
+    t0 = 1_700_000_000_000_000
+    rows = [
+        # user 1: one NULL among real values -> sum of the real ones
+        (1, t0, 10.0), (1, t0 + 60_000_000, None), (1, t0 + 120_000_000, 5.0),
+        # user 2: all NULL -> NULL sum
+        (2, t0, None), (2, t0 + 60_000_000, None),
+    ]
+    df = spark.createDataFrame(
+        [(u, t, v) for u, t, v in rows], "user_id long, ts_us long, value double"
+    ).select("user_id", F.timestamp_micros("ts_us").alias("ts"), "value")
+    feed = os.path.join(tmp_path, "feed")
+    df.coalesce(1).write.parquet(feed)
+    stream = read_event_stream(spark, feed, nanos=False)
+    got = {
+        r.user_id: r.session_value
+        for r in run_to_memory(
+            custom_sessionize(stream, gap_minutes=30),
+            "t_null_sessions",
+            output_mode="update",
+        ).collect()
+    }
+    assert got[1] == 15.0
+    assert got[2] is None
