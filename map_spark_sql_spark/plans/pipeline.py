@@ -300,6 +300,54 @@ _WHALE_ZOOM = 2  # zooms <= this take the two-level pixel-block aggregation
 _WHALE_BLOCK_PX = 64  # pixel-block width for the whale-safe first level
 
 
+def collect_tile_pixels(
+    addressed: DataFrame,
+    px_struct,
+    zoom: int,
+    group_cols: tuple = ("mapKey",),
+    tile_x=None,
+    tile_y=None,
+    pixel_x=None,
+    out_col: str = "tile",
+) -> DataFrame:
+    """``sort_array(collect_list(px_struct))`` per (group, tileX, tileY),
+    whale-guarded at low zooms (round-5 verdict #4): at z <= _WHALE_ZOOM a
+    single tile covers a constant fraction of the world, so one
+    collect_list buffer is N-proportional in *Java object count* — ~10M
+    boxed structs OOM'd the default 8 GiB heap at the 100x rung (and the
+    registry blob gate's own inline one-level collect repeated the OOM at
+    the 1000x rung, which is why this lives in ONE shared helper now).
+    Two-level aggregation bounds every generic buffer: level 1 collects
+    per (tile, pixelX-block) sub-lists, level 2 collects the serialized
+    sub-ARRAYS (compact UnsafeArrayData, not object-per-struct) and
+    flattens. Output is byte-identical to the one-level sort_array:
+    blocks partition the px range monotonically (integer div is
+    monotone), so block-sorted + within-block-sorted = globally sorted.
+    The final ROW is still tile-proportional — inherent to the A5
+    contract — but no aggregation BUFFER is, which is what OOMs.
+    """
+    tile_x = tile_x if tile_x is not None else F.col("tile.tileX")
+    tile_y = tile_y if tile_y is not None else F.col("tile.tileY")
+    pixel_x = pixel_x if pixel_x is not None else F.col("tile.pixelX")
+    keys = [F.col(c) for c in group_cols]  # column NAMES (reused at level 2)
+    if zoom > _WHALE_ZOOM:
+        return addressed.groupBy(
+            *keys, tile_x.alias("x"), tile_y.alias("y")
+        ).agg(F.sort_array(F.collect_list(px_struct)).alias(out_col))
+    blk = (
+        pixel_x - (((pixel_x % _WHALE_BLOCK_PX) + _WHALE_BLOCK_PX) % _WHALE_BLOCK_PX)
+    ).alias("blk")
+    sub = addressed.groupBy(
+        *keys, tile_x.alias("x"), tile_y.alias("y"), blk
+    ).agg(F.sort_array(F.collect_list(px_struct)).alias("sub"))
+    return (
+        sub.groupBy(*group_cols, "x", "y")
+        .agg(F.sort_array(F.collect_list(F.struct("blk", "sub"))).alias("blocks"))
+        .withColumn(out_col, F.flatten(F.expr("transform(blocks, b -> b.sub)")))
+        .drop("blocks")
+    )
+
+
 def _t2_t3(t1: DataFrame, cfg: MapConfiguration, epsg: str, zoom: int) -> DataFrame:
     t2 = t1.groupBy("mapKey", "xy").agg(
         F.sort_array(F.collect_list(F.struct("borYear", "occCount"))).alias("features")
@@ -315,39 +363,7 @@ def _t2_t3(t1: DataFrame, cfg: MapConfiguration, epsg: str, zoom: int) -> DataFr
         F.col("tile.pixelY").alias("py"),
         F.col("features"),
     )
-    if zoom > _WHALE_ZOOM:
-        t3 = addressed.groupBy(
-            "mapKey", F.col("tile.tileX").alias("x"), F.col("tile.tileY").alias("y")
-        ).agg(F.sort_array(F.collect_list(px_struct)).alias("tile"))
-    else:
-        # Low-zoom whale guard (round-5 verdict #4): at z <= _WHALE_ZOOM a
-        # single tile
-        # covers a constant fraction of the world, so one collect_list
-        # buffer is N-proportional in *Java object count* — ~10M boxed
-        # structs OOM'd the default 8 GiB heap at the 100x rung. Two-level
-        # aggregation bounds every generic buffer: level 1 collects per
-        # (tile, pixelX-block) sub-lists (<= block_px * tile_height pixels
-        # each), level 2 collects the ~tile_width/block_px serialized
-        # sub-ARRAYS (compact UnsafeArrayData, not object-per-struct) and
-        # flattens. Output is byte-identical to the one-level sort_array:
-        # blocks partition the px range monotonically (integer div is
-        # monotone), so block-sorted + within-block-sorted = globally
-        # sorted by (px, py, features). The final row is still
-        # tile-proportional — inherent to the A5 contract — but no
-        # aggregation BUFFER is, which is what OOMs.
-        sub = addressed.groupBy(
-            "mapKey",
-            F.col("tile.tileX").alias("x"),
-            F.col("tile.tileY").alias("y"),
-            (F.col("tile.pixelX") - (((F.col("tile.pixelX") % _WHALE_BLOCK_PX) + _WHALE_BLOCK_PX) % _WHALE_BLOCK_PX))
-            .alias("blk"),
-        ).agg(F.sort_array(F.collect_list(px_struct)).alias("sub"))
-        t3 = (
-            sub.groupBy("mapKey", "x", "y")
-            .agg(F.sort_array(F.collect_list(F.struct("blk", "sub"))).alias("blocks"))
-            .withColumn("tile", F.flatten(F.expr("transform(blocks, b -> b.sub)")))
-            .drop("blocks")
-        )
+    t3 = collect_tile_pixels(addressed, px_struct, zoom)
     return t3.select(
         salted_key(
             F.col("mapKey"), F.lit(zoom), F.col("x"), F.col("y"), modulus=cfg.key_salt_modulus

@@ -609,26 +609,31 @@ def _tile_blob_query(epsg: str, zoom: int):
         t2 = t1.groupBy("mapKey", "px", "py").agg(
             F.sort_array(F.collect_list(F.struct("borYear", "occCount"))).alias("features")
         )
-        t3 = (
-            t2.withColumn("t", F.explode(F.expr(s_tiles)))
-            .groupBy("mapKey", F.col("t.tileX").alias("x"), F.col("t.tileY").alias("y"))
-            .agg(
-                F.sort_array(
-                    F.collect_list(
-                        F.struct(
-                            F.col("t.pixelX").alias("px"),
-                            F.col("t.pixelY").alias("py"),
-                            F.col("features"),
-                        )
-                    )
-                ).alias("tile")
-            )
-            .withColumn(
-                "key",
-                K.salted_key(
-                    F.col("mapKey"), F.lit(zoom), F.col("x"), F.col("y"), modulus=SALT_MOD
-                ),
-            )
+        # Whale-guarded per-tile pixel collection (plans/pipeline.py
+        # collect_tile_pixels): the inline one-level collect_list this
+        # replaced OOM'd at the 1000x rung — a z2 tile's aggregation
+        # buffer is N-proportional in boxed-object count; the shared
+        # two-level block form is byte-identical and buffer-bounded.
+        from map_spark_sql_spark.plans.pipeline import collect_tile_pixels
+
+        addressed = t2.withColumn("t", F.explode(F.expr(s_tiles)))
+        px_struct = F.struct(
+            F.col("t.pixelX").alias("px"),
+            F.col("t.pixelY").alias("py"),
+            F.col("features"),
+        )
+        t3 = collect_tile_pixels(
+            addressed,
+            px_struct,
+            zoom,
+            tile_x=F.col("t.tileX"),
+            tile_y=F.col("t.tileY"),
+            pixel_x=F.col("t.pixelX"),
+        ).withColumn(
+            "key",
+            K.salted_key(
+                F.col("mapKey"), F.lit(zoom), F.col("x"), F.col("y"), modulus=SALT_MOD
+            ),
         )
         kv = TBLOB.to_key_values(TBLOB.encode_tiles(t3), family, "tile")
         return kv.select(
