@@ -408,7 +408,7 @@ def run_pipeline(
 
     from map_spark_sql_spark.plans.tiles import (
         encode_point_features,
-        encode_tiles,
+        encode_tiles_chunked,
         to_key_values,
     )
     from map_spark_sql_spark.sources.writers import write_salted_sorted
@@ -455,7 +455,10 @@ def run_pipeline(
             )
 
             def write_zoom(zoom: int, df: DataFrame, _family: str = family) -> None:
-                kv = to_key_values(encode_tiles(df), _family, "tile")
+                # chunked X5 encoder: low-zoom whale tiles are sliced in the
+                # JVM before the Python encode (encode_tiles ships the whole
+                # pixel array per row — worker-fatal at rung scale)
+                kv = to_key_values(encode_tiles_chunked(df), _family, "tile")
                 write_salted_sorted(
                     with_salt_column(kv),
                     f"{out_dir}/tiles/{_family}/z{zoom}",

@@ -100,13 +100,91 @@ def encode_point_features(points: DataFrame, features_col: str = "features") -> 
 
 
 def encode_tiles(tiles: DataFrame, tile_col: str = "tile") -> DataFrame:
-    """tiles-path rows -> (key, mapKey, z, x, y, value binary); X5 analogue."""
+    """tiles-path rows -> (key, mapKey, z, x, y, value binary); X5 analogue.
+
+    Ships each row's WHOLE pixel array to the Python worker — fine at mid/
+    high zooms (tile payload shrinks 4x per zoom), fatal for low-zoom whale
+    tiles at rung scale: a z2 tile over ~1.2B fanned rows is ~10M+ pixel
+    structs, and the Arrow->Python conversion explodes that to tens of GB
+    of boxed objects, crashing the worker (caught by the 1000x blob gate,
+    round 7). Use :func:`encode_tiles_chunked` wherever a whale tile can
+    appear; output is byte-identical (pinned in pytest)."""
 
     @F.pandas_udf(BinaryType())
     def _enc(col: pd.Series) -> pd.Series:
         return col.map(encode_tile_py)
 
     return tiles.withColumn("value", _enc(F.col(tile_col))).drop(tile_col)
+
+
+def encode_tile_block_py(pixels: list) -> bytes:
+    """Body bytes of a pixel run — :func:`encode_tile_py` without the
+    header. Concatenating block bodies in pixel order and prefixing
+    ``TILE_MAGIC | u32(total_pixels)`` reproduces the full blob exactly,
+    which is what makes the wire format whale-safe to produce: it is a
+    length-prefixed CONCATENATION, so no single process ever has to hold
+    the whole tile as objects."""
+    out = []
+    for p in pixels:
+        feats = p["features"]
+        out.append(struct.pack("<iiI", p["px"], p["py"], len(feats)))
+        for f in feats:
+            out.append(struct.pack("<iq", f["borYear"], f["occCount"]))
+    return b"".join(out)
+
+
+def encode_tiles_chunked(
+    tiles: DataFrame, tile_col: str = "tile", chunk: int = 16384
+) -> DataFrame:
+    """Whale-safe X5 encoder, byte-identical to :func:`encode_tiles`.
+
+    The pixel array is sliced into <= ``chunk``-pixel runs IN THE JVM
+    (``slice`` over a ``sequence`` of offsets — native expressions, no
+    giant row ever crosses to Python), each run's body bytes are encoded
+    by an Arrow-batched pandas UDF (bounded object count per call), and
+    the per-tile blob is assembled by joining the run bodies in slice
+    order under the ``TILE_MAGIC | u32(nPixels)`` header. The assembly
+    buffer equals the output blob's own size — irreducible, since the
+    blob IS the result row — but no stage multiplies it through Python
+    object boxing (~10-20x), which is what crashed workers at the 1000x
+    rung. Scale shape: one extra narrow shuffle (chunk re-group), Python
+    memory bounded by ``chunk``, JVM aggregation buffer bounded by the
+    blob size.
+    """
+    others = [c for c in tiles.columns if c != tile_col]
+
+    @F.pandas_udf(BinaryType())
+    def _enc_block(col: pd.Series) -> pd.Series:
+        return col.map(encode_tile_block_py)
+
+    @F.pandas_udf(BinaryType())
+    def _assemble(npx: pd.Series, parts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                TILE_MAGIC
+                + struct.pack("<I", int(n))
+                + b"".join(bytes(p["_body"]) for p in ps)
+                for n, ps in zip(npx, parts)
+            ]
+        )
+
+    chunked = tiles.select(
+        *others,
+        F.size(F.col(tile_col)).alias("_npx"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, greatest((size({tile_col}) - 1) div {chunk}, 0)), "
+                f"i -> slice({tile_col}, i * {chunk} + 1, {chunk}))"
+            )
+        ).alias("_idx", "_chunk"),
+    )
+    enc = chunked.withColumn("_body", _enc_block(F.col("_chunk"))).drop("_chunk")
+    assembled = enc.groupBy(*others, "_npx").agg(
+        F.array_sort(F.collect_list(F.struct("_idx", "_body"))).alias("_parts")
+    )
+    return assembled.select(
+        *others, _assemble(F.col("_npx"), F.col("_parts")).alias("value")
+    )
 
 
 # --- oracle-side wire-format reconstruction (DuckDB SQL) --------------------

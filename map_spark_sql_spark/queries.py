@@ -635,7 +635,9 @@ def _tile_blob_query(epsg: str, zoom: int):
                 F.col("mapKey"), F.lit(zoom), F.col("x"), F.col("y"), modulus=SALT_MOD
             ),
         )
-        kv = TBLOB.to_key_values(TBLOB.encode_tiles(t3), family, "tile")
+        # chunked encoder: whale z<=2 tiles never cross to Python as one
+        # object-exploded row (byte-identical to encode_tiles, pinned)
+        kv = TBLOB.to_key_values(TBLOB.encode_tiles_chunked(t3), family, "tile")
         return kv.select(
             "key",
             "family",

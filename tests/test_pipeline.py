@@ -150,6 +150,14 @@ def test_binary_encoders_roundtrip(occurrence_df):
         ]
         assert decoded == want
 
+    # the whale-safe chunked encoder must be byte-identical to the
+    # whole-row encoder — tiny chunk forces real multi-chunk assembly
+    chunked = {
+        r.key: bytes(r.value) for r in T.encode_tiles_chunked(t3, chunk=3).collect()
+    }
+    whole = {r.key: bytes(r.value) for r in enc_t}
+    assert chunked == whole and len(chunked) > 0
+
 
 def test_blob_hex_oracle_builders():
     """The DuckDB wire-format reconstruction (plans/tiles.py hex builders)
