@@ -151,22 +151,41 @@ def encode_tiles_chunked(
     memory bounded by ``chunk``, JVM aggregation buffer bounded by the
     blob size.
     """
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
     others = [c for c in tiles.columns if c != tile_col]
+    base_fields = [tiles.schema[c] for c in others]
+    enc_schema = StructType(
+        base_fields
+        + [
+            StructField("_npx", IntegerType()),
+            StructField("_idx", IntegerType()),
+            StructField("_body", BinaryType()),
+        ]
+    )
+    asm_schema = StructType(base_fields + [StructField("value", BinaryType())])
 
-    @F.pandas_udf(BinaryType())
-    def _enc_block(col: pd.Series) -> pd.Series:
-        return col.map(encode_tile_block_py)
+    # applyInPandas, NOT a scalar pandas_udf: Arrow batches scalar UDF input
+    # by ROW COUNT (spark.sql.execution.arrow.maxRecordsPerBatch, default
+    # 10000), so a column of ~20MB chunk rows still reaches the worker tens
+    # of GB at a time — the 1000x crash repeated through the first chunked
+    # form. One applyInPandas GROUP = one chunk (resp. one tile), so each
+    # Python call is bounded by construction, independent of batch config.
+    def _enc_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.copy()
+        pdf["_body"] = pdf["_chunk"].map(encode_tile_block_py)
+        return pdf.drop(columns=["_chunk"])
 
-    @F.pandas_udf(BinaryType())
-    def _assemble(npx: pd.Series, parts: pd.Series) -> pd.Series:
-        return pd.Series(
-            [
-                TILE_MAGIC
-                + struct.pack("<I", int(n))
-                + b"".join(bytes(p["_body"]) for p in ps)
-                for n, ps in zip(npx, parts)
-            ]
+    def _asm_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_idx")
+        value = (
+            TILE_MAGIC
+            + struct.pack("<I", int(pdf["_npx"].iloc[0]))
+            + b"".join(bytes(b) for b in pdf["_body"])
         )
+        out = pdf.iloc[[0]][[f.name for f in base_fields]].copy()
+        out["value"] = [value]
+        return out
 
     chunked = tiles.select(
         *others,
@@ -178,13 +197,8 @@ def encode_tiles_chunked(
             )
         ).alias("_idx", "_chunk"),
     )
-    enc = chunked.withColumn("_body", _enc_block(F.col("_chunk"))).drop("_chunk")
-    assembled = enc.groupBy(*others, "_npx").agg(
-        F.array_sort(F.collect_list(F.struct("_idx", "_body"))).alias("_parts")
-    )
-    return assembled.select(
-        *others, _assemble(F.col("_npx"), F.col("_parts")).alias("value")
-    )
+    enc = chunked.groupBy(*others, "_npx", "_idx").applyInPandas(_enc_group, enc_schema)
+    return enc.groupBy(*others).applyInPandas(_asm_group, asm_schema)
 
 
 # --- oracle-side wire-format reconstruction (DuckDB SQL) --------------------
