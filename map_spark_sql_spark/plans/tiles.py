@@ -151,30 +151,42 @@ def encode_tiles_chunked(
     memory bounded by ``chunk``, JVM aggregation buffer bounded by the
     blob size.
     """
-    from pyspark.sql.types import IntegerType, StructField, StructType
+    from pyspark.sql.types import StructField, StructType
 
     others = [c for c in tiles.columns if c != tile_col]
     base_fields = [tiles.schema[c] for c in others]
-    enc_schema = StructType(
-        base_fields
-        + [
-            StructField("_npx", IntegerType()),
-            StructField("_idx", IntegerType()),
-            StructField("_body", BinaryType()),
-        ]
-    )
     asm_schema = StructType(base_fields + [StructField("value", BinaryType())])
 
-    # applyInPandas, NOT a scalar pandas_udf: Arrow batches scalar UDF input
-    # by ROW COUNT (spark.sql.execution.arrow.maxRecordsPerBatch, default
-    # 10000), so a column of ~20MB chunk rows still reaches the worker tens
-    # of GB at a time — the 1000x crash repeated through the first chunked
-    # form. One applyInPandas GROUP = one chunk (resp. one tile), so each
-    # Python call is bounded by construction, independent of batch config.
-    def _enc_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.copy()
-        pdf["_body"] = pdf["_chunk"].map(encode_tile_block_py)
-        return pdf.drop(columns=["_chunk"])
+    # Two bounds compose here (both learned at the 1000x rung):
+    # 1. Per-ROW bound: a whale tile is sliced into <= chunk-pixel runs in
+    #    the JVM, so no single value crossing to Python exceeds ~chunk
+    #    pixels of boxed objects.
+    # 2. Per-BATCH bound: scalar pandas UDFs batch by row count (10000
+    #    default), which multiplied even 20MB chunk rows into tens of GB —
+    #    get_session sets spark.sql.execution.arrow.maxBytesPerBatch so a
+    #    batch closes at 32MB regardless of row count.
+    # Small tiles (the overwhelming majority past z2 — payload shrinks 4x
+    # per zoom) take the narrow whole-row encode: zero extra shuffles.
+    # Only whale tiles pay the chunk fan-out + one assembly shuffle, whose
+    # applyInPandas group = one tile, bounded by the blob's own size
+    # (irreducible — the blob IS the result row). The localCheckpoint
+    # keeps the filter-split from recomputing the upstream t3 aggregation
+    # once per branch.
+    tiles = tiles.localCheckpoint(eager=False)
+    small = tiles.filter(F.size(F.col(tile_col)) <= chunk)
+    big = tiles.filter(F.size(F.col(tile_col)) > chunk)
+
+    @F.pandas_udf(BinaryType())
+    def _enc_whole(col: pd.Series) -> pd.Series:
+        return col.map(encode_tile_py)
+
+    small_enc = small.withColumn("value", _enc_whole(F.col(tile_col))).select(
+        *others, "value"
+    )
+
+    @F.pandas_udf(BinaryType())
+    def _enc_block(col: pd.Series) -> pd.Series:
+        return col.map(encode_tile_block_py)
 
     def _asm_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("_idx")
@@ -187,7 +199,7 @@ def encode_tiles_chunked(
         out["value"] = [value]
         return out
 
-    chunked = tiles.select(
+    chunked = big.select(
         *others,
         F.size(F.col(tile_col)).alias("_npx"),
         F.posexplode(
@@ -197,8 +209,13 @@ def encode_tiles_chunked(
             )
         ).alias("_idx", "_chunk"),
     )
-    enc = chunked.groupBy(*others, "_npx", "_idx").applyInPandas(_enc_group, enc_schema)
-    return enc.groupBy(*others).applyInPandas(_asm_group, asm_schema)
+    big_enc = (
+        chunked.withColumn("_body", _enc_block(F.col("_chunk")))
+        .drop("_chunk")
+        .groupBy(*others)
+        .applyInPandas(_asm_group, asm_schema)
+    )
+    return small_enc.unionByName(big_enc)
 
 
 # --- oracle-side wire-format reconstruction (DuckDB SQL) --------------------

@@ -72,6 +72,14 @@ def get_session(
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         # Arrow for the pandas-UDF binary encoders (tile MVT/proto paths).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Bound scalar-UDF Arrow batches by BYTES as well as rows: the
+        # default row-count-only batching (10000) ships multi-GB batches
+        # to Python workers when rows are large (whale-tile chunks at the
+        # 1000x rung crashed workers exactly this way). 32MB Arrow ~ a few
+        # hundred MB of boxed Python objects worst-case per batch; small
+        # rows still batch to the full 10000, so narrow-row UDF throughput
+        # is unaffected.
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", str(32 * 1024 * 1024))
         .config("spark.sql.parquet.compression.codec", "snappy")
         # Deterministic timestamp semantics regardless of host TZ: testdata
         # NTZ/nanos columns are normalized to session-TZ timestamps

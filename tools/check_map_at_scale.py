@@ -83,7 +83,14 @@ def main() -> int:
 
     spark = get_session(app_name="map_scale", master="local[8]", shuffle_partitions=64)
     spark.sparkContext.setLogLevel("ERROR")
+    import tempfile
+
     con = duckdb.connect()
+    # bounded + spillable (see check_tokenize_at_scale.py): without an
+    # explicit limit DuckDB claims 80% of physical RAM and hard-fails
+    # under concurrent load instead of spilling
+    con.execute("SET memory_limit='48GB'")
+    con.execute(f"SET temp_directory='{tempfile.mkdtemp(prefix='duck_map_')}'")
     con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
 
     failures = []

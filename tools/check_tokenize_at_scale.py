@@ -68,6 +68,13 @@ def main() -> int:
     print(f"spark tokenize_docs written in {t_spark:.1f}s -> {out_dir}")
 
     con = duckdb.connect()
+    # Explicit budget + spill dir: DuckDB defaults to 80% of PHYSICAL RAM
+    # per instance, so a concurrent Spark job (or a second DuckDB) turns
+    # a spillable sort into a hard "Failed to allocate block" (observed on
+    # shard 7 of the first 1000x run). With a limit set, DuckDB spills to
+    # temp instead of dying.
+    con.execute("SET memory_limit='24GB'")
+    con.execute(f"SET temp_directory='{tempfile.mkdtemp(prefix='duck_tok_')}'")
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
     )
