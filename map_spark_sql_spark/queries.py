@@ -589,7 +589,14 @@ q("tiles_features_z1", _orc)(_fn)
 # see plans/tiles.py f64_bits_ctes).
 
 
-def _tile_blob_query(epsg: str, zoom: int):
+def _tile_blob_query(epsg: str, zoom: int, where_extra: str = ""):
+    """``where_extra`` (e.g. ``"WHERE mapKey IN ('1:212', ...)"``) restricts
+    the ORACLE's t1 input — the sharded-oracle escape hatch for rungs where
+    the full hex transcription (2x the blob byte volume as strings) exceeds
+    the verifier's memory (the 1000x z2 gate; per-mapKey shards are
+    independent because every aggregation groups by mapKey).
+    tools/check_map_at_scale.py uses it; the registry registration keeps
+    the default unsharded form."""
     from map_spark_sql_spark.plans import tiles as TBLOB
 
     xs, ys = PJ.global_pixel_xy_sql(epsg, zoom, TILE_SIZE, "lat", "lng")
@@ -654,7 +661,7 @@ def _tile_blob_query(epsg: str, zoom: int):
         f""",
 t1 AS (
   SELECT mapKey, px, py, borYear, count(*) AS occCount FROM (
-    SELECT mapKey, borYear, {xs} AS px, {ys} AS py FROM expl
+    SELECT mapKey, borYear, {xs} AS px, {ys} AS py FROM expl {where_extra}
   ) a WHERE px IS NOT NULL GROUP BY mapKey, px, py, borYear),
 feats AS (
   SELECT mapKey, px, py, count(*) AS nf,

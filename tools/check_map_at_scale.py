@@ -71,6 +71,63 @@ FROM ({oracle_sql}) _q
 """
 
 
+def blob_gate_sharded(spark, con, sf_dir: str, n_batches: int = 12) -> bool:
+    """tiles_encode_blob_md5 with a per-mapKey SHARDED oracle.
+
+    The unsharded oracle reconstructs every blob's hex transcription at
+    once — 2x the rung's blob byte volume as strings — and aborted DuckDB
+    at its memory limit on the 1000x rung even with spill (failed block
+    pin at 44.7/44.7 GiB). Every aggregation in the reconstruction groups
+    by mapKey, so per-key shards are independent (the docs_tokenize
+    sharded-oracle playbook): Spark runs ONCE, its rows split by the
+    mapKey parsed from the salted key, and the oracle runs per key batch.
+    """
+    import time as _t
+
+    from check_correctness import normalize
+    from map_spark_sql_spark import queries as Q
+
+    t0 = _t.perf_counter()
+    sdf = Q.QUERIES["tiles_encode_blob_md5"](spark, sf_dir)
+    scols = sorted(sdf.columns)
+    srows = [tuple(r) for r in sdf.collect()]
+    t_spark = _t.perf_counter() - t0
+    key_i = list(sdf.columns).index("key")
+    col_order = [list(sdf.columns).index(c) for c in scols]
+    by_key: dict[str, list] = {}
+    for r in srows:
+        mk = ":".join(r[key_i].split(":")[1:-3])
+        by_key.setdefault(mk, []).append(tuple(r[i] for i in col_order))
+    keys = sorted(by_key)
+    batches = [keys[i::n_batches] for i in range(n_batches)]
+    t_duck, total = 0.0, 0
+    for bi, batch in enumerate(b for b in batches if b):
+        quoted = ", ".join(f"'{k}'" for k in batch)
+        _, oracle = Q._tile_blob_query(
+            "EPSG:3857", 2, where_extra=f"WHERE mapKey IN ({quoted})"
+        )
+        t0 = _t.perf_counter()
+        res = con.sql(oracle)
+        dcols = [d[0] for d in res.description]
+        drows = res.fetchall()
+        t_duck += _t.perf_counter() - t0
+        d_idx = [dcols.index(c) for c in sorted(dcols, key=str.lower)]
+        d_n = normalize([tuple(r[i] for i in d_idx) for r in drows])
+        s_n = normalize([row for k in batch for row in by_key.get(k, [])])
+        if s_n != d_n:
+            print(f"FAIL tiles_encode_blob_md5 shard {bi}: "
+                  f"spark {len(s_n)} rows, duckdb {len(d_n)} rows")
+            return False
+        total += len(s_n)
+        print(f"  blob shard {bi}: {len(s_n)} rows match "
+              f"(cumulative duckdb {t_duck:.1f}s)")
+    print(
+        f"PASS tiles_encode_blob_md5 (sharded oracle): {total} rows "
+        f"(spark {t_spark:.1f}s, duckdb {t_duck:.1f}s over {n_batches} key shards)"
+    )
+    return True
+
+
 def main() -> int:
     import duckdb
 
@@ -95,6 +152,10 @@ def main() -> int:
 
     failures = []
     for name in names:
+        if name == "tiles_encode_blob_md5":
+            if not blob_gate_sharded(spark, con, sf_dir):
+                failures.append(name)
+            continue
         mode = "digest" if name in DIGEST else "collect"
         fn, oracle = Q.QUERIES[name], Q.ORACLES[name]
         t0 = time.perf_counter()
