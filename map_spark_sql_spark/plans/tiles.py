@@ -169,10 +169,11 @@ def encode_tiles_chunked(
     # per zoom) take the narrow whole-row encode: zero extra shuffles.
     # Only whale tiles pay the chunk fan-out + one assembly shuffle, whose
     # applyInPandas group = one tile, bounded by the blob's own size
-    # (irreducible — the blob IS the result row). The localCheckpoint
-    # keeps the filter-split from recomputing the upstream t3 aggregation
-    # once per branch.
-    tiles = tiles.localCheckpoint(eager=False)
+    # (irreducible — the blob IS the result row). The filter-split does
+    # NOT double-compute the upstream aggregation: both branches sit on
+    # the same exchange and Spark's ReuseExchange shares the shuffle
+    # files (block-caching t3 here instead OOM'd the 100x composed run —
+    # ~340MB partitions x 17 zooms of block storage on the default heap).
     small = tiles.filter(F.size(F.col(tile_col)) <= chunk)
     big = tiles.filter(F.size(F.col(tile_col)) > chunk)
 

@@ -67,34 +67,43 @@ def main() -> int:
     t_spark = time.perf_counter() - t0
     print(f"spark tokenize_docs written in {t_spark:.1f}s -> {out_dir}")
 
-    con = duckdb.connect()
-    # Explicit budget + spill dir: DuckDB defaults to 80% of PHYSICAL RAM
-    # per instance, so a concurrent Spark job (or a second DuckDB) turns
-    # a spillable sort into a hard "Failed to allocate block" (observed on
-    # shard 7 of the first 1000x run). With a limit set, DuckDB spills to
-    # temp instead of dying.
-    con.execute("SET memory_limit='24GB'")
-    con.execute(f"SET temp_directory='{tempfile.mkdtemp(prefix='duck_tok_')}'")
-    con.execute(
-        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
-    )
+    def fresh_con():
+        # Fresh connection per shard, bounded + spillable: a single
+        # long-lived connection accumulated allocator state across shard
+        # queries and died with "bad allocation" after exactly 8 shards on
+        # two separate 1000x runs (with AND without a memory_limit set);
+        # per-shard connections bound any leak to one shard's lifetime.
+        c = duckdb.connect()
+        c.execute("SET memory_limit='24GB'")
+        c.execute(f"SET temp_directory='{tempfile.mkdtemp(prefix='duck_tok_')}'")
+        c.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+        )
+        return c
+
+    vocab_path = os.path.join(tempfile.mkdtemp(prefix="tok_vocab_"), "vocab.parquet")
     t0 = time.perf_counter()
+    con = fresh_con()
     con.execute(
-        "CREATE TEMP TABLE vocab_g AS " + TX.build_vocab_oracle(min_count=2)
+        f"COPY ({TX.build_vocab_oracle(min_count=2)}) TO '{vocab_path}' (FORMAT parquet)"
     )
+    n_terms = con.sql(f"SELECT count(*) FROM '{vocab_path}'").fetchone()[0]
+    con.close()
     t_vocab = time.perf_counter() - t0
-    print(f"duckdb global vocab in {t_vocab:.1f}s "
-          f"({con.sql('SELECT count(*) FROM vocab_g').fetchone()[0]} terms)")
+    print(f"duckdb global vocab in {t_vocab:.1f}s ({n_terms} terms)")
 
     total_rows, t_duck = 0, 0.0
     for k in range(n_shards):
         t0 = time.perf_counter()
+        con = fresh_con()
+        con.execute(f"CREATE VIEW vocab_g AS SELECT * FROM '{vocab_path}'")
         sql = TX.tokenize_docs_oracle(shard=(k, n_shards), vocab_table="vocab_g")
         drows = con.sql(sql).fetchall()
         t_duck += time.perf_counter() - t0
         srows = con.sql(
             f"SELECT doc_id, n_tokens, n_oov, ids FROM '{out_dir}/shard={k}/*.parquet'"
         ).fetchall()
+        con.close()
         d_n = normalize(drows)
         s_n = normalize(srows)
         if s_n != d_n:
