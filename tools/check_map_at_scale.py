@@ -145,8 +145,12 @@ def main() -> int:
     con = duckdb.connect()
     # bounded + spillable (see check_tokenize_at_scale.py): without an
     # explicit limit DuckDB claims 80% of physical RAM and hard-fails
-    # under concurrent load instead of spilling
-    con.execute("SET memory_limit='48GB'")
+    # under concurrent load instead of spilling. The bound must respect
+    # the box's COMMIT limit, not its free RAM: this host runs strict
+    # overcommit (vm.overcommit_memory=2, CommitLimit 63GB, no swap), so
+    # a 48GB duckdb budget + one or two JVM heaps makes malloc fail with
+    # "bad allocation" while `free` still shows 100GB available.
+    con.execute("SET memory_limit='24GB'")
     con.execute(f"SET temp_directory='{tempfile.mkdtemp(prefix='duck_map_')}'")
     con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
 

@@ -74,7 +74,10 @@ def main() -> int:
         # two separate 1000x runs (with AND without a memory_limit set);
         # per-shard connections bound any leak to one shard's lifetime.
         c = duckdb.connect()
-        c.execute("SET memory_limit='24GB'")
+        # 16GB: the box enforces STRICT overcommit (CommitLimit 63GB, no
+        # swap) — see check_map_at_scale.py; budgets must sum with the
+        # concurrent JVM commits, not with free RAM
+        c.execute("SET memory_limit='16GB'")
         c.execute(f"SET temp_directory='{tempfile.mkdtemp(prefix='duck_tok_')}'")
         c.execute(
             f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
