@@ -107,18 +107,28 @@ def main() -> int:
             f"SELECT doc_id, n_tokens, n_oov, ids FROM '{out_dir}/shard={k}/*.parquet'"
         ).fetchall()
         con.close()
-        d_n = normalize(drows)
-        s_n = normalize(srows)
-        if s_n != d_n:
-            first = next(
-                ((i, a, b) for i, (a, b) in enumerate(zip(s_n, d_n)) if a != b),
-                ("len", len(s_n), len(d_n)),
-            )
-            print(f"FAIL shard {k}: spark {len(s_n)} rows, duckdb {len(d_n)} rows; "
-                  f"first diff {str(first)[:300]}")
+        # Multiset compare via Counter, NOT normalize()'s repr-keyed sort:
+        # repr() copies each row's whole ids string (documents average
+        # thousands of tokens), and at 310k rows/shard that doubled the
+        # harness's own footprint past the host's commit limit
+        # (MemoryError inside sorted(key=repr)). Rows here are pure
+        # (int, int, int, str) — hashable, exactly comparable.
+        from collections import Counter
+
+        d_c = Counter(tuple(r) for r in drows)
+        del drows
+        s_c = Counter(tuple(r) for r in srows)
+        del srows
+        if s_c != d_c:
+            only_s = next(iter(s_c - d_c), None)
+            only_d = next(iter(d_c - s_c), None)
+            print(f"FAIL shard {k}: spark {sum(s_c.values())} rows, duckdb "
+                  f"{sum(d_c.values())} rows; spark-only {str(only_s)[:200]}; "
+                  f"duckdb-only {str(only_d)[:200]}")
             return 1
-        total_rows += len(s_n)
-        print(f"shard {k}: {len(s_n)} rows match")
+        total_rows += sum(s_c.values())
+        print(f"shard {k}: {sum(s_c.values())} rows match")
+        del s_c, d_c
 
     print(
         f"PASS docs_tokenize sharded: {total_rows} rows over {n_shards} shards "
