@@ -214,8 +214,8 @@ def tile_pyramid(
     epsg: str,
     derive_lower_zooms: bool = True,
     persist_t1: bool | None = None,
-    persisted_sink: list[DataFrame] | None = None,
     t1_echo_dir: str | None = None,
+    resume: bool = False,
 ) -> dict[int, DataFrame]:
     """All zoom levels maxZoom..0 for one projection (TileMapBuilder.java:66-77).
 
@@ -253,9 +253,20 @@ def tile_pyramid(
     streams through executor memory and bounds the footprint at one
     shuffle's worth. Callers own cleanup of the echo dir (run_pipeline
     deletes it per CRS).
+
+    ``resume`` (requires ``t1_echo_dir``): a level whose echo dir already
+    carries ``_SUCCESS`` is READ instead of recomputed, so a pyramid
+    interrupted mid-derivation restarts from the deepest surviving echo
+    rather than from the base table (r7 verdict ask #2 — the reference's
+    zoom loop gets the same restart granularity from Oozie retries,
+    ``workflow/Backfill.java:36-93``). Safe because the echo write is
+    atomic-enough (``_SUCCESS`` lands last) and the input is immutable
+    between attempts.
     """
     if persist_t1 is None:
         persist_t1 = derive_lower_zooms
+    if resume and t1_echo_dir is None:
+        raise ValueError("tile_pyramid(resume=True) requires t1_echo_dir")
     if epsg == "EPSG:3031":
         routed = routed.filter(F.col("lat") <= 1)
     counts = routed.groupBy("mapKey", "lat", "lng", "borYear").agg(
@@ -265,6 +276,11 @@ def tile_pyramid(
     out: dict[int, DataFrame] = {}
     t1 = None
     for zoom in range(cfg.max_zoom, -1, -1):
+        if resume and _is_complete(f"{t1_echo_dir}/z{zoom}"):
+            # surviving echo level: read, don't recompute (and don't rewrite)
+            t1 = routed.sparkSession.read.parquet(f"{t1_echo_dir}/z{zoom}")
+            out[zoom] = _t2_t3(t1, cfg, epsg, zoom)
+            continue
         if t1 is None or not derive_lower_zooms:
             t1 = (
                 counts.withColumn(
@@ -290,8 +306,6 @@ def tile_pyramid(
             t1 = materialize(t1, f"{t1_echo_dir}/z{zoom}")
         elif persist_t1:
             t1 = t1.localCheckpoint(eager=False)
-            if persisted_sink is not None:
-                persisted_sink.append(t1)
         out[zoom] = _t2_t3(t1, cfg, epsg, zoom)
     return out
 
@@ -376,6 +390,16 @@ def _t2_t3(t1: DataFrame, cfg: MapConfiguration, epsg: str, zoom: int) -> DataFr
     )
 
 
+def _is_complete(path: str) -> bool:
+    """True iff ``path`` holds a COMMITTED parquet write: Spark's committer
+    renames task output into place and writes ``_SUCCESS`` last, so the
+    marker's presence is the resume-safe completion signal (a dir that
+    exists without it is a torn write and must be redone)."""
+    import os
+
+    return os.path.isfile(os.path.join(path, "_SUCCESS"))
+
+
 def materialize(df: DataFrame, path: str) -> DataFrame:
     """O2 materialization barrier (``MapBuilder.java:129-133,171-173``):
     write parquet and re-read, cutting lineage so multi-consumer subplans
@@ -392,6 +416,7 @@ def run_pipeline(
     out_dir: str,
     derive_lower_zooms: bool = True,
     instrument=None,
+    resume: bool = False,
 ) -> dict[str, str]:
     """The complete reference job (``MapBuilder.run``, SURVEY §3.1), end to
     end: ingest -> materialize -> stats -> route -> points (encode + salted
@@ -403,6 +428,17 @@ def run_pipeline(
     tools/run_full_build.py uses it for the per-stage wall-clock +
     peak-RSS receipt so the receipt measures THIS function, not a
     re-composition of it.
+
+    ``resume=True`` makes the build restartable at the reference's own
+    retry granularity (Oozie per-zoom actions, ``workflow/Backfill.java:
+    36-93``; r7 verdict ask #2): any sink dir (``ingested``, ``points``,
+    each ``tiles/<family>/z<zoom>``) that already carries ``_SUCCESS`` is
+    skipped, and an interrupted pyramid re-derives its t1 chain from the
+    surviving per-level parquet echo instead of the base table. A torn
+    (no-``_SUCCESS``) dir is rewritten; ``mode="overwrite"`` makes that
+    idempotent. An hour-scale rung build can therefore no longer lose
+    completed projections to a mid-CRS failure. Inputs must be unchanged
+    between attempts — the echo/sink bytes are reused verbatim.
     """
     from contextlib import nullcontext
 
@@ -416,7 +452,10 @@ def run_pipeline(
     ins = instrument or (lambda name: nullcontext())
 
     with ins("ingest"):
-        ing = materialize(ingest(occurrence, cfg), f"{out_dir}/ingested")
+        if resume and _is_complete(f"{out_dir}/ingested"):
+            ing = occurrence.sparkSession.read.parquet(f"{out_dir}/ingested")
+        else:
+            ing = materialize(ingest(occurrence, cfg), f"{out_dir}/ingested")
     with ins("stats"):
         # The threshold key set is consumed by every downstream action (the
         # points write plus ~(maxZoom+1) writes per projection, each with a
@@ -428,19 +467,27 @@ def run_pipeline(
         large = keys_exceeding_threshold(map_key_stats(ing), cfg).localCheckpoint()
 
     with ins("points"):
-        points = points_path(route_points(ing, large), cfg)
-        kv = to_key_values(encode_point_features(points), "EPSG_4326", "features")
-        write_salted_sorted(
-            with_salt_column(kv),
-            f"{out_dir}/points",
-            num_partitions=cfg.key_salt_modulus,
-        )
+        if not (resume and _is_complete(f"{out_dir}/points")):
+            points = points_path(route_points(ing, large), cfg)
+            kv = to_key_values(encode_point_features(points), "EPSG_4326", "features")
+            write_salted_sorted(
+                with_salt_column(kv),
+                f"{out_dir}/points",
+                num_partitions=cfg.key_salt_modulus,
+            )
 
     routed = route_tiles(ing, large)
     layout = {"ingested": f"{out_dir}/ingested", "points": f"{out_dir}/points"}
     for epsg in cfg.projections:
         family = epsg.replace(":", "_")
+        zoom_dirs = {
+            z: f"{out_dir}/tiles/{family}/z{z}" for z in range(cfg.max_zoom, -1, -1)
+        }
         with ins(f"tiles:{family}"):
+            if resume and all(_is_complete(d) for d in zoom_dirs.values()):
+                # completed projection (its echo dir was already cleaned)
+                layout[f"tiles/{family}"] = f"{out_dir}/tiles/{family}"
+                continue
             # t1 levels echo through parquet (the reference's O2 CTAS
             # barrier) rather than block storage: at rung scale a deep-zoom
             # t1 level is ~the corpus size, and 17 cached levels OOM'd the
@@ -452,16 +499,20 @@ def run_pipeline(
                 epsg,
                 derive_lower_zooms=derive_lower_zooms,
                 t1_echo_dir=echo_dir,
+                resume=resume,
             )
 
             def write_zoom(zoom: int, df: DataFrame, _family: str = family) -> None:
+                sink = f"{out_dir}/tiles/{_family}/z{zoom}"
+                if resume and _is_complete(sink):
+                    return
                 # chunked X5 encoder: low-zoom whale tiles are sliced in the
                 # JVM before the Python encode (encode_tiles ships the whole
                 # pixel array per row — worker-fatal at rung scale)
                 kv = to_key_values(encode_tiles_chunked(df), _family, "tile")
                 write_salted_sorted(
                     with_salt_column(kv),
-                    f"{out_dir}/tiles/{_family}/z{zoom}",
+                    sink,
                     num_partitions=cfg.key_salt_modulus,
                 )
 

@@ -18,8 +18,16 @@ as ONE job at a scale rung, and records:
 - the S7 sink-shape receipt: per-directory file count == salt modulus and
   within-file key sortedness.
 
-Usage: python tools/run_full_build.py [sf_dir] [out_dir] [tiles_threshold]
+Usage: python tools/run_full_build.py [sf_dir] [out_dir] [tiles_threshold] [--resume]
 Env:   SPARK_GRAFT_CPUS (default 32), SPARK_DRIVER_MEMORY (default 8g).
+
+``--resume`` (r7 verdict ask #2): restart an interrupted build — sink dirs
+that already carry ``_SUCCESS`` are skipped and an interrupted pyramid
+re-derives from its surviving t1 echo levels (see run_pipeline docstring).
+Stages whose outputs were fully reused report near-zero wall in the
+receipt; the ``resume`` flag is recorded so the receipt is honest about
+which stages were timed fresh. The G1-G7 gates always run from the bytes
+on disk, so a resumed build is gated exactly as a fresh one.
 
 ``tiles_threshold`` defaults to the registry constant (1000, sized for the
 sf0.01 harness). At the 100x rung every one of the 89 synthetic map keys
@@ -316,9 +324,11 @@ def main() -> int:
     from map_spark_sql_spark.plans.pipeline import map_key_stats, run_pipeline
     from map_spark_sql_spark.session import get_session
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scratch/sf100x"
-    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.scratch/full_build_100x"
-    threshold = int(sys.argv[3]) if len(sys.argv) > 3 else Q.TILES_THRESHOLD
+    args = [a for a in sys.argv[1:] if a != "--resume"]
+    resume = "--resume" in sys.argv[1:]
+    sf_dir = args[0] if len(args) > 0 else "/root/repo/.scratch/sf100x"
+    out_dir = args[1] if len(args) > 1 else "/root/repo/.scratch/full_build_100x"
+    threshold = int(args[2]) if len(args) > 2 else Q.TILES_THRESHOLD
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
     # Registry constants (queries.py) so the existing oracles gate the
@@ -359,7 +369,9 @@ def main() -> int:
 
     occ = Q.occurrence_df(spark, sf_dir)
     t_total = time.monotonic()
-    layout = run_pipeline(occ, cfg, out_dir, derive_lower_zooms=True, instrument=instrument)
+    layout = run_pipeline(
+        occ, cfg, out_dir, derive_lower_zooms=True, instrument=instrument, resume=resume
+    )
     total_wall = time.monotonic() - t_total
     print(f"BUILD DONE: {total_wall:.1f}s total, global peak rss "
           f"{sampler.global_peak // 1024} MiB; layout: {json.dumps(layout)}")
@@ -444,6 +456,7 @@ def main() -> int:
         "sf_dir": sf_dir,
         "out_dir": out_dir,
         "cpus": int(cpus),
+        "resume": resume,
         "driver_memory": os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
         "config": {
             "tiles_threshold": cfg.tiles_threshold,
