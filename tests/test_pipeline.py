@@ -362,3 +362,43 @@ def test_key_value_assembly(occurrence_df):
     r = kv.first()
     assert r.family == "EPSG_4326" and r.qualifier == "features"
     assert isinstance(r.value, (bytes, bytearray))
+
+
+def test_warn_low_zoom_heap_sizing_rule(occurrence_df, spark, tmp_path):
+    """The z<=2 heap projection (SCALE.md round-7 'row bytes x concurrent
+    tasks') computes from the z0 echo and warns iff the projected buffers
+    cross half the driver heap."""
+    import warnings
+
+    import pytest
+
+    from map_spark_sql_spark.config import MapConfiguration
+    from map_spark_sql_spark.plans.pipeline import (
+        _parse_mem_gib,
+        materialize,
+        tile_pyramid,
+        warn_low_zoom_heap,
+    )
+
+    assert _parse_mem_gib("20g") == 20.0
+    assert _parse_mem_gib("16384m") == 16.0
+    assert abs(_parse_mem_gib(str(1 << 30)) - 1.0) < 1e-9
+
+    cfg = MapConfiguration(tiles_threshold=3, max_zoom=1, key_salt_modulus=10,
+                           projections=("EPSG:3857",))
+    ing = P.ingest(occurrence_df, cfg)
+    large = P.keys_exceeding_threshold(P.map_key_stats(ing), cfg)
+    routed = P.route_tiles(ing, large)
+    echo = str(tmp_path / "echo")
+    tile_pyramid(routed, cfg, "EPSG:3857", t1_echo_dir=echo)[0].count()
+
+    # a generous heap stays quiet; a absurdly small one warns with the rule
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        need = warn_low_zoom_heap(spark, echo, cfg, heap_gib=64.0)
+    assert need > 0.0
+    with pytest.warns(UserWarning, match="SCALE.md round-7 sizing rule"):
+        warn_low_zoom_heap(spark, echo, cfg, heap_gib=need * 1.5)
+
+    # no echo -> no-op
+    assert warn_low_zoom_heap(spark, str(tmp_path / "missing"), cfg) == 0.0

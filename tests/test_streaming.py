@@ -586,3 +586,163 @@ def test_custom_sessionize_null_values_use_sql_sum_semantics(spark, tmp_path):
     }
     assert got[1] == 15.0
     assert got[2] is None
+
+
+def _chopped_event_feed(spark, tmp_path, n_slabs: int = 3) -> str:
+    """events.parquet sorted by (ts, event_id) and chopped into n time-ordered
+    slab files with mtime order = replay order (the chop-sweep recipe), so
+    maxFilesPerTrigger=1 produces n real micro-batches."""
+    import os
+    import time
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    feed = str(tmp_path / "chopped_feed")
+    os.makedirs(feed)
+    t = pq.read_table(f"{SF_DIR}/events.parquet")
+    t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]))
+    step = -(-t.num_rows // n_slabs)
+    now = time.time()
+    for i in range(n_slabs):
+        sl = t.slice(i * step, step)
+        if not sl.num_rows:
+            break
+        p = os.path.join(feed, f"slab_{i:03d}.parquet")
+        pq.write_table(sl, p)
+        os.utime(p, (now + i, now + i))
+    return feed
+
+
+def _batch_sessions_twin(spark):
+    """Gap-islands batch twin of the 30-minute sessionization."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "value", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    marked = ev.withColumn(
+        "new_s",
+        (F.col("ts_us") - F.lag("ts_us").over(w) > 30 * 60 * 1_000_000).cast("int"),
+    ).withColumn(
+        "sess", F.sum(F.coalesce("new_s", F.lit(0))).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        )
+    )
+    return marked.groupBy("user_id", "sess").agg(
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+    ).drop("sess")
+
+
+def test_sessions_snapshot_delta_sink_multi_batch(spark, tmp_path):
+    """r7 verdict ask #3: the delta-per-batch sessions sink over multiple
+    REAL micro-batches resolves to the batch gap-islands twin, per-batch
+    write volume is the batch's changed sessions (not the corpus), and
+    compaction preserves the resolved result."""
+    import os
+
+    from map_spark_sql_spark.streaming import (
+        compact_sessions_snapshot,
+        read_sessions_snapshot,
+        sessions_to_snapshot,
+    )
+    from map_spark_sql_spark.streaming.events import drain
+
+    feed = _chopped_event_feed(spark, tmp_path, n_slabs=3)
+    snap_dir = str(tmp_path / "snap")
+    q = sessions_to_snapshot(
+        read_event_stream(spark, feed, nanos=False, max_files_per_trigger=1),
+        spark,
+        snap_dir,
+        gap_minutes=30,
+    )
+    drain(q)
+
+    deltas = sorted(d for d in os.listdir(snap_dir) if d.startswith("delta_b"))
+    assert len(deltas) >= 3, deltas
+
+    def shape(df):
+        return df.select(
+            "user_id", "session_start_us", "session_end_us", "n_events",
+            F.round("session_value", 2).alias("session_value"),
+        )
+
+    got = sorted(map(tuple, shape(read_sessions_snapshot(spark, snap_dir)).collect()))
+    want = sorted(map(tuple, _batch_sessions_twin(spark).collect()))
+    assert got == want and len(got) > 0
+
+    # per-batch write ∝ batch: every delta holds only that batch's emissions,
+    # so the sink's total rows stay within (changed-per-batch) x batches —
+    # far below batches x corpus (the old full-rewrite sink's volume)
+    total_delta_rows = sum(
+        spark.read.parquet(os.path.join(snap_dir, d)).count() for d in deltas
+    )
+    n_sessions = len(want)
+    assert total_delta_rows < 2 * n_sessions + len(deltas) * 10
+
+    compact_sessions_snapshot(spark, snap_dir)
+    assert not any(d.startswith("delta_b") for d in os.listdir(snap_dir))
+    assert any(d.startswith("base_b") for d in os.listdir(snap_dir))
+    got2 = sorted(map(tuple, shape(read_sessions_snapshot(spark, snap_dir)).collect()))
+    assert got2 == got
+
+
+def test_read_sessions_snapshot_empty_dir(spark, tmp_path):
+    """A drained stream that produced zero batches yields an EMPTY session
+    DataFrame, not max()-of-empty-sequence (r7 advice #5)."""
+    from map_spark_sql_spark.streaming import read_sessions_snapshot
+
+    snap_dir = str(tmp_path / "empty_snap")
+    import os
+
+    os.makedirs(snap_dir)
+    df = read_sessions_snapshot(spark, snap_dir)
+    assert df.count() == 0
+    assert "session_start_us" in df.columns and "user_id" in df.columns
+
+
+def test_upsert_snapshot_retention_and_gap_tolerance(spark, tmp_path):
+    """The CDC upsert sink prunes superseded MVCC versions (keep 2) and
+    resolves its predecessor by scanning for the max committed version —
+    not batch_id - 1 — so id gaps can't silently reset the snapshot
+    (r7 advice #1)."""
+    import os
+
+    from map_spark_sql_spark.streaming import upsert_to_snapshot
+    from map_spark_sql_spark.streaming.events import drain
+
+    feed = _chopped_event_feed(spark, tmp_path, n_slabs=4)
+    snap_dir = str(tmp_path / "cdc_snap")
+    q = upsert_to_snapshot(
+        read_event_stream(spark, feed, nanos=False, max_files_per_trigger=1).select(
+            "user_id", "ts", "event_type", "value", "event_id"
+        ),
+        spark,
+        snap_dir,
+        on=["user_id"],
+    )
+    drain(q)
+    versions = sorted(
+        (int(d[1:]) for d in os.listdir(snap_dir) if d.startswith("v") and d[1:].isdigit())
+    )
+    assert len(versions) <= 2  # retention pruned the older copies
+    assert max(versions) >= 3  # ...but the stream really ran 4+ batches
+
+    # max-version resolution survives an id gap: the final snapshot equals
+    # the batch latest-per-key twin even though v0/v1 are gone
+    from pyspark.sql.window import Window
+
+    snap = spark.read.parquet(os.path.join(snap_dir, f"v{max(versions)}"))
+    events = load_table(spark, SF_DIR, "events").select(
+        "user_id", "ts", "event_type", "value", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_type").desc(), F.col("value").desc(),
+        F.col("event_id").desc(),
+    )
+    batch = events.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+    assert sorted(map(tuple, snap.collect())) == sorted(map(tuple, batch.collect()))

@@ -22,7 +22,10 @@ verification modes close it:
 Usage: python tools/check_map_at_scale.py [sf_dir] [query ...]
 Queries: mapkeys_stats, points_salted_keys, route_tiles_semi (collect);
          tiles_encode_blob_md5 (collect, heavy);
-         t1_mercator_z4, tiles_mercator_z16 (digest, heavy).
+         t1_mercator_z4, tiles_mercator_z16 (digest, heavy);
+         tiles_mercator_z16_sharded (digest vs per-mapKey sharded DuckDB
+         twin — the 1000x form, where the one-shot oracle spills the
+         verifier's disk).
 """
 
 from __future__ import annotations
@@ -128,6 +131,86 @@ def blob_gate_sharded(spark, con, sf_dir: str, n_batches: int = 12) -> bool:
     return True
 
 
+def t3_digest_sharded(spark, sf_dir: str, epsg: str = "EPSG:3857",
+                      zoom: int = 16, n_batches: int = 16) -> bool:
+    """tiles_mercator_z16 digest with a per-mapKey SHARDED DuckDB twin
+    (r7 verdict ask #4 — closes the last engine-verified-only row).
+
+    The one-shot z16 oracle exhausted the box's DISK with aggregation
+    spill (the third verifier-ceiling class after allocator death and
+    memory_limit aborts). Every aggregation in the t3 reconstruction
+    groups by mapKey, so per-key shards are independent; the digest is a
+    SUM over rows, so shard digests add: sum_k (n_k, s1_k, s2_k) must
+    equal Spark's one-shot digest over the full result. Shards are
+    greedily balanced by the stats rowcount with the '0:0' whale (every
+    record carries it) isolated in its own shard; fresh bounded DuckDB
+    connection per shard (the check_tokenize_at_scale.py discipline)."""
+    import tempfile as _tf
+    import time as _t
+
+    import duckdb
+
+    from map_spark_sql_spark import queries as Q
+
+    # Spark: run the registered query ONCE, digest the full result
+    t0 = _t.perf_counter()
+    sdf = Q.QUERIES[f"tiles_mercator_z{zoom}"](spark, sf_dir)
+    cols = list(sdf.columns)
+    s_n, s_s1, s_s2 = digest_spark(sdf).collect()[0]
+    t_spark = _t.perf_counter() - t0
+    print(f"spark z{zoom} digest: n={s_n} s1={s_s1} s2={s_s2} ({t_spark:.1f}s)")
+
+    # shard keys by stats rowcount, whale isolated
+    stats = {
+        r.mapKey: r.occCount
+        for r in Q.QUERIES["mapkeys_stats"](spark, sf_dir).collect()
+    }
+    whale = max(stats, key=stats.get)
+    rest = sorted((k for k in stats if k != whale), key=stats.get, reverse=True)
+    import heapq
+
+    n_bins = max(1, n_batches - 1)
+    heap = [(0, i) for i in range(n_bins)]
+    heapq.heapify(heap)
+    batches: list[list[str]] = [[] for _ in range(n_bins)]
+    loads = [0] * n_bins
+    for k in rest:
+        load, i = heapq.heappop(heap)
+        batches[i].append(k)
+        loads[i] = load + stats[k]
+        heapq.heappush(heap, (loads[i], i))
+    batches = [[whale]] + [b for b in batches if b]
+
+    d_n = d_s1 = d_s2 = 0
+    t_duck = 0.0
+    for bi, batch in enumerate(batches):
+        quoted = ", ".join(f"'{k}'" for k in batch)
+        _fn, oracle = Q._t3_query(epsg, zoom, where_extra=f"WHERE mapKey IN ({quoted})")
+        t0 = _t.perf_counter()
+        con = duckdb.connect()
+        con.execute("SET memory_limit='16GB'")
+        con.execute(f"SET temp_directory='{_tf.mkdtemp(prefix='duck_z16_')}'")
+        con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
+        n, s1, s2 = con.sql(digest_duck_sql(oracle, cols)).fetchone()
+        con.close()
+        t_duck += _t.perf_counter() - t0
+        d_n += n or 0
+        d_s1 += s1 or 0
+        d_s2 += s2 or 0
+        print(
+            f"  z{zoom} shard {bi} ({len(batch)} keys, est {sum(stats[k] for k in batch)}"
+            f" base rows): n={n} (cumulative duckdb {t_duck:.1f}s)"
+        )
+    ok = (s_n, s_s1, s_s2) == (d_n, d_s1, d_s2)
+    print(
+        f"{'PASS' if ok else 'FAIL'} tiles_mercator_z{zoom} (sharded digest): "
+        f"spark (n={s_n}, s1={s_s1}, s2={s_s2}) vs duckdb-sum "
+        f"(n={d_n}, s1={d_s1}, s2={d_s2}) over {len(batches)} shards "
+        f"(spark {t_spark:.1f}s, duckdb {t_duck:.1f}s)"
+    )
+    return ok
+
+
 def main() -> int:
     import duckdb
 
@@ -158,6 +241,10 @@ def main() -> int:
     for name in names:
         if name == "tiles_encode_blob_md5":
             if not blob_gate_sharded(spark, con, sf_dir):
+                failures.append(name)
+            continue
+        if name == "tiles_mercator_z16_sharded":
+            if not t3_digest_sharded(spark, sf_dir):
                 failures.append(name)
             continue
         mode = "digest" if name in DIGEST else "collect"

@@ -123,8 +123,9 @@ def main() -> int:
 
     failures = []
 
-    # --- sessions in UPDATE mode via the foreachBatch overlap-merge
-    # snapshot sink (r6 verdict ask #3): the complete-mode memory-sink gate
+    # --- sessions in UPDATE mode via the foreachBatch delta-per-batch
+    # snapshot sink (r6 verdict ask #3; r7 ask #3 made the per-batch write
+    # proportional to the batch): the complete-mode memory-sink gate
     # materialized ~9.4M sessions in driver memory at 100x; this replays
     # the same feed through sessions_to_snapshot over N real micro-batches
     # (cross-batch session growth + overlap supersession) and compares the
@@ -138,6 +139,30 @@ def main() -> int:
     STE.drain(query, timeout_sec=3600)
     secs = time.perf_counter() - t0
     n_batches = len([p for p in query.recentProgress if p["numInputRows"] > 0])
+    # per-batch write volume (r7 verdict ask #3 done-criterion): each delta
+    # dir holds ONLY that batch's changed-session emissions, so bytes/rows
+    # per batch track the batch — not the corpus (the old full-rewrite sink
+    # re-copied all ~9.4M sessions every batch)
+    deltas = sorted(
+        (d for d in os.listdir(snap_dir) if d.startswith("delta_b")),
+        key=lambda d: int(d[len("delta_b"):]),
+    )
+    per_batch = []
+    for d in deltas:
+        dd = os.path.join(snap_dir, d)
+        nbytes = sum(
+            os.path.getsize(os.path.join(dd, f))
+            for f in os.listdir(dd)
+            if f.endswith(".parquet")
+        )
+        per_batch.append((d, spark.read.parquet(dd).count(), nbytes))
+    total_rows = sum(r for _, r, _ in per_batch)
+    total_mib = sum(b for _, _, b in per_batch) / (1 << 20)
+    print(
+        f"  delta sink: {len(per_batch)} delta dirs, {total_rows} emission rows, "
+        f"{total_mib:.1f} MiB total written "
+        f"(per-batch rows: {[r for _, r, _ in per_batch]})"
+    )
     snap = STE.read_sessions_snapshot(spark, snap_dir).select(
         "user_id",
         "session_start_us",
