@@ -165,6 +165,41 @@ def compare(name: str, sdf, oracle_sql: str, con, results: list) -> None:
     )
 
 
+def compare_digest(name: str, sdf, oracle_sql: str, con, results: list) -> None:
+    """Order-insensitive exact-integer digest compare for rung-sized gate
+    outputs (the tools/check_map_at_scale.py convention): both engines
+    reduce the full result to ONE (count, sum-of-two-md5-windows) row."""
+    from tools.check_map_at_scale import digest_duck_sql, digest_spark
+
+    t0 = time.perf_counter()
+    try:
+        cols = list(sdf.columns)
+        s_n, s1, s2 = digest_spark(sdf).collect()[0]
+        t_spark = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        d_n, d1, d2 = con.sql(digest_duck_sql(oracle_sql, cols)).fetchone()
+        t_duck = time.perf_counter() - t0
+    except Exception as exc:  # noqa: BLE001
+        results.append({"gate": name, "ok": False, "err": str(exc)[:500]})
+        print(f"GATE FAIL {name}: {str(exc)[:500]}")
+        return
+    ok = (s_n, s1, s2) == (d_n, d1, d2)
+    results.append(
+        {
+            "gate": name,
+            "ok": ok,
+            "rows": s_n,
+            "digest": [s_n, s1, s2],
+            "spark_s": round(t_spark, 1),
+            "duckdb_s": round(t_duck, 1),
+        }
+    )
+    print(
+        f"GATE {'PASS' if ok else 'FAIL'} {name}: digest ({s_n}, {s1}, {s2}) vs "
+        f"({d_n}, {d1}, {d2}) (spark {t_spark:.1f}s, duckdb {t_duck:.1f}s)"
+    )
+
+
 def routed_t3_oracle(epsg: str, zoom: int) -> str:
     """tiles_* t3 counts oracle (queries._t3_query) restricted to the build's
     J1 routing (mapKey IN large) and, for EPSG:3031, the S4 lat<=1 subset."""
@@ -349,6 +384,10 @@ def main() -> int:
         extra_conf={
             "spark.sql.maxPlanStringLength": "1000000",
             "spark.sql.ui.retainedExecutions": "25",
+            # gate collects (G1 ingest echo, G4/G5 blob views) are
+            # row-bounded but byte-heavy at rung scale; the rung-SIZED
+            # result (G6 z16) is digest-compared, never collected
+            "spark.driver.maxResultSize": "4g",
         },
     )
     sampler = RssSampler()
@@ -430,9 +469,15 @@ def main() -> int:
     )
 
     # G6: WRITTEN z16 mercator blobs DECODED back to t3 counts vs the routed
-    # t3 oracle (gates the base zoom the whole derived pyramid hangs off)
-    compare(
-        "tiles EPSG_3857/z16 decoded (disk) == routed t3 oracle",
+    # t3 oracle (gates the base zoom the whole derived pyramid hangs off).
+    # DIGEST-compared, not collected: the z16 result is rung-sized (~3.2M
+    # rows / >1 GiB serialized at 100x — the first full run of this gate
+    # tripped spark.driver.maxResultSize), exactly the case the
+    # check_map_at_scale digest convention exists for: both engines reduce
+    # to (count, sum(h1), sum(h2)) over the same canonical row string and
+    # the harness transfer is O(1).
+    compare_digest(
+        "tiles EPSG_3857/z16 decoded (disk) ~digest~ routed t3 oracle",
         decoded_tile_counts(spark, f"{out_dir}/tiles/EPSG_3857/z16"),
         routed_t3_oracle("EPSG:3857", 16),
         con,
