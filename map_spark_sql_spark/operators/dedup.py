@@ -1054,17 +1054,28 @@ def prefix_filter_pairs(
         post.join(dfreq, "h")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.expr(f"rn <= sz - (({num} * sz + {den - 1}) div {den}) + 1"))
-        .select("rep", "sz", "h")
+        .select("rep", "sz", "rn", "h")
     )
     # AllPairs length filter (lossless): J >= t forces
     # num * max(|a|,|b|) <= den * min(|a|,|b|), pruned inside the posting
     # join BEFORE the distinct so incompatible-size candidates never reach
     # the candidate shuffle (sf0.1: 7.6M -> 5.0M candidates).
+    #
+    # Positional filter (PPJoin, Xiao et al. WWW'08 §3.2, lossless): both
+    # prefixes are ranked by the SAME total token order (df, h), so when a
+    # token matches at 1-based ranks (i, j), the overlap from tokens that
+    # precede it is at most min(i-1, j-1) and from the token onward at most
+    # min(|a|-i+1, |b|-j+1). J >= num/den needs overlap
+    # O = ceil(num*(|a|+|b|)/(num+den)); the bound holds at EVERY matching
+    # token, so any posting row that fails it is safely dropped before the
+    # candidate shuffle — a pair survives iff some matching row passes.
     a_post = pref.select(
-        F.col("rep").alias("a_id"), F.col("sz").alias("a_psz"), "h"
+        F.col("rep").alias("a_id"), F.col("sz").alias("a_psz"),
+        F.col("rn").alias("a_rn"), "h",
     )
     b_post = pref.select(
-        F.col("rep").alias("b_id"), F.col("sz").alias("b_psz"), "h"
+        F.col("rep").alias("b_id"), F.col("sz").alias("b_psz"),
+        F.col("rn").alias("b_rn"), "h",
     )
     cand = (
         a_post.join(b_post, "h")
@@ -1072,6 +1083,13 @@ def prefix_filter_pairs(
             (F.col("a_id") < F.col("b_id"))
             & (F.expr(f"{num} * a_psz <= {den} * b_psz"))
             & (F.expr(f"{num} * b_psz <= {den} * a_psz"))
+            & (
+                F.expr("least(a_rn - 1, b_rn - 1)")
+                + F.expr("least(a_psz - a_rn + 1, b_psz - b_rn + 1)")
+                >= F.expr(
+                    f"({num} * (a_psz + b_psz) + {num + den - 1}) div {num + den}"
+                )
+            )
         )
         .select("a_id", "b_id")
         .distinct()
