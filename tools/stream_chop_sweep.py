@@ -188,6 +188,36 @@ def main() -> int:
         failures.append("stream_sessions_update_snapshot")
         print(f"  spark rows {len(srows)}; duck rows {len(drows)}")
 
+    # --- compaction at the same rung: fold the N deltas into base_b{n}
+    # and assert the merge-on-read view is unchanged. This is the
+    # long-stream bound on the log-structured sink (delta count grows
+    # with stream length; compaction resets merge-on-read to ONE base),
+    # certified on the exact delta pile the chopped replay just wrote. ---
+    t0 = time.perf_counter()
+    STE.compact_sessions_snapshot(spark, snap_dir)
+    t_compact = time.perf_counter() - t0
+    dirs_after = sorted(
+        d for d in os.listdir(snap_dir)
+        if d.startswith(("base_b", "delta_b"))
+    )
+    snap2 = STE.read_sessions_snapshot(spark, snap_dir).select(
+        "user_id",
+        "session_start_us",
+        "session_end_us",
+        "n_events",
+        F.round("session_value", 2).alias("session_value"),
+    )
+    srows2 = normalize([tuple(r[c] for c in sorted(snap2.columns)) for r in snap2.collect()])
+    cok = srows2 == srows and len(dirs_after) == 1
+    print(
+        f"{'PASS' if cok else 'FAIL'} sessions snapshot compaction: "
+        f"{len(per_batch)} deltas -> {dirs_after} in {t_compact:.1f}s, "
+        f"re-read {'identical' if srows2 == srows else 'DIVERGED'} "
+        f"({len(srows2)} rows)"
+    )
+    if not cok:
+        failures.append("sessions_snapshot_compaction")
+
     for qname, build, mode, shape in cases:
         out, n_batches, secs = run_chopped(
             spark, feed, build, f"chop_{qname}", mode
