@@ -967,6 +967,7 @@ def prefix_filter_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: tuple[int, int] = (7, 10),
+    positional: bool = False,
 ) -> DataFrame:
     """LOSSLESS threshold-Jaccard set-similarity self-join via prefix
     filtering (Bayardo et al. "Scaling Up All Pairs Similarity Search",
@@ -1050,47 +1051,56 @@ def prefix_filter_pairs(
     )
     dfreq = post.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("rep").orderBy("df", "h")
+    pos_cols = ["rn"] if positional else []
     pref = (
         post.join(dfreq, "h")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.expr(f"rn <= sz - (({num} * sz + {den - 1}) div {den}) + 1"))
-        .select("rep", "sz", "rn", "h")
+        .select("rep", "sz", *pos_cols, "h")
     )
     # AllPairs length filter (lossless): J >= t forces
     # num * max(|a|,|b|) <= den * min(|a|,|b|), pruned inside the posting
     # join BEFORE the distinct so incompatible-size candidates never reach
     # the candidate shuffle (sf0.1: 7.6M -> 5.0M candidates).
     #
-    # Positional filter (PPJoin, Xiao et al. WWW'08 §3.2, lossless): both
-    # prefixes are ranked by the SAME total token order (df, h), so when a
-    # token matches at 1-based ranks (i, j), the overlap from tokens that
-    # precede it is at most min(i-1, j-1) and from the token onward at most
-    # min(|a|-i+1, |b|-j+1). J >= num/den needs overlap
+    # Positional filter (PPJoin, Xiao et al. WWW'08 §3.2, lossless; OPT-IN):
+    # both prefixes are ranked by the SAME total token order (df, h), so
+    # when a token matches at 1-based ranks (i, j), the overlap from tokens
+    # that precede it is at most min(i-1, j-1) and from the token onward at
+    # most min(|a|-i+1, |b|-j+1). J >= num/den needs overlap
     # O = ceil(num*(|a|+|b|)/(num+den)); the bound holds at EVERY matching
     # token, so any posting row that fails it is safely dropped before the
     # candidate shuffle — a pair survives iff some matching row passes.
+    # MEASURED default-off (sf0.1 bench corpus, same box A/B): pruning
+    # removed only ~1% of candidates (near-identical sets match at early
+    # ranks) while carrying the two rank columns through the ~27M-row
+    # posting join cost +15% wall on the operator. Enable on corpora with
+    # heavy shared-vocabulary overlap SHORT of the threshold, where
+    # late-rank matches dominate the candidate stream.
     a_post = pref.select(
         F.col("rep").alias("a_id"), F.col("sz").alias("a_psz"),
-        F.col("rn").alias("a_rn"), "h",
+        *[F.col("rn").alias("a_rn")] if positional else [], "h",
     )
     b_post = pref.select(
         F.col("rep").alias("b_id"), F.col("sz").alias("b_psz"),
-        F.col("rn").alias("b_rn"), "h",
+        *[F.col("rn").alias("b_rn")] if positional else [], "h",
     )
-    cand = (
-        a_post.join(b_post, "h")
-        .filter(
-            (F.col("a_id") < F.col("b_id"))
-            & (F.expr(f"{num} * a_psz <= {den} * b_psz"))
-            & (F.expr(f"{num} * b_psz <= {den} * a_psz"))
-            & (
-                F.expr("least(a_rn - 1, b_rn - 1)")
-                + F.expr("least(a_psz - a_rn + 1, b_psz - b_rn + 1)")
-                >= F.expr(
-                    f"({num} * (a_psz + b_psz) + {num + den - 1}) div {num + den}"
-                )
+    keep = (
+        (F.col("a_id") < F.col("b_id"))
+        & (F.expr(f"{num} * a_psz <= {den} * b_psz"))
+        & (F.expr(f"{num} * b_psz <= {den} * a_psz"))
+    )
+    if positional:
+        keep = keep & (
+            F.expr("least(a_rn - 1, b_rn - 1)")
+            + F.expr("least(a_psz - a_rn + 1, b_psz - b_rn + 1)")
+            >= F.expr(
+                f"({num} * (a_psz + b_psz) + {num + den - 1}) div {num + den}"
             )
         )
+    cand = (
+        a_post.join(b_post, "h")
+        .filter(keep)
         .select("a_id", "b_id")
         .distinct()
     )

@@ -2230,6 +2230,30 @@ class TestPrefixFilterPairs:
         assert (cross["a_family"], cross["b_family"]) == (10, 1)
         assert cross["jac_ppm"] == 1000000 * 5 // 7
 
+    def test_positional_filter_is_lossless(self, spark):
+        """PPJoin positional filter (opt-in) must not change the output:
+        the overlap bound min(i-1,j-1) + min(|a|-i+1, |b|-j+1) >= O holds
+        at every matching token for any truly-qualifying pair. Corpus mixes
+        near-dups at the threshold boundary with heavy shared-vocabulary
+        pairs BELOW it (the late-rank-match class the filter prunes)."""
+        shared = " ".join(f"s{i}" for i in range(12))
+        docs = [
+            (1, shared + " a1 a2"),
+            (2, shared + " a1 a3"),          # high-J near-dup of 1
+            (3, shared + " b1 b2 b3 b4 b5 b6 b7"),  # shares vocab, sub-threshold
+            (4, "s0 s1 s2 s3 q1 q2 q3 q4 q5 q6"),   # partial-vocab, sub-threshold
+            (5, shared + " a1 a2"),          # exact dup of 1
+            (6, "zz yy xx ww"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        base = sorted(map(tuple, DD.prefix_filter_pairs(df).collect()))
+        pos = sorted(
+            map(tuple, DD.prefix_filter_pairs(df, positional=True).collect())
+        )
+        assert pos == base
+        assert any(r[0] != r[1] for r in base)  # cross pair present
+        assert any(r[0] == r[1] for r in base)  # self row present
+
 
 class TestPageRank:
     def test_matches_python_integer_reference(self, spark):
