@@ -27,6 +27,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #   shared whale guard + CHUNKED X5 encoder (JVM slice before Python,
 #   byte-bounded Arrow batches) — the trade that fixed a worker-fatal OOM
 #   at the 1000x rung (plans/tiles.py:136-219; SCALE.md round-7).
+# - round-8 HOST drift, not code: byte-identical r7 code (c2c9d73)
+#   re-benched on the round-8 container measures 83.0s total vs the 68.6s
+#   it recorded on the round-7 container, with ±12% run-to-run variance
+#   at zero load (three r8-code runs: 85.9/86.8/95.2s; per-query watch
+#   list moved BETWEEN runs). Same-box A/B pins r8 code == r7 code on
+#   the heaviest query (19.96/20.10 vs 19.55s). See SCALE.md round-8.
 HEADLINE = [
     # reference-pipeline operators
     "mapkeys_stats",
