@@ -312,6 +312,19 @@ def tile_pyramid(
 
 _WHALE_ZOOM = 2  # zooms <= this take the two-level pixel-block aggregation
 _WHALE_BLOCK_PX = 64  # pixel-block width for the whale-safe first level
+# Concurrency cap for the z <= _WHALE_ZOOM stages (SPARK_GRAFT_WHALE_TASKS
+# overrides). The two-level guard bounds every aggregation BUFFER, but the
+# level-1 sub-list ROWS are still strip-proportional (tens of MB at the
+# 100x rung), and heap demand is row bytes x concurrently-running tasks —
+# SCALE.md's executor-sizing rule. 32 concurrent strip-row writers OOM'd a
+# 20 GiB driver at 100x where 8 complete comfortably: the shuffle-free
+# coalesce pins the whole z<=2 map stage (echo scan -> address explode ->
+# partial collect) to this many tasks, and past the fallback threshold the
+# partial aggregation goes sort-based, so each task finalizes ONE giant
+# row at a time. Low zooms are a trivial share of pyramid compute, so the
+# narrower stage costs seconds; on a real cluster the same rule is
+# "executor memory >= max strip-row bytes x executor cores".
+_WHALE_TASK_CAP = 8
 
 
 def collect_tile_pixels(
@@ -348,6 +361,10 @@ def collect_tile_pixels(
         return addressed.groupBy(
             *keys, tile_x.alias("x"), tile_y.alias("y")
         ).agg(F.sort_array(F.collect_list(px_struct)).alias(out_col))
+    import os as _os
+
+    cap = int(_os.environ.get("SPARK_GRAFT_WHALE_TASKS", str(_WHALE_TASK_CAP)))
+    addressed = addressed.coalesce(cap)
     blk = (
         pixel_x - (((pixel_x % _WHALE_BLOCK_PX) + _WHALE_BLOCK_PX) % _WHALE_BLOCK_PX)
     ).alias("blk")
