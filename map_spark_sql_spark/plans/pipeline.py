@@ -376,6 +376,13 @@ def collect_tile_pixels(
         .agg(F.sort_array(F.collect_list(F.struct("blk", "sub"))).alias("blocks"))
         .withColumn(out_col, F.flatten(F.expr("transform(blocks, b -> b.sub)")))
         .drop("blocks")
+        # post-shuffle coalesce: the REDUCE stage is where the final
+        # tile-proportional rows materialize (and where any downstream
+        # fused projection — chunk explode, Arrow encode, sink write —
+        # runs), so the concurrency cap must bind HERE too, not just on
+        # the map side above. Merging reduce partitions bounds the stage
+        # at `cap` simultaneous whale-row finalizers.
+        .coalesce(cap)
     )
 
 
@@ -532,11 +539,33 @@ def run_pipeline(
                 # JVM before the Python encode (encode_tiles ships the whole
                 # pixel array per row — worker-fatal at rung scale)
                 kv = to_key_values(encode_tiles_chunked(df), _family, "tile")
-                write_salted_sorted(
-                    with_salt_column(kv),
-                    sink,
-                    num_partitions=cfg.key_salt_modulus,
+                spark = df.sparkSession
+                fallback_key = (
+                    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
                 )
+                saved = spark.conf.get(fallback_key, None)
+                if zoom <= _WHALE_ZOOM:
+                    # The z<=2 levels have FEWER groups per task than the
+                    # object-hash fallback threshold (default 128), so the
+                    # level-2 collect never falls back and holds EVERY
+                    # tile group's compact blocks in memory at once —
+                    # several GB/task at rung scale (OOM'd a 20 GiB heap
+                    # at z1 even with the task cap). Threshold 1 forces
+                    # sort-based aggregation: one group's tile at a time
+                    # streams through each of the capped tasks.
+                    spark.conf.set(fallback_key, "1")
+                try:
+                    write_salted_sorted(
+                        with_salt_column(kv),
+                        sink,
+                        num_partitions=cfg.key_salt_modulus,
+                    )
+                finally:
+                    if zoom <= _WHALE_ZOOM:
+                        if saved is None:
+                            spark.conf.unset(fallback_key)
+                        else:
+                            spark.conf.set(fallback_key, saved)
 
             materialize_pyramid(pyramid, write_zoom)
             # The echo dir is scratch: this CRS's levels are never re-read

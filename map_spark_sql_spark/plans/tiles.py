@@ -200,15 +200,43 @@ def encode_tiles_chunked(
         out["value"] = [value]
         return out
 
-    chunked = big.select(
-        *others,
-        F.size(F.col(tile_col)).alias("_npx"),
-        F.posexplode(
+    # Chunk width adapts PER ROW to its element density: the real row-size
+    # driver is pixel-ENTRIES (pixels x their features arrays — ~130
+    # borYears per pixel at z<=2, where "16384 pixels" is a ~30-50MB row),
+    # so each tile gets chunk_px = chunk_elems / its avg features-per-px,
+    # clamped to [16, chunk]. And the sequence explodes INDEXES with the
+    # slice computed lazily per output row — the old
+    # transform-then-posexplode materialized every chunk up front, i.e. a
+    # SECOND full copy of the whale tile inside one generate-input row
+    # (BufferHolder.grow OOM at the 100x composed build's z<=2 writes even
+    # under the task cap). The input tile still exists once per in-flight
+    # row — irreducible — but nothing doubles it.
+    chunk_elems = 262144  # ~4-6MB chunk rows at wire width
+    chunked = (
+        big.withColumn("_npx", F.size(F.col(tile_col)))
+        .withColumn(
+            "_cpx",
             F.expr(
-                f"transform(sequence(0, greatest((size({tile_col}) - 1) div {chunk}, 0)), "
-                f"i -> slice({tile_col}, i * {chunk} + 1, {chunk}))"
-            )
-        ).alias("_idx", "_chunk"),
+                f"least(CAST({chunk} AS INT), greatest(16, CAST({chunk_elems} DIV "
+                f"greatest(1L, aggregate({tile_col}, 0L, (a, p) -> a + size(p.features)) "
+                f"DIV size({tile_col})) AS INT)))"
+            ),
+        )
+        .select(
+            *others,
+            "_npx",
+            "_cpx",
+            F.col(tile_col),
+            F.posexplode(
+                F.expr(f"sequence(0, (size({tile_col}) - 1) DIV _cpx)")
+            ).alias("_idx", "_i"),
+        )
+        .select(
+            *others,
+            "_npx",
+            "_idx",
+            F.expr(f"slice({tile_col}, _idx * _cpx + 1, _cpx)").alias("_chunk"),
+        )
     )
     big_enc = (
         chunked.withColumn("_body", _enc_block(F.col("_chunk")))
