@@ -17,9 +17,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# FROZEN for round 8 (r7 verdict ask #7): the 50-query set below is
-# byte-identical to rounds 6 and 7, so BENCH_r08.json compares 1:1 with
-# r07. Known structural levels carried forward, NOT regressions:
+# FROZEN for round 9 (fourth frozen round; r7 verdict ask #7, r8 ask #3):
+# the 50-query set below is byte-identical to rounds 6-8, so BENCH_r09.json
+# compares 1:1 with r08. NEW in r9: the output carries "calib" fields
+# (_calibrate below) — a Spark-free CPU reference workload timed at bench
+# start. Cross-round comparisons should normalize by it:
+#   code_ratio ~= (total_rN / total_rM) / (calib_32t_rN / calib_32t_rM)
+# Known structural levels carried forward, NOT regressions:
 # - tiles_mercator_z2 ~2x its r5 level: z <= _WHALE_ZOOM routes through
 #   the two-level pixel-block aggregation — the trade that cut the 100x
 #   rung's heap floor 3x (plans/pipeline.py _t2_t3; SCALE.md round-6).
@@ -115,12 +119,45 @@ HEADLINE = [
 ]
 
 
+def _calibrate() -> dict[str, float]:
+    """Host-calibration probe (r8 verdict ask #3): a fixed CPU-bound
+    reference workload — SHA-256 over a 1 MiB buffer — timed single-
+    threaded (1,024 digests) and across 32 threads (32x256 digests;
+    hashlib releases the GIL on large buffers, so the threaded number
+    measures real multi-core throughput). No Spark involved: the numbers
+    characterize the CONTAINER, not the code, so cross-round bench ratios
+    can be normalized (code_ratio ~= raw_ratio / (calib_rN / calib_rN-1))
+    instead of requiring the ad-hoc same-box git-worktree A/Bs rounds 7-8
+    needed — containers showed ~±20% round-to-round drift (SCALE.md
+    round-8). Deterministic input, fixed counts; ~1-2 s total."""
+    import hashlib
+    from concurrent.futures import ThreadPoolExecutor
+
+    buf = b"\x5a" * (1 << 20)
+
+    def digests(n: int) -> None:
+        for _ in range(n):
+            hashlib.sha256(buf).digest()
+
+    digests(64)  # warm the code path
+    t0 = time.perf_counter()
+    digests(1024)
+    one = time.perf_counter() - t0
+    with ThreadPoolExecutor(32) as pool:
+        t0 = time.perf_counter()
+        list(pool.map(digests, [256] * 32))
+        many = time.perf_counter() - t0
+    return {"calib_1t_sec": round(one, 3), "calib_32t_sec": round(many, 3)}
+
+
 def main() -> None:
     from map_spark_sql_spark.queries import QUERIES
     from map_spark_sql_spark.session import get_session
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    calib = _calibrate()
 
     spark = get_session(app_name="bench", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
@@ -177,6 +214,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "calib": calib,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -327,6 +327,34 @@ _WHALE_BLOCK_PX = 64  # pixel-block width for the whale-safe first level
 _WHALE_TASK_CAP = 8
 
 
+def _whale_task_cap() -> int:
+    """The z<=2 stage concurrency cap, with the SPARK_GRAFT_WHALE_TASKS
+    override validated (r8 advice #1): a malformed or non-positive value
+    would otherwise surface as a ValueError at plan build or an opaque
+    ``coalesce`` requirement error mid-job. Bad input falls back to
+    ``_WHALE_TASK_CAP`` with a warning; values are clamped to >= 1."""
+    import os
+    import warnings
+
+    raw = os.environ.get("SPARK_GRAFT_WHALE_TASKS")
+    if raw is None:
+        return _WHALE_TASK_CAP
+    try:
+        cap = int(raw)
+    except ValueError:
+        warnings.warn(
+            f"SPARK_GRAFT_WHALE_TASKS={raw!r} is not an integer; "
+            f"using the default ({_WHALE_TASK_CAP})"
+        )
+        return _WHALE_TASK_CAP
+    if cap < 1:
+        warnings.warn(
+            f"SPARK_GRAFT_WHALE_TASKS={cap} is not positive; clamping to 1"
+        )
+        return 1
+    return cap
+
+
 def collect_tile_pixels(
     addressed: DataFrame,
     px_struct,
@@ -361,9 +389,7 @@ def collect_tile_pixels(
         return addressed.groupBy(
             *keys, tile_x.alias("x"), tile_y.alias("y")
         ).agg(F.sort_array(F.collect_list(px_struct)).alias(out_col))
-    import os as _os
-
-    cap = int(_os.environ.get("SPARK_GRAFT_WHALE_TASKS", str(_WHALE_TASK_CAP)))
+    cap = _whale_task_cap()
     addressed = addressed.coalesce(cap)
     blk = (
         pixel_x - (((pixel_x % _WHALE_BLOCK_PX) + _WHALE_BLOCK_PX) % _WHALE_BLOCK_PX)
@@ -543,7 +569,18 @@ def run_pipeline(
                 fallback_key = (
                     "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
                 )
-                saved = spark.conf.get(fallback_key, None)
+                # NOTE (r8 advice #2/#3): this override is session-global.
+                # write_zoom only ever runs inside the sequential
+                # materialize_pyramid loop of a build that owns its
+                # SparkSession, so the temporary pin cannot race; a
+                # concurrent caller on a SHARED session would briefly see
+                # sort-based aggregation forced. Restore is by unset —
+                # ``conf.get(key, None)`` returns the registered DEFAULT
+                # ('128') for unset keys, so a save/restore pair would
+                # just re-pin the default; unset returns the key to
+                # whatever the session default is. A caller-pinned custom
+                # value is deliberately not preserved (none exists in
+                # this codebase; the build owns the session).
                 if zoom <= _WHALE_ZOOM:
                     # The z<=2 levels have FEWER groups per task than the
                     # object-hash fallback threshold (default 128), so the
@@ -562,10 +599,7 @@ def run_pipeline(
                     )
                 finally:
                     if zoom <= _WHALE_ZOOM:
-                        if saved is None:
-                            spark.conf.unset(fallback_key)
-                        else:
-                            spark.conf.set(fallback_key, saved)
+                        spark.conf.unset(fallback_key)
 
             materialize_pyramid(pyramid, write_zoom)
             # The echo dir is scratch: this CRS's levels are never re-read
@@ -574,6 +608,14 @@ def run_pipeline(
 
             shutil.rmtree(echo_dir, ignore_errors=True)
         layout[f"tiles/{family}"] = f"{out_dir}/tiles/{family}"
+    # the per-CRS echo cleanup removes each family's children; drop the
+    # now-empty shared parent too (r8 verdict cleanup #3)
+    import os
+
+    try:
+        os.rmdir(f"{out_dir}/_t1")
+    except OSError:
+        pass  # absent, or a resumed build still has a family echo in it
     return layout
 
 

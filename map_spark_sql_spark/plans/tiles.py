@@ -217,8 +217,12 @@ def encode_tiles_chunked(
         .withColumn(
             "_cpx",
             F.expr(
+                # coalesce: size(NULL) is -1 under non-ANSI semantics, so a
+                # null features array would silently skew _cpx low (r8
+                # advice #4); count it as 0 elements instead
                 f"least(CAST({chunk} AS INT), greatest(16, CAST({chunk_elems} DIV "
-                f"greatest(1L, aggregate({tile_col}, 0L, (a, p) -> a + size(p.features)) "
+                f"greatest(1L, aggregate({tile_col}, 0L, "
+                f"(a, p) -> a + coalesce(size(p.features), 0)) "
                 f"DIV size({tile_col})) AS INT)))"
             ),
         )

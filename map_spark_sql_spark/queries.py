@@ -5346,77 +5346,83 @@ def similarity_knn_edges_lsh_recall(spark, sf_dir):
 # the whole registry; after round 6 the union of driver boards covers the
 # FULL registry (213/213), so rotation is continuity hygiene: each round
 # re-certifies the queries whose newest green board is OLDEST, plus
-# everything the round changed. The round-8 window (r7 verdict ask #5):
+# everything the round changed. The round-9 window (r8 verdict ask #6):
 #   - position 1: the entry flagship (continuity anchor);
 #   - positions 2-26: ALL 25 queries whose newest green board dates to
-#     round 3 (the verdict's full list — dedup/similarity/text/events/
-#     merge/multimodal blocks, asof, tpch_q12, window_top_order) — after
-#     this round no registry query's newest board predates round 4;
-#   - positions 27-28: the round-8 operator changes (the sessions
-#     update-mode snapshot now writes delta-per-batch with merge-on-read
-#     resolution, r7 ask #3; the CDC upsert sink now resolves its
-#     predecessor by max committed version and prunes to 2 versions,
-#     r7 advice #1);
-#   - positions 29-50: 22 of the 48 round-4-certified queries spanning
-#     the families (TPC-H tail, streaming, dedup/docs/similarity/text,
-#     pivot/unpivot/udaf/grouped-map); the remaining 26 rotate in r9.
+#     round 4 (the verdict's full list — curation report, ngram
+#     containment, chunk/shuffle/temperature docs ops, events rollup/
+#     hopping/sketch, fuzzy blocking, skew report, multimodal featurize,
+#     null-safe join, percentiles, runtime prefilter, SCD2, the IVF/
+#     quantized/centroid similarity trio, text quality/repetition, tile
+#     merge, unpivot, and the window-function trio) — after this round no
+#     registry query's newest board predates round 5;
+#   - positions 27-29: the queries whose operator code changed this
+#     round: the sessions delta sink (docstring invariant + mixed-sink
+#     guard in read_sessions_snapshot, r8 nits #1/#2) and the two chunked
+#     blob encoders (null-features density fix in encode_tiles_chunked,
+#     r8 advice #4) plus the whale-capped z1 collect (env validation +
+#     conf restore-by-unset, r8 advice #1-#3);
+#   - positions 30-50: 21 of the 44 queries whose newest green board
+#     dates to round 5, alphabetically first (deterministic rotation;
+#     points_encode_blob_md5 is pulled in out of order because the
+#     chunked encoder changed); the remaining 23 rotate in r10.
 # The full registry remains locally re-certified at sf0.01 every round via
 # tools/check_correctness.py (see SCALE.md).
 
 _WINDOW_ORDER = [
-    "mapkeys_stats",            # entry flagship (driver-green r1-r7)
-    # -- all 25 round-3-latest queries (r7 verdict ask #5) --
-    "asof_purchase_last_view",
-    "corpus_curation",
-    "dedup_connected_components",
-    "dedup_embedding_cosine",
-    "dedup_fingerprint_clusters",
-    "dedup_minhash_pairs",
-    "dedup_ngram_jaccard",
-    "dedup_simhash_pairs",
-    "docs_hash_split",
-    "events_daily_resample_locf",
-    "events_latest_per_user",
-    "events_stratified_sample",
-    "events_tumbling_5min",
-    "merge_pruned_partitions",
-    "merge_upsert_customers",
-    "multimodal_metadata",
-    "similarity_topk_bruteforce",
-    "similarity_topk_ivf",
-    "text_language_confusion",
-    "text_quality_stats",
-    "text_redact_pii",
-    "text_rolling_fingerprint",
-    "text_token_counts",
-    "tpch_q12_shipmode_priority",
-    "window_top_order_per_customer",
-    # -- round-8 operator changes --
-    "stream_sessions_update_snapshot",  # delta-per-batch sink (r7 ask #3)
-    "stream_cdc_upsert_latest",         # max-version resolve + retention
-    # -- 22 of the 48 round-4-certified continuity slots --
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q18_large_volume_customers",
-    "tpch_q20_part_promotion",
-    "tpch_q21_waiting_supplier",
-    "tpch_q22_global_sales_opportunity",
-    "stream_docs_ingest",
-    "stream_events_sessions",
-    "stream_events_tumbling_5min",
-    "dedup_incremental",
-    "docs_decontaminate",
-    "docs_pack_sequences",
-    "docs_mixture_sample",
-    "similarity_knn_graph",
-    "similarity_semantic_clusters",
-    "text_vocab_build",
-    "text_lm_score",
-    "window_rank_family_suppliers",
-    "pivot_status_by_priority",
-    "udaf_geomean_order_price",
-    "grouped_map_zscore",
+    "mapkeys_stats",            # entry flagship (driver-green r1-r8)
+    # -- all 25 round-4-latest queries (r8 verdict ask #6) --
+    "corpus_curation_report",
+    "dedup_ngram_containment",
+    "docs_chunk_sliding",
+    "docs_shuffle_shards",
+    "docs_temperature_mixture",
+    "events_daily_rollup",
+    "events_hopping_10m_5m",
+    "events_sketch_stats",
+    "fuzzy_name_pairs_blocked",
+    "mapkeys_skew_report",
+    "multimodal_featurize",
+    "null_safe_taxon_match",
+    "orders_price_percentiles",
+    "runtime_prefilter_building_revenue",
+    "scd2_purchase_value_history",
+    "similarity_centroid_confusion",
+    "similarity_topk_ivf_trained",
+    "similarity_topk_quantized",
+    "text_quality_gate_p25",
+    "text_repetition_stats",
+    "tiles_incremental_merge",
+    "unpivot_order_measures",
+    "window_first_last_order",
+    "window_lag_lead_price_delta",
+    "window_ntile_quartiles",
+    # -- round-9 operator changes --
+    "stream_sessions_update_snapshot",  # delta-sink invariant + mixed-sink guard
+    "tiles_encode_blob_md5",            # chunked encoder null-density fix
+    "tiles_features_z1",                # whale cap env validation / conf unset
+    # -- 21 oldest round-5-certified queries (alphabetical) --
+    "points_encode_blob_md5",           # chunked encoder change (out of order)
+    "dedup_cluster_histogram",
+    "dedup_cluster_keepers",
+    "dedup_cross_source_overlap",
+    "dedup_incremental_near",
+    "dedup_method_agreement",
+    "dedup_minhash_band_stats",
+    "dedup_ngram_prune_stats",
+    "dedup_prefix_clusters",
+    "dedup_repeated_spans",
+    "dedup_segments_global",
+    "dedup_simhash_bucket_stats",
+    "dedup_winnowing_pairs",
+    "docs_bloom_prefilter",
+    "docs_domain_cap",
+    "docs_dsir_weights",
+    "docs_select_budget",
+    "docs_weighted_sample",
+    "events_cohort_retention",
+    "events_funnel_conversion",
+    "events_funnel_windowed",
 ]
 
 

@@ -193,6 +193,15 @@ def custom_sessionize(
     micro-batches. State per key is one fixed-width tuple — bounded
     regardless of event volume, the property that matters at scale.
 
+    Disorder tolerance: rows are sorted by ``ts`` only WITHIN a batch, so a
+    later batch can deliver an event that predates the carried state — the
+    fold keeps the interval as a running min/max, so a late event grows the
+    open session backward/inward and the batch gap-islands equivalence
+    holds for any per-user event-time lateness < gap (a watermark-like
+    bound): later than that, an event belonging to an already-gap-split
+    earlier session would wrongly merge into the newer one. Pinned by
+    ``test_streaming.py::test_sessions_delta_sink_out_of_order_slabs``.
+
     Precondition on the value fold: after the Arrow transfer ``pd.isna``
     cannot distinguish SQL NULL from a genuine float NaN, so this fold
     SKIPS both, while the built-in ``session_window`` twin's ``F.sum``
@@ -245,8 +254,18 @@ def custom_sessionize(
         for t, v in zip(ts_us, values):
             if start is not None and t - end > gap_us:
                 out.append((user_id, start, end, n, val, False))
-                start, n, val = None, 0, None
+                start, end, n, val = None, None, 0, None
             if start is None:
+                start = t
+            elif t < start:
+                # a late-but-within-gap event from an EARLIER batch can
+                # predate the carried state's start (rows are sorted only
+                # within a batch): the session grows BACKWARD. Plain
+                # ``start = t``-on-open / ``end = t``-on-close kept the
+                # stale extent here — emitting a wrong session_start_us
+                # (r8 verdict nit #1's test surfaced it); the interval is
+                # the running MIN/MAX of event times, not the first/last
+                # processed.
                 start = t
             n += 1
             # SQL sum semantics: NULL values (NaN after the Arrow float64
@@ -258,7 +277,7 @@ def custom_sessionize(
             # update-mode snapshot gate (round 7).
             if not pd.isna(v):
                 val = float(v) if val is None else val + float(v)
-            end = t
+            end = t if end is None or t > end else end
         out.append((user_id, start, end, n, val, True))
         state.update((start, end, n, val))
         if close_on_timeout:
@@ -559,12 +578,13 @@ def sessions_to_snapshot(
     same id and overwrites its own delta dir — idempotent.
 
     Supersession moves to the read path: a session only ever GROWS with
-    each emission spanning every prior emission of itself, and two
+    each emission spanning every prior emission of itself (including
+    backward growth from late-but-within-watermark events), and two
     distinct sessions of one user never overlap (the gap rule would have
-    folded them — holds for feeds in event-time order per user, the same
-    precondition as the sessionizer itself), so the LIVE rows are, per
-    user and per overlap-cluster of [start, end] intervals, the emission
-    with the highest ``batch_seq``. :func:`resolve_session_deltas`
+    folded any two event sets within ``gap`` — holds under any disorder
+    the watermark admits, not just event-time-ordered feeds), so the LIVE
+    rows are, per user and per overlap-cluster of [start, end] intervals,
+    the emission with the highest ``batch_seq``. :func:`resolve_session_deltas`
     computes that declaratively (one window shuffle);
     :func:`compact_sessions_snapshot` folds deltas into a ``base_b{n}``
     dir so read cost stays bounded on long streams.
@@ -598,11 +618,21 @@ def resolve_session_deltas(deltas: DataFrame) -> DataFrame:
 
     Clustering is the classic union-of-intervals window: order a user's
     emissions by start, open a new cluster when a start exceeds the
-    running max end of everything before it. Because emissions of one
-    session share their start and nest within the final extent, and
-    distinct sessions are separated by more than the gap, each cluster is
-    exactly one logical session. One shuffle (by user) total; no join —
-    per-batch state never meets a corpus-sized side.
+    running max end of everything before it. The invariant this needs is
+    INTERVAL OVERLAP, not a shared start (r8 verdict nit #1): a session's
+    event set only accumulates, so each emission's ``[start, end]``
+    CONTAINS every prior emission of that session — including when a
+    late-but-within-watermark event extends the session BACKWARD (start
+    moves earlier: the grown emission still spans, hence overlaps, its
+    predecessors). Distinct sessions of one user can never overlap even
+    mid-growth: the sessionizer's gap rule would have merged any two
+    event sets within ``gap`` of each other, so every emitted interval of
+    session B stays > gap beyond session A's furthest end. Each overlap
+    cluster is therefore exactly one logical session, under any event
+    disorder the watermark admits (pinned by
+    ``test_streaming.py::test_sessions_delta_sink_out_of_order_slabs``).
+    One shuffle (by user) total; no join — per-batch state never meets a
+    corpus-sized side.
     """
     from pyspark.sql.window import Window
 
@@ -637,6 +667,17 @@ def read_sessions_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame:
     advice #5)."""
     legacy = _committed_versions(snapshot_dir, "v")
     if legacy:
+        # A sink is written by exactly one convention: legacy full-rewrite
+        # v{n} (pre-r8) or log-structured delta_b{n}/base_b{n}. Both
+        # coexisting means two different writers shared one dir — refuse
+        # rather than silently prefer the legacy rows (r8 verdict nit #2).
+        if _committed_versions(snapshot_dir, "base_b") or _committed_versions(
+            snapshot_dir, "delta_b"
+        ):
+            raise RuntimeError(
+                f"sessions snapshot {snapshot_dir!r} mixes legacy v{{n}} dirs "
+                "with delta/base dirs; a sink must use exactly one convention"
+            )
         return spark.read.parquet(os.path.join(snapshot_dir, f"v{max(legacy)}"))
     bases = _committed_versions(snapshot_dir, "base_b")
     cutoff = max(bases) if bases else -1

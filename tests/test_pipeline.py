@@ -402,3 +402,29 @@ def test_warn_low_zoom_heap_sizing_rule(occurrence_df, spark, tmp_path):
 
     # no echo -> no-op
     assert warn_low_zoom_heap(spark, str(tmp_path / "missing"), cfg) == 0.0
+
+
+def test_whale_task_cap_env_validation(monkeypatch):
+    """r8 advice #1: a malformed or non-positive SPARK_GRAFT_WHALE_TASKS
+    falls back / clamps with a warning instead of raising at plan build."""
+    import warnings
+
+    from map_spark_sql_spark.plans.pipeline import _WHALE_TASK_CAP, _whale_task_cap
+
+    monkeypatch.delenv("SPARK_GRAFT_WHALE_TASKS", raising=False)
+    assert _whale_task_cap() == _WHALE_TASK_CAP
+
+    monkeypatch.setenv("SPARK_GRAFT_WHALE_TASKS", "12")
+    assert _whale_task_cap() == 12
+
+    monkeypatch.setenv("SPARK_GRAFT_WHALE_TASKS", "banana")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert _whale_task_cap() == _WHALE_TASK_CAP
+    assert any("not an integer" in str(x.message) for x in w)
+
+    monkeypatch.setenv("SPARK_GRAFT_WHALE_TASKS", "0")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert _whale_task_cap() == 1
+    assert any("not positive" in str(x.message) for x in w)

@@ -746,3 +746,177 @@ def test_upsert_snapshot_retention_and_gap_tolerance(spark, tmp_path):
     )
     batch = events.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
     assert sorted(map(tuple, snap.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def _slab_feed(spark, tmp_path, slabs) -> str:
+    """Write explicit (user_id, ts_us, value) row slabs as one parquet file
+    each, mtime-ordered so maxFilesPerTrigger=1 replays them as real
+    micro-batches in list order."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    feed = str(tmp_path / "oo_feed")
+    os.makedirs(feed)
+    now = time.time()
+    for i, rows in enumerate(slabs):
+        t = pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [r[1] for r in rows], pa.timestamp("us")
+                ),
+                "value": pa.array([r[2] for r in rows], pa.float64()),
+            }
+        )
+        p = os.path.join(feed, f"slab_{i:03d}.parquet")
+        pq.write_table(t, p)
+        os.utime(p, (now + i, now + i))
+    return feed
+
+
+def test_sessions_delta_sink_out_of_order_slabs(spark, tmp_path):
+    """r8 verdict nit #1: the delta sink must resolve correctly when slabs
+    interleave event time WITHIN the gap bound — including a late event
+    that extends an open session's start BACKWARD (the case the old
+    ``start``-on-open fold got wrong, and the case that breaks any
+    'emissions share their start' resolution invariant)."""
+    import os
+
+    from map_spark_sql_spark.streaming import (
+        read_sessions_snapshot,
+        sessions_to_snapshot,
+    )
+    from map_spark_sql_spark.streaming.events import drain
+
+    t0 = 1_700_000_000_000_000
+    m = 60 * 1_000_000  # one minute in micros
+    slabs = [
+        # batch 0: u1 session A mid-events; u2 session opens
+        [(1, t0 + 10 * m, 1.0), (1, t0 + 20 * m, 2.0), (2, t0, 5.0)],
+        # batch 1: u1's LATE first event (extends A backward to t0) plus a
+        # forward event; u2 starts a second session (> gap after t0)
+        [(1, t0, 4.0), (1, t0 + 25 * m, 8.0), (2, t0 + 45 * m, 6.0)],
+        # batch 2: u1 opens session B (> gap after A's end); u2 grows its
+        # second session; and an interior late u1 event lands inside A's
+        # extent (in-place growth, start/end unchanged)
+        [(1, t0 + 90 * m, 16.0), (1, t0 + 15 * m, 32.0), (2, t0 + 50 * m, 7.0)],
+    ]
+    feed = _slab_feed(spark, tmp_path, slabs)
+    snap_dir = str(tmp_path / "oo_snap")
+    q = sessions_to_snapshot(
+        read_event_stream(spark, feed, nanos=False, max_files_per_trigger=1),
+        spark,
+        snap_dir,
+        gap_minutes=30,
+    )
+    drain(q)
+
+    deltas = sorted(d for d in os.listdir(snap_dir) if d.startswith("delta_b"))
+    assert len(deltas) >= 3, deltas
+
+    # the backward-growth emission really happened: batch 1's u1 row starts
+    # EARLIER than batch 0's (so a shared-start resolution invariant would
+    # mis-cluster; interval overlap must not)
+    def u1_start(delta):
+        rows = spark.read.parquet(os.path.join(snap_dir, delta)).filter(
+            "user_id = 1"
+        ).collect()
+        return min(r.session_start_us for r in rows)
+
+    assert u1_start(deltas[1]) < u1_start(deltas[0])
+
+    got = sorted(
+        map(
+            tuple,
+            read_sessions_snapshot(spark, snap_dir)
+            .select(
+                "user_id", "session_start_us", "session_end_us", "n_events",
+                "session_value",
+            )
+            .collect(),
+        )
+    )
+    want = sorted(
+        [
+            (1, t0, t0 + 25 * m, 5, 47.0),        # session A: grew backward + interior
+            (1, t0 + 90 * m, t0 + 90 * m, 1, 16.0),  # session B
+            (2, t0, t0, 1, 5.0),
+            (2, t0 + 45 * m, t0 + 50 * m, 2, 13.0),
+        ]
+    )
+    assert got == want
+
+
+def test_sessions_compaction_concurrent_with_live_stream(spark, tmp_path):
+    """r8 verdict ask #5 (pytest-scale twin of the sweep flag): compaction
+    running BETWEEN micro-batches of a live query — after some deltas
+    committed, before the stream drains — must not change the resolved
+    snapshot (batch-id monotonicity: the new base's batch_seq cutoff only
+    covers deltas it folded)."""
+    import os
+    import time
+
+    from map_spark_sql_spark.streaming import (
+        compact_sessions_snapshot,
+        read_sessions_snapshot,
+        sessions_to_snapshot,
+    )
+    from map_spark_sql_spark.streaming.events import drain
+
+    feed = _chopped_event_feed(spark, tmp_path, n_slabs=4)
+    snap_dir = str(tmp_path / "live_snap")
+    q = sessions_to_snapshot(
+        read_event_stream(spark, feed, nanos=False, max_files_per_trigger=1),
+        spark,
+        snap_dir,
+        gap_minutes=30,
+    )
+    # wait until at least one delta is COMMITTED (_SUCCESS present — a torn
+    # dir is correctly invisible to compaction), then compact while the
+    # query is still active
+    def committed():
+        return [
+            d
+            for d in (os.listdir(snap_dir) if os.path.isdir(snap_dir) else [])
+            if d.startswith("delta_b")
+            and os.path.isfile(os.path.join(snap_dir, d, "_SUCCESS"))
+        ]
+
+    deadline = time.time() + 120
+    while time.time() < deadline and not committed():
+        time.sleep(0.2)
+    assert committed() and q.isActive
+    compact_sessions_snapshot(spark, snap_dir)
+    assert any(d.startswith("base_b") for d in os.listdir(snap_dir))
+    drain(q)
+
+    def shape(df):
+        return df.select(
+            "user_id", "session_start_us", "session_end_us", "n_events",
+            F.round("session_value", 2).alias("session_value"),
+        )
+
+    got = sorted(map(tuple, shape(read_sessions_snapshot(spark, snap_dir)).collect()))
+    want = sorted(map(tuple, _batch_sessions_twin(spark).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_read_sessions_snapshot_refuses_mixed_conventions(spark, tmp_path):
+    """r8 verdict nit #2: a sink dir holding BOTH legacy v{n} and
+    delta/base dirs means two writers shared one path — refuse loudly
+    instead of silently preferring the legacy rows."""
+    import os
+
+    import pytest
+
+    from map_spark_sql_spark.streaming import read_sessions_snapshot
+
+    snap_dir = str(tmp_path / "mixed_snap")
+    for d in ("v0", "delta_b0"):
+        os.makedirs(os.path.join(snap_dir, d))
+        open(os.path.join(snap_dir, d, "_SUCCESS"), "w").close()
+    with pytest.raises(RuntimeError, match="mixes legacy"):
+        read_sessions_snapshot(spark, snap_dir)
