@@ -85,8 +85,10 @@ def main() -> int:
     from map_spark_sql_spark.streaming import events as STE
     import __spark_entry__ as entry
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else ".scratch/sf100x"
-    n_slabs = int(sys.argv[2]) if len(sys.argv) > 2 else 12
+    mid_compact = "--compact-mid-sweep" in sys.argv[1:]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if len(args) > 0 else ".scratch/sf100x"
+    n_slabs = int(args[1]) if len(args) > 1 else 12
     src = os.path.join(sf_dir, "events.parquet")
 
     print(f"chopping {src} into {n_slabs} time-ordered slabs ...")
@@ -136,6 +138,41 @@ def main() -> int:
     stream = STE.read_event_stream(spark, feed, max_files_per_trigger=1)
     t0 = time.perf_counter()
     query = STE.sessions_to_snapshot(stream, spark, snap_dir, gap_minutes=30)
+    # --compact-mid-sweep (r8 verdict ask #5): run compaction WHILE the
+    # query is live — between micro-batches, on whatever committed deltas
+    # exist at that moment — twice, at ~1/3 and ~2/3 of the expected
+    # batches. The final oracle compare below is the done-criterion: the
+    # resolved snapshot must be identical whether or not compaction raced
+    # the stream (batch-id monotonicity — the folded base's cutoff only
+    # covers deltas it actually read; later deltas supersede base rows).
+    mid_compactions = 0
+    if mid_compact:
+
+        def n_committed() -> int:
+            return len(
+                [
+                    d
+                    for d in os.listdir(snap_dir)
+                    if d.startswith("delta_b")
+                    and os.path.isfile(os.path.join(snap_dir, d, "_SUCCESS"))
+                ]
+            )
+
+        for tgt in (max(2, n_slabs // 3), max(3, (2 * n_slabs) // 3)):
+            deadline = time.time() + 1800
+            while (
+                time.time() < deadline
+                and query.isActive
+                and n_committed() < tgt
+            ):
+                time.sleep(0.5)
+            if query.isActive and n_committed() >= tgt:
+                STE.compact_sessions_snapshot(spark, snap_dir)
+                mid_compactions += 1
+                print(
+                    f"  mid-sweep compaction #{mid_compactions}: folded at "
+                    f">= {tgt} committed deltas, query still active"
+                )
     STE.drain(query, timeout_sec=3600)
     secs = time.perf_counter() - t0
     n_batches = len([p for p in query.recentProgress if p["numInputRows"] > 0])
@@ -162,6 +199,12 @@ def main() -> int:
         f"  delta sink: {len(per_batch)} delta dirs, {total_rows} emission rows, "
         f"{total_mib:.1f} MiB total written "
         f"(per-batch rows: {[r for _, r, _ in per_batch]})"
+        + (
+            f" [{mid_compactions} mid-sweep compaction(s) already folded "
+            f"earlier deltas into a base]"
+            if mid_compactions
+            else ""
+        )
     )
     snap = STE.read_sessions_snapshot(spark, snap_dir).select(
         "user_id",
