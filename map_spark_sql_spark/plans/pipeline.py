@@ -450,6 +450,27 @@ def _is_complete(path: str) -> bool:
     return os.path.isfile(os.path.join(path, "_SUCCESS"))
 
 
+def _prune_echo_level(echo_dir: str | None, zoom: int) -> None:
+    """Incremental t1-echo pruning (round 9): echo level ``z`` is
+    consumable the moment sink ``z`` is committed — the derivation chain
+    completed before any write (so ``z-1``'s echo already exists) and
+    resume skips committed sinks — so a disk-bound rung build never holds
+    all 17 corpus-scale echo levels PLUS the growing sink at once (the
+    1000x composed run's echo chain alone was ~45 GB; keeping every level
+    until the family finished would have exhausted the box). Pruning only
+    fires when the next-shallower echo is itself committed: a torn echo
+    chain must keep its deepest surviving level, which is exactly what an
+    interrupted-resume re-derives from. z0 is left for the family-level
+    cleanup (its sink is the last write anyway)."""
+    if echo_dir is None or zoom < 1:
+        return
+    lvl = f"{echo_dir}/z{zoom}"
+    if _is_complete(lvl) and _is_complete(f"{echo_dir}/z{zoom - 1}"):
+        import shutil
+
+        shutil.rmtree(lvl, ignore_errors=True)
+
+
 def materialize(df: DataFrame, path: str) -> DataFrame:
     """O2 materialization barrier (``MapBuilder.java:129-133,171-173``):
     write parquet and re-read, cutting lineage so multi-consumer subplans
@@ -557,9 +578,12 @@ def run_pipeline(
             # driver heap is undersized (SCALE.md round-7 sizing rule)
             warn_low_zoom_heap(routed.sparkSession, echo_dir, cfg)
 
-            def write_zoom(zoom: int, df: DataFrame, _family: str = family) -> None:
+            def write_zoom(
+                zoom: int, df: DataFrame, _family: str = family, _echo=echo_dir
+            ) -> None:
                 sink = f"{out_dir}/tiles/{_family}/z{zoom}"
                 if resume and _is_complete(sink):
+                    _prune_echo_level(_echo, zoom)
                     return
                 # chunked X5 encoder: low-zoom whale tiles are sliced in the
                 # JVM before the Python encode (encode_tiles ships the whole
@@ -600,6 +624,7 @@ def run_pipeline(
                 finally:
                     if zoom <= _WHALE_ZOOM:
                         spark.conf.unset(fallback_key)
+                _prune_echo_level(_echo, zoom)
 
             materialize_pyramid(pyramid, write_zoom)
             # The echo dir is scratch: this CRS's levels are never re-read

@@ -428,3 +428,43 @@ def test_whale_task_cap_env_validation(monkeypatch):
         warnings.simplefilter("always")
         assert _whale_task_cap() == 1
     assert any("not positive" in str(x.message) for x in w)
+
+
+def test_prune_echo_level_semantics(tmp_path):
+    """Round-9 incremental echo pruning: level z is deleted only when BOTH
+    sink-z-committed (caller's precondition) and echo z-1 is itself
+    committed; a torn chain keeps its deepest surviving level, and z0 is
+    never pruned here (family cleanup owns it)."""
+    import os
+
+    from map_spark_sql_spark.plans.pipeline import _prune_echo_level
+
+    echo = str(tmp_path / "echo")
+
+    def mk(z, committed=True):
+        d = os.path.join(echo, f"z{z}")
+        os.makedirs(d, exist_ok=True)
+        if committed:
+            open(os.path.join(d, "_SUCCESS"), "w").close()
+
+    # committed z5 with committed z4 below it -> pruned
+    mk(5), mk(4)
+    _prune_echo_level(echo, 5)
+    assert not os.path.isdir(os.path.join(echo, "z5"))
+    assert os.path.isdir(os.path.join(echo, "z4"))
+
+    # z4's next level z3 is TORN (no _SUCCESS) -> z4 must survive
+    mk(3, committed=False)
+    _prune_echo_level(echo, 4)
+    assert os.path.isdir(os.path.join(echo, "z4"))
+
+    # once z3 commits, z4 goes
+    open(os.path.join(echo, "z3", "_SUCCESS"), "w").close()
+    _prune_echo_level(echo, 4)
+    assert not os.path.isdir(os.path.join(echo, "z4"))
+
+    # z0 and a None echo dir are no-ops
+    mk(0)
+    _prune_echo_level(echo, 0)
+    assert os.path.isdir(os.path.join(echo, "z0"))
+    _prune_echo_level(None, 5)
