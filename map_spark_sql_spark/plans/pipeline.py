@@ -157,8 +157,19 @@ def points_path(routed: DataFrame, cfg: MapConfiguration) -> DataFrame:
     counts = routed.groupBy("mapKey", "lat", "lng", "borYear").agg(
         F.count(F.lit(1)).alias("occCount")
     )
+    # A6 collects a WHOLE VIEW into one array — the row is view-proportional
+    # by contract (PointMapBuilder emits one cell per view), but the
+    # aggregation must not hold every view's boxed-struct buffer at once:
+    # at the 1000x rung (threshold 2.5M) 32 concurrent multi-million-struct
+    # ObjectHashAggregate buffers OOM'd a 32g heap. Same discipline as the
+    # tiles whale guard: pre-shuffle by mapKey into the whale task cap (the
+    # groupBy reuses this exchange, so it costs no extra shuffle) so at
+    # most `cap` view buffers are in flight; run_pipeline additionally
+    # scopes sortBased.fallbackThreshold=1 around the points write so each
+    # task streams ONE view's array at a time.
     return (
-        counts.groupBy("mapKey")
+        counts.repartition(_whale_task_cap(), "mapKey")
+        .groupBy("mapKey")
         .agg(
             F.sort_array(
                 F.collect_list(F.struct("lat", "lng", "borYear", "occCount"))
@@ -541,11 +552,22 @@ def run_pipeline(
         if not (resume and _is_complete(f"{out_dir}/points")):
             points = points_path(route_points(ing, large), cfg)
             kv = to_key_values(encode_point_features(points), "EPSG_4326", "features")
-            write_salted_sorted(
-                with_salt_column(kv),
-                f"{out_dir}/points",
-                num_partitions=cfg.key_salt_modulus,
-            )
+            # same guard as the z<=2 tile writes (see write_zoom's NOTE for
+            # the conf-scoping rationale): at rung scale each view's A6
+            # array is millions of structs, and with <= ~89 groups the
+            # object-hash agg never falls back — threshold 1 streams one
+            # view per task through the capped points aggregation
+            spark = occurrence.sparkSession
+            _fb = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+            spark.conf.set(_fb, "1")
+            try:
+                write_salted_sorted(
+                    with_salt_column(kv),
+                    f"{out_dir}/points",
+                    num_partitions=cfg.key_salt_modulus,
+                )
+            finally:
+                spark.conf.unset(_fb)
 
     routed = route_tiles(ing, large)
     layout = {"ingested": f"{out_dir}/ingested", "points": f"{out_dir}/points"}

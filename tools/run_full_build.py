@@ -469,9 +469,10 @@ def sink_shape_receipt(out_dir: str, modulus: int) -> dict:
     report = {}
     dirs = [os.path.join(out_dir, "points")]
     tiles_root = os.path.join(out_dir, "tiles")
-    for family in sorted(os.listdir(tiles_root)):
-        for z in sorted(os.listdir(os.path.join(tiles_root, family))):
-            dirs.append(os.path.join(tiles_root, family, z))
+    if os.path.isdir(tiles_root):  # absent in a --projections=none run
+        for family in sorted(os.listdir(tiles_root)):
+            for z in sorted(os.listdir(os.path.join(tiles_root, family))):
+                dirs.append(os.path.join(tiles_root, family, z))
     sorted_files = checked = 0
     max_files = 0
     for d in dirs:
@@ -509,7 +510,12 @@ def main() -> int:
     gates_mode = "full"
     for fl in flags:
         if fl.startswith("--projections="):
-            projections = tuple(fl.split("=", 1)[1].split(","))
+            val = fl.split("=", 1)[1]
+            # "none" => points-only composed run (ingest -> stats -> route
+            # -> points encode + salted sorted sink), no tile pyramids —
+            # the r8 ask-#7 shape: the points branch composed and
+            # disk-gated at a rung where a full pyramid exceeds the box
+            projections = () if val in ("none", "") else tuple(val.split(","))
         elif fl.startswith("--gates="):
             gates_mode = fl.split("=", 1)[1]
             assert gates_mode in ("full", "rung"), gates_mode
