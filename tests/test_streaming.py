@@ -888,7 +888,12 @@ def test_sessions_compaction_concurrent_with_live_stream(spark, tmp_path):
     deadline = time.time() + 120
     while time.time() < deadline and not committed():
         time.sleep(0.2)
-    assert committed() and q.isActive
+    assert committed()
+    # NOT asserting q.isActive (r9 advice #5): with availableNow and only
+    # 4 slabs the query can legitimately finish between the poll observing
+    # a committed delta and this line — compaction mid-pile vs post-drain
+    # resolves identically either way (batch-seq cutoff), and the
+    # genuinely-live race is covered by the 100x sweep's mid-stream flag.
     compact_sessions_snapshot(spark, snap_dir)
     assert any(d.startswith("base_b") for d in os.listdir(snap_dir))
     drain(q)

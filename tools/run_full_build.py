@@ -332,13 +332,36 @@ def compare_digest_sharded(
     (memory_limit + temp_directory — the check_tokenize/check_map
     verifier-ceiling playbook), and shard digests SUM to the one-shot
     digest. Shards are greedily balanced by per-key load with the heaviest
-    key (the '0:0' whale — every record carries it) isolated."""
+    key (the '0:0' whale — every record carries it) isolated.
+
+    Both digest sums are compared mod 2**64 (r9 advice #4): Spark's
+    one-shot ``sum(bigint)`` wraps silently at java-long overflow (each
+    h1/h2 < 2**32, so past ~2**31 rows), while the Python shard
+    accumulation is arbitrary-precision — reducing both sides to the same
+    modulus keeps the convention exact at any rung. An EMPTY
+    ``keys_with_load`` is a loud gate failure, not a crash (r9's 1000x
+    run hit exactly this: a production threshold that routes zero views
+    at the rung makes the gate vacuous — the threshold must be
+    rung-scaled, see SCALE.md round-9)."""
     import heapq
     import tempfile
 
     import duckdb
 
     from tools.check_map_at_scale import digest_duck_sql, digest_spark
+
+    if not keys_with_load:
+        results.append(
+            {
+                "gate": name,
+                "ok": False,
+                "err": "no routed keys: the tiles threshold routes zero views "
+                "at this rung — scale the threshold with the corpus "
+                "(SCALE.md round-9 finding) instead of passing vacuously",
+            }
+        )
+        print(f"GATE FAIL {name}: empty key set (rung-scale the threshold)")
+        return
 
     t0 = time.perf_counter()
     try:
@@ -396,7 +419,16 @@ def compare_digest_sharded(
         results.append({"gate": name, "ok": False, "err": str(exc)[:500]})
         print(f"GATE FAIL {name}: {str(exc)[:500]}")
         return
-    ok = (s_n, s_s1, s_s2) == (d_n, d_s1, d_s2)
+    # same-modulus compare: Spark's bigint sum is exact-mod-2**64 via java
+    # long wraparound (values ≡ true sum mod 2**64 in two's complement);
+    # Python's % maps the signed wrap and the exact shard sum to one
+    # canonical representative, so the compare stays exact at any row count
+    m = 1 << 64
+    ok = (s_n, (s_s1 or 0) % m, (s_s2 or 0) % m) == (
+        d_n,
+        d_s1 % m,
+        d_s2 % m,
+    )
     results.append(
         {
             "gate": name,
