@@ -6,6 +6,7 @@ from map_spark_sql_spark.plans.pipeline import (
     points_path,
     route_points,
     route_tiles,
+    run_tile_family,
     tile_pyramid,
     tiles_path,
 )
@@ -18,6 +19,7 @@ __all__ = [
     "points_path",
     "route_points",
     "route_tiles",
+    "run_tile_family",
     "tile_pyramid",
     "tiles_path",
 ]

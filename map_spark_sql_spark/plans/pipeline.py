@@ -278,11 +278,7 @@ def tile_pyramid(
         persist_t1 = derive_lower_zooms
     if resume and t1_echo_dir is None:
         raise ValueError("tile_pyramid(resume=True) requires t1_echo_dir")
-    if epsg == "EPSG:3031":
-        routed = routed.filter(F.col("lat") <= 1)
-    counts = routed.groupBy("mapKey", "lat", "lng", "borYear").agg(
-        F.count(F.lit(1)).alias("occCount")
-    )
+    counts = _base_counts(routed, epsg)
 
     out: dict[int, DataFrame] = {}
     t1 = None
@@ -292,33 +288,143 @@ def tile_pyramid(
             t1 = routed.sparkSession.read.parquet(f"{t1_echo_dir}/z{zoom}")
             out[zoom] = _t2_t3(t1, cfg, epsg, zoom)
             continue
-        if t1 is None or not derive_lower_zooms:
-            t1 = (
-                counts.withColumn(
-                    "xy", global_pixel(epsg, zoom, cfg.tile_size, "lat", "lng")
-                )
-                .filter(F.col("xy").isNotNull())
-                .groupBy("mapKey", "xy", "borYear")
-                .agg(F.sum("occCount").alias("occCount"))
-            )
-        else:
-            t1 = (
-                t1.withColumn(
-                    "xy",
-                    F.struct(
-                        (F.col("xy.x") / 2).cast("int").alias("x"),
-                        (F.col("xy.y") / 2).cast("int").alias("y"),
-                    ),
-                )
-                .groupBy("mapKey", "xy", "borYear")
-                .agg(F.sum("occCount").alias("occCount"))
-            )
+        t1 = _t1_level(counts, t1, cfg, epsg, zoom, derive_lower_zooms)
         if t1_echo_dir is not None:
             t1 = materialize(t1, f"{t1_echo_dir}/z{zoom}")
         elif persist_t1:
             t1 = t1.localCheckpoint(eager=False)
         out[zoom] = _t2_t3(t1, cfg, epsg, zoom)
     return out
+
+
+def _base_counts(routed: DataFrame, epsg: str) -> DataFrame:
+    """Per-coordinate occurrence counts feeding a projection's t1 chain
+    (the pre-aggregation the reference's ``TileMapBuilder.java:80-84``
+    query does before projecting); EPSG:3031 sees only the southern
+    hemisphere (P5, ``MapBuilder.java:119``)."""
+    if epsg == "EPSG:3031":
+        routed = routed.filter(F.col("lat") <= 1)
+    return routed.groupBy("mapKey", "lat", "lng", "borYear").agg(
+        F.count(F.lit(1)).alias("occCount")
+    )
+
+
+def _t1_level(
+    counts: DataFrame,
+    t1_prev: DataFrame | None,
+    cfg: MapConfiguration,
+    epsg: str,
+    zoom: int,
+    derive_lower_zooms: bool,
+) -> DataFrame:
+    """One zoom's t1 aggregate (A4): from the base counts when there is no
+    deeper level (or in recompute mode, the reference's per-zoom loop at
+    ``TileMapBuilder.java:66-77``), else rolled up from ``t1_prev`` —
+    ``pixel(z) = pixel(z+1) div 2``. Both forms are pinned equivalent by
+    ``test_pipeline.py::test_derive_equals_recompute``."""
+    if t1_prev is None or not derive_lower_zooms:
+        return (
+            counts.withColumn(
+                "xy", global_pixel(epsg, zoom, cfg.tile_size, "lat", "lng")
+            )
+            .filter(F.col("xy").isNotNull())
+            .groupBy("mapKey", "xy", "borYear")
+            .agg(F.sum("occCount").alias("occCount"))
+        )
+    return (
+        t1_prev.withColumn(
+            "xy",
+            F.struct(
+                (F.col("xy.x") / 2).cast("int").alias("x"),
+                (F.col("xy.y") / 2).cast("int").alias("y"),
+            ),
+        )
+        .groupBy("mapKey", "xy", "borYear")
+        .agg(F.sum("occCount").alias("occCount"))
+    )
+
+
+def run_tile_family(
+    routed: DataFrame,
+    cfg: MapConfiguration,
+    epsg: str,
+    write,
+    t1_echo_dir: str,
+    derive_lower_zooms: bool = True,
+    resume: bool = False,
+    sink_complete=None,
+) -> None:
+    """One projection's pyramid as an INTERLEAVED derive -> write loop
+    (round 10; r9 advice #1/#3): each zoom's t1 echoes to parquet, its
+    sink is written immediately, and only THEN is the next level derived —
+    so at most two corpus-scale echo levels exist at any instant (the one
+    being consumed and, transiently, its parent awaiting the prune that
+    fires once the child echo lands). ``tile_pyramid`` +
+    ``materialize_pyramid`` kept the write order (deepest first, O8
+    ``TileMapBuilder.java:69``) but materialized the ENTIRE echo chain
+    before the first sink write, so peak scratch was all ``max_zoom+1``
+    levels (~45 GiB at the 1000x rung) and a resumed build re-derived
+    pruned echoes for already-committed sinks from the base table.
+
+    ``write(zoom, t3_df)`` is the caller's sink (``run_pipeline`` passes
+    its encode + salted-sorted write); it runs under a labeled job (X7).
+    ``sink_complete(zoom) -> bool``, consulted only when ``resume``, marks
+    sinks that are already committed: the loop fast-forwards past every
+    level deeper than both the deepest UNCOMMITTED sink and the deepest
+    surviving echo that can seed it — a resume whose remaining work is
+    z1..z0 with a surviving z1 echo touches neither the base table nor
+    z16..z2 (r9 advice #1's economics). When no usable echo survives, the
+    first needed level computes directly from the base counts (one scan —
+    the recompute-mode semantics, already pinned equivalent to derivation).
+    """
+    if t1_echo_dir is None:
+        raise ValueError("run_tile_family requires t1_echo_dir")
+    spark = routed.sparkSession
+    counts = _base_counts(routed, epsg)
+    zooms = range(cfg.max_zoom, -1, -1)
+    sink_done = (
+        sink_complete if (resume and sink_complete is not None) else (lambda z: False)
+    )
+    needed = [z for z in zooms if not sink_done(z)]
+    if not needed:
+        return
+    deepest_needed = max(needed)
+    surviving = (
+        [z for z in zooms if _is_complete(f"{t1_echo_dir}/z{z}")] if resume else []
+    )
+    usable = [z for z in surviving if z >= deepest_needed]
+    start = min(usable) if usable else deepest_needed
+
+    warned_whale = False
+    t1 = None
+    for zoom in range(start, -1, -1):
+        echo_path = f"{t1_echo_dir}/z{zoom}"
+        if resume and _is_complete(echo_path):
+            # surviving echo level: read, don't recompute (and don't rewrite)
+            t1 = spark.read.parquet(echo_path)
+        else:
+            t1 = materialize(
+                _t1_level(counts, t1, cfg, epsg, zoom, derive_lower_zooms), echo_path
+            )
+        # this level's echo is in place, so the PARENT echo is consumable:
+        # its sink committed in the previous iteration (or before the
+        # interrupt this resume is recovering from — everything deeper than
+        # ``start`` is sink-complete by construction)
+        if zoom < cfg.max_zoom:
+            _prune_echo_level(t1_echo_dir, zoom + 1)
+        if sink_done(zoom):
+            continue
+        if zoom <= _WHALE_ZOOM and not warned_whale:
+            # sizing check before the first whale write; this zoom's echo is
+            # the shallowest available and bounds z0's single-tile row above
+            warn_low_zoom_heap(spark, t1_echo_dir, cfg, zoom_level=zoom)
+            warned_whale = True
+        sc = spark.sparkContext
+        sc.setJobDescription(f"Processing zoom {zoom}")
+        try:
+            write(zoom, _t2_t3(t1, cfg, epsg, zoom))
+        finally:
+            sc.setJobDescription(None)
 
 
 _WHALE_ZOOM = 2  # zooms <= this take the two-level pixel-block aggregation
@@ -462,17 +568,20 @@ def _is_complete(path: str) -> bool:
 
 
 def _prune_echo_level(echo_dir: str | None, zoom: int) -> None:
-    """Incremental t1-echo pruning (round 9): echo level ``z`` is
-    consumable the moment sink ``z`` is committed — the derivation chain
-    completed before any write (so ``z-1``'s echo already exists) and
-    resume skips committed sinks — so a disk-bound rung build never holds
-    all 17 corpus-scale echo levels PLUS the growing sink at once (the
-    1000x composed run's echo chain alone was ~45 GB; keeping every level
-    until the family finished would have exhausted the box). Pruning only
-    fires when the next-shallower echo is itself committed: a torn echo
-    chain must keep its deepest surviving level, which is exactly what an
-    interrupted-resume re-derives from. z0 is left for the family-level
-    cleanup (its sink is the last write anyway)."""
+    """Incremental t1-echo pruning (round 9; made genuinely two-level by
+    the round-10 interleaved loop): echo level ``z`` is consumable once BOTH
+    sink ``z`` is committed (the caller's responsibility — every call
+    site runs after that write lands or is resume-skipped) and echo
+    ``z-1`` exists (a torn chain must keep its deepest surviving level,
+    which is exactly what an interrupted-resume re-derives from).
+    ``run_tile_family`` calls this right after each level's echo lands,
+    so a disk-bound rung build holds ~2 corpus-scale echo levels at any
+    instant — the one being consumed plus, transiently, its parent (the
+    1000x run's FULL chain was ~45 GiB; the r9 code, which echoed the
+    whole chain before the first sink write, only lowered the
+    late-stage echo+sink peak, not the chain peak — r9 advice #3). z0 is
+    left for the family-level cleanup (its sink is the last write
+    anyway)."""
     if echo_dir is None or zoom < 1:
         return
     lvl = f"{echo_dir}/z{zoom}"
@@ -584,29 +693,16 @@ def run_pipeline(
             # t1 levels echo through parquet (the reference's O2 CTAS
             # barrier) rather than block storage: at rung scale a deep-zoom
             # t1 level is ~the corpus size, and 17 cached levels OOM'd the
-            # default heap where the parquet echo streams through.
+            # default heap where the parquet echo streams through. The
+            # interleaved loop (run_tile_family) writes each zoom's sink as
+            # soon as its echo lands and prunes the parent echo, so peak
+            # scratch is ~2 levels, not the whole chain.
             echo_dir = f"{out_dir}/_t1/{family}"
-            pyramid = tile_pyramid(
-                routed,
-                cfg,
-                epsg,
-                derive_lower_zooms=derive_lower_zooms,
-                t1_echo_dir=echo_dir,
-                resume=resume,
-            )
-
-            # the t1 chain is fully echoed at this point; project the
-            # low-zoom write's heap need from the z0 level and warn if the
-            # driver heap is undersized (SCALE.md round-7 sizing rule)
-            warn_low_zoom_heap(routed.sparkSession, echo_dir, cfg)
 
             def write_zoom(
                 zoom: int, df: DataFrame, _family: str = family, _echo=echo_dir
             ) -> None:
                 sink = f"{out_dir}/tiles/{_family}/z{zoom}"
-                if resume and _is_complete(sink):
-                    _prune_echo_level(_echo, zoom)
-                    return
                 # chunked X5 encoder: low-zoom whale tiles are sliced in the
                 # JVM before the Python encode (encode_tiles ships the whole
                 # pixel array per row — worker-fatal at rung scale)
@@ -617,7 +713,7 @@ def run_pipeline(
                 )
                 # NOTE (r8 advice #2/#3): this override is session-global.
                 # write_zoom only ever runs inside the sequential
-                # materialize_pyramid loop of a build that owns its
+                # run_tile_family loop of a build that owns its
                 # SparkSession, so the temporary pin cannot race; a
                 # concurrent caller on a SHARED session would briefly see
                 # sort-based aggregation forced. Restore is by unset —
@@ -646,9 +742,19 @@ def run_pipeline(
                 finally:
                     if zoom <= _WHALE_ZOOM:
                         spark.conf.unset(fallback_key)
-                _prune_echo_level(_echo, zoom)
 
-            materialize_pyramid(pyramid, write_zoom)
+            run_tile_family(
+                routed,
+                cfg,
+                epsg,
+                write_zoom,
+                t1_echo_dir=echo_dir,
+                derive_lower_zooms=derive_lower_zooms,
+                resume=resume,
+                sink_complete=lambda z, _f=family: _is_complete(
+                    f"{out_dir}/tiles/{_f}/z{z}"
+                ),
+            )
             # The echo dir is scratch: this CRS's levels are never re-read
             # once its writes land.
             import shutil
@@ -675,20 +781,27 @@ def _parse_mem_gib(mem: str) -> float:
 
 
 def warn_low_zoom_heap(
-    spark, echo_dir: str, cfg: MapConfiguration, heap_gib: float | None = None
+    spark,
+    echo_dir: str,
+    cfg: MapConfiguration,
+    heap_gib: float | None = None,
+    zoom_level: int = 0,
 ) -> float:
     """SCALE.md round-7 sizing rule (max tile-row bytes x concurrent
     tasks), COMPUTED instead of remembered (r7 verdict ask #8): low-zoom
     tile rows are corpus-proportional (a z0 tile holds a whole view's
     pixels — inherent to the A5 contract), so the z<=2 writes need heap
     for ``row bytes x concurrent tasks`` with ~10x boxing inflation over
-    the packed blob bytes. Reads the CHEAPEST echo level (z0, where
-    pixels have merged the most and one tile holds everything) for the
-    whale view's feature count; warns when the projected need crosses
-    half the driver heap. Returns the projected GiB (0.0 when no echo)."""
+    the packed blob bytes. Reads echo level ``zoom_level`` for the whale
+    view's feature count — z0 (where pixels have merged the most and one
+    tile holds everything) is exact; a shallower level is a conservative
+    upper bound on z0's single-tile row (roll-up only merges rows), which
+    is what the interleaved loop has in hand before its first whale write.
+    Warns when the projected need crosses half the driver heap. Returns
+    the projected GiB (0.0 when no echo)."""
     import warnings
 
-    z0 = f"{echo_dir}/z0"
+    z0 = f"{echo_dir}/z{zoom_level}"
     if not _is_complete(z0):
         return 0.0
     top = (

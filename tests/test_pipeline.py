@@ -333,18 +333,40 @@ def test_run_pipeline_kill_and_resume(occurrence_df, spark, tmp_path, monkeypatc
         run_pipeline(occurrence_df, cfg, out_dir)
     monkeypatch.setattr(W, "write_salted_sorted", orig)
 
-    # the torn build left the committed prefix + the surviving t1 echo
+    # the torn build left the committed prefix + the surviving t1 echo:
+    # the interleaved loop (r10) had echoed z1 (pruning z2's echo the
+    # moment it landed, since sink z2 had committed) and died writing
+    # sink z1 — so exactly the level being consumed survives, nothing
+    # deeper, nothing shallower
     assert os.path.isfile(f"{out_dir}/points/_SUCCESS")
     assert os.path.isfile(f"{out_dir}/tiles/EPSG_3857/z2/_SUCCESS")
     assert not os.path.isdir(f"{out_dir}/tiles/EPSG_3031")
-    assert os.path.isfile(f"{out_dir}/_t1/EPSG_3857/z0/_SUCCESS")
+    assert os.path.isfile(f"{out_dir}/_t1/EPSG_3857/z1/_SUCCESS")
+    assert not os.path.isdir(f"{out_dir}/_t1/EPSG_3857/z2")
+    assert not os.path.isdir(f"{out_dir}/_t1/EPSG_3857/z0")
 
     committed = {
         p: os.path.getmtime(f"{out_dir}/{p}/_SUCCESS")
         for p in ("ingested", "points", "tiles/EPSG_3857/z2")
     }
+    # resume economics (r9 advice #1): the resumed 3857 pyramid must not
+    # re-derive echoes for the already-committed z2 — only z0 (derived
+    # from the surviving z1 echo) is materialized; 3031 builds fresh
+    import map_spark_sql_spark.plans.pipeline as P_
+
+    echoed: list[str] = []
+    orig_mat = P_.materialize
+
+    def recording_mat(df, path):
+        echoed.append(path)
+        return orig_mat(df, path)
+
+    monkeypatch.setattr(P_, "materialize", recording_mat)
     layout = run_pipeline(occurrence_df, cfg, out_dir, resume=True)
+    monkeypatch.setattr(P_, "materialize", orig_mat)
     assert layout["tiles/EPSG_3031"].endswith("tiles/EPSG_3031")
+    echoes_3857 = [p for p in echoed if "/_t1/EPSG_3857/" in p]
+    assert echoes_3857 == [f"{out_dir}/_t1/EPSG_3857/z0"], echoes_3857
 
     # committed stages were SKIPPED, not rewritten
     for p, mtime in committed.items():
@@ -468,3 +490,59 @@ def test_prune_echo_level_semantics(tmp_path):
     _prune_echo_level(echo, 0)
     assert os.path.isdir(os.path.join(echo, "z0"))
     _prune_echo_level(None, 5)
+
+
+def test_interleaved_family_two_level_echo_peak(
+    occurrence_df, spark, tmp_path, monkeypatch
+):
+    """r9 advice #3: run_tile_family must hold at most TWO echo levels on
+    disk at any instant (the level just derived plus, until the prune that
+    immediately follows, its parent) — measured after every echo write and
+    at every sink write, not claimed. Content parity with tile_pyramid is
+    asserted on one level; the run_pipeline e2e/resume digests cover the
+    rest."""
+    import os
+
+    cfg = MapConfiguration(
+        tiles_threshold=3, tile_size=512, tile_buffer_size=64,
+        max_zoom=4, key_salt_modulus=10,
+    )
+    ing = P.ingest(occurrence_df, cfg)
+    large = P.keys_exceeding_threshold(P.map_key_stats(ing), cfg)
+    routed = P.route_tiles(ing, large)
+    echo = str(tmp_path / "echo")
+
+    peak = {"n": 0}
+    orig_mat = P.materialize
+
+    def counting_mat(df, path):
+        out = orig_mat(df, path)
+        n = len([d for d in os.listdir(echo) if d.startswith("z")])
+        peak["n"] = max(peak["n"], n)
+        return out
+
+    monkeypatch.setattr(P, "materialize", counting_mat)
+
+    order: list[int] = []
+    grabbed: dict[int, list] = {}
+
+    def write(zoom: int, df) -> None:
+        order.append(zoom)
+        if zoom == 2:
+            grabbed[zoom] = sorted(map(repr, df.collect()))
+        else:
+            assert df.count() >= 0
+        # by write time the parent echo has been pruned: exactly this
+        # level's echo remains
+        levels = sorted(d for d in os.listdir(echo) if d.startswith("z"))
+        assert levels == [f"z{zoom}"], (zoom, levels)
+
+    P.run_tile_family(routed, cfg, "EPSG:3857", write, t1_echo_dir=echo)
+    monkeypatch.setattr(P, "materialize", orig_mat)
+
+    assert order == [4, 3, 2, 1, 0]  # O8: deepest first
+    assert peak["n"] <= 2, peak["n"]
+    want = sorted(
+        map(repr, P.tile_pyramid(routed, cfg, "EPSG:3857")[2].collect())
+    )
+    assert grabbed[2] == want
