@@ -179,7 +179,10 @@ SESSION_OUT_SCHEMA = (
 
 
 def custom_sessionize(
-    events: DataFrame, gap_minutes: int = 30, close_on_timeout: bool = False
+    events: DataFrame,
+    gap_minutes: int = 30,
+    close_on_timeout: bool = False,
+    lateness_counter=None,
 ) -> DataFrame:
     """Custom stateful sessionization via ``applyInPandasWithState`` — the
     escape hatch for session semantics the built-in ``session_window`` can't
@@ -196,10 +199,32 @@ def custom_sessionize(
     Disorder tolerance: rows are sorted by ``ts`` only WITHIN a batch, so a
     later batch can deliver an event that predates the carried state — the
     fold keeps the interval as a running min/max, so a late event grows the
-    open session backward/inward and the batch gap-islands equivalence
-    holds for any per-user event-time lateness < gap (a watermark-like
-    bound): later than that, an event belonging to an already-gap-split
-    earlier session would wrongly merge into the newer one. Pinned by
+    open session backward/inward. The batch gap-islands equivalence holds
+    exactly when every late event batch-semantically belongs to the still-
+    OPEN run (r9 advice #2 — per-user lateness < gap is necessary but NOT
+    sufficient):
+
+    - an event older than the open run's carried start by MORE than gap
+      mis-merges backward into it (batch semantics would give it an
+      earlier session). This case is detectable from state alone, so it
+      is COUNTED: ``lateness_counter`` (a Spark accumulator; one is
+      created on the driver and exposed as the returned DataFrame's
+      ``lateness_violations`` attribute when not passed) increments per
+      violating event, making a bound-violating feed visible instead of
+      silently wrong. Pinned by ``test_streaming.py::
+      test_sessionize_lateness_violation_counter``.
+    - a late event (even with lateness < gap) landing in the silent gap
+      BETWEEN an already-emitted closed session and the open run merges
+      only into the open run, where the batch twin would BRIDGE both into
+      one session — state no longer remembers the closed predecessor's
+      end, so this divergence is inherent to bounded per-key state and is
+      pinned as documented divergence by ``test_streaming.py::
+      test_sessionize_bridging_event_documented_divergence``. A feed that
+      needs bridging semantics must replay in batch (the gap-islands
+      oracle) or widen state to carry the last closed end.
+
+    In-bound disorder (late events inside or within gap of the open run's
+    interval, including backward growth) is pinned equivalent by
     ``test_streaming.py::test_sessions_delta_sink_out_of_order_slabs``.
 
     Precondition on the value fold: after the Arrow transfer ``pd.isna``
@@ -221,6 +246,8 @@ def custom_sessionize(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     gap_us = gap_minutes * 60 * 1_000_000
+    if lateness_counter is None:
+        lateness_counter = events.sparkSession.sparkContext.accumulator(0)
 
     def sessionize(key, pdf_iter, state: GroupState):
         (user_id,) = key
@@ -251,7 +278,15 @@ def custom_sessionize(
             start, end, n, val = state.get
 
         out = []
+        n_violations = 0
         for t, v in zip(ts_us, values):
+            if start is not None and t < start - gap_us:
+                # this event predates the carried run by MORE than gap:
+                # batch semantics would put it in an earlier session, but
+                # bounded state can only merge it backward into the open
+                # run — count the mis-merge so the feed's bound violation
+                # is visible (r9 verdict ask #6)
+                n_violations += 1
             if start is not None and t - end > gap_us:
                 out.append((user_id, start, end, n, val, False))
                 start, end, n, val = None, None, 0, None
@@ -278,6 +313,8 @@ def custom_sessionize(
             if not pd.isna(v):
                 val = float(v) if val is None else val + float(v)
             end = t if end is None or t > end else end
+        if n_violations:
+            lateness_counter.add(n_violations)
         out.append((user_id, start, end, n, val, True))
         state.update((start, end, n, val))
         if close_on_timeout:
@@ -294,17 +331,25 @@ def custom_sessionize(
             ],
         )
 
-    return events.select("user_id", "ts", "value").groupBy("user_id").applyInPandasWithState(
-        sessionize,
-        outputStructType=SESSION_OUT_SCHEMA,
-        stateStructType=SESSION_STATE_SCHEMA,
-        outputMode="update",
-        timeoutConf=(
-            GroupStateTimeout.ProcessingTimeTimeout
-            if close_on_timeout
-            else GroupStateTimeout.NoTimeout
-        ),
+    out_df = (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            sessionize,
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if close_on_timeout
+                else GroupStateTimeout.NoTimeout
+            ),
+        )
     )
+    # the bound-violation metric rides along for callers that didn't pass
+    # their own accumulator (read it after the query drains)
+    out_df.lateness_violations = lateness_counter
+    return out_df
 
 
 def purchase_view_join(
@@ -580,11 +625,14 @@ def sessions_to_snapshot(
     Supersession moves to the read path: a session only ever GROWS with
     each emission spanning every prior emission of itself (including
     backward growth from late-but-within-watermark events), and two
-    distinct sessions of one user never overlap (the gap rule would have
-    folded any two event sets within ``gap`` — holds under any disorder
-    the watermark admits, not just event-time-ordered feeds), so the LIVE
-    rows are, per user and per overlap-cluster of [start, end] intervals,
-    the emission with the highest ``batch_seq``. :func:`resolve_session_deltas`
+    distinct sessions of one user never overlap for any per-user
+    event-time lateness < gap (an emitted-B interval reaching back to
+    overlap closed A would need an event later than A's end was split
+    from — lateness > gap by construction; see
+    :func:`custom_sessionize`'s disorder contract for the exact bound and
+    the bridging divergence that lateness < gap does NOT cover), so the
+    LIVE rows are, per user and per overlap-cluster of [start, end]
+    intervals, the emission with the highest ``batch_seq``. :func:`resolve_session_deltas`
     computes that declaratively (one window shuffle);
     :func:`compact_sessions_snapshot` folds deltas into a ``base_b{n}``
     dir so read cost stays bounded on long streams.
@@ -625,12 +673,17 @@ def resolve_session_deltas(deltas: DataFrame) -> DataFrame:
     late-but-within-watermark event extends the session BACKWARD (start
     moves earlier: the grown emission still spans, hence overlaps, its
     predecessors). Distinct sessions of one user can never overlap even
-    mid-growth: the sessionizer's gap rule would have merged any two
-    event sets within ``gap`` of each other, so every emitted interval of
-    session B stays > gap beyond session A's furthest end. Each overlap
-    cluster is therefore exactly one logical session, under any event
-    disorder the watermark admits (pinned by
-    ``test_streaming.py::test_sessions_delta_sink_out_of_order_slabs``).
+    mid-growth — PROVIDED per-user event-time lateness stays < gap: B's
+    start reaching back to within A's interval would take an event whose
+    lateness exceeds the gap that split B from A in the first place. Each
+    overlap cluster is therefore exactly one logical session for
+    lateness < gap (pinned by
+    ``test_streaming.py::test_sessions_delta_sink_out_of_order_slabs``);
+    a bound-violating feed is counted, and the gap-BRIDGING late event
+    (within bound but batch-semantically merging a closed session with
+    the open one) yields two non-overlapping intervals here where the
+    batch twin has one — see :func:`custom_sessionize`'s disorder
+    contract and its documented-divergence pin.
     One shuffle (by user) total; no join — per-batch state never meets a
     corpus-sized side.
     """

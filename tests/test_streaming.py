@@ -925,3 +925,183 @@ def test_read_sessions_snapshot_refuses_mixed_conventions(spark, tmp_path):
         open(os.path.join(snap_dir, d, "_SUCCESS"), "w").close()
     with pytest.raises(RuntimeError, match="mixes legacy"):
         read_sessions_snapshot(spark, snap_dir)
+
+
+def test_sessionize_bridging_event_documented_divergence(spark, tmp_path):
+    """r9 advice #2: a late event (lateness < gap) landing in the SILENT
+    GAP between an already-emitted closed session and the open run is a
+    documented divergence from the batch twin — state no longer remembers
+    the closed predecessor, so the stream merges the event only into the
+    open run where batch semantics would bridge both into one session.
+    This pins the exact stream-side result (two non-overlapping sessions,
+    both kept by resolve_session_deltas) and asserts it genuinely differs
+    from the batch gap-islands answer, so the divergence can never go
+    silent-and-unnoticed again."""
+    from map_spark_sql_spark.streaming import (
+        read_sessions_snapshot,
+        sessions_to_snapshot,
+    )
+    from map_spark_sql_spark.streaming.events import drain
+
+    t0 = 1_700_000_000_000_000
+    m = 60 * 1_000_000
+    # gap=30m. b0: t0 -> run A. b1: t0+40m (>gap) -> A closes [t0,t0], B
+    # opens. b2: t0+20m, lateness 20m < gap, sits in the silent gap: within
+    # gap of A's end AND of B's start -> batch bridges all three into one.
+    slabs = [
+        [(1, t0, 1.0)],
+        [(1, t0 + 40 * m, 2.0)],
+        [(1, t0 + 20 * m, 4.0)],
+    ]
+    feed = _slab_feed(spark, tmp_path, slabs)
+    snap_dir = str(tmp_path / "bridge_snap")
+    q = sessions_to_snapshot(
+        read_event_stream(spark, feed, nanos=False, max_files_per_trigger=1),
+        spark,
+        snap_dir,
+        gap_minutes=30,
+    )
+    drain(q)
+    got = sorted(
+        map(
+            tuple,
+            read_sessions_snapshot(spark, snap_dir)
+            .select(
+                "user_id", "session_start_us", "session_end_us", "n_events",
+                "session_value",
+            )
+            .collect(),
+        )
+    )
+    stream_want = [
+        (1, t0, t0, 1, 1.0),                       # closed A, never revisited
+        (1, t0 + 20 * m, t0 + 40 * m, 2, 6.0),     # B grew backward only
+    ]
+    batch_want = [(1, t0, t0 + 40 * m, 3, 7.0)]    # gap-islands bridges all
+    assert got == stream_want
+    assert got != batch_want  # the divergence is real, and now documented
+
+
+def test_sessionize_lateness_violation_counter(spark, tmp_path):
+    """r9 verdict ask #6: an event older than the open run's carried start
+    by MORE than gap silently mis-merges backward — the sessionizer must
+    COUNT it (lateness_violations accumulator) so a bound-violating feed
+    is visible. A compliant feed must leave the counter at zero."""
+    from map_spark_sql_spark.streaming.events import custom_sessionize, drain
+
+    t0 = 1_700_000_000_000_000
+    m = 60 * 1_000_000
+
+    def run(slabs, name):
+        feed = _slab_feed(spark, tmp_path / name, slabs)
+        sess = custom_sessionize(
+            read_event_stream(spark, feed, nanos=False, max_files_per_trigger=1),
+            gap_minutes=30,
+        )
+        q = (
+            sess.writeStream.format("noop")
+            .outputMode("update")
+            .option(
+                "checkpointLocation", str(tmp_path / name / "_ckpt")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain(q)
+        return sess.lateness_violations.value
+
+    # b0 opens the run at t0+40m; b1's t0+5m predates its start by 35m > gap
+    violating = [
+        [(1, t0 + 40 * m, 1.0)],
+        [(1, t0 + 5 * m, 2.0)],
+    ]
+    assert run(violating, "viol") == 1
+    # in-bound disorder (backward growth by 10m < gap) must NOT count
+    compliant = [
+        [(1, t0 + 40 * m, 1.0)],
+        [(1, t0 + 30 * m, 2.0)],
+    ]
+    assert run(compliant, "ok") == 0
+
+
+def test_sessionize_idle_open_snapshot_reaches_sink(spark, tmp_path):
+    """r9 verdict ask #5a: with close_on_timeout OFF (the shipped default
+    while the Spark 4.1 planner NPE stands), the documented claim is that
+    downstream consumers get the same information from open=true
+    snapshots. Pin it: an idle trailing run — no gap split ever fires —
+    must still reach the sink as an open=true emission carrying the full
+    interval and aggregate."""
+    import os
+
+    from map_spark_sql_spark.streaming import sessions_to_snapshot
+    from map_spark_sql_spark.streaming.events import drain
+
+    t0 = 1_700_000_000_000_000
+    m = 60 * 1_000_000
+    slabs = [[(7, t0, 1.5), (7, t0 + 5 * m, 2.5)]]
+    feed = _slab_feed(spark, tmp_path, slabs)
+    snap_dir = str(tmp_path / "idle_snap")
+    q = sessions_to_snapshot(
+        read_event_stream(spark, feed, nanos=False, max_files_per_trigger=1),
+        spark,
+        snap_dir,
+        gap_minutes=30,
+    )
+    drain(q)
+    deltas = [d for d in os.listdir(snap_dir) if d.startswith("delta_b")]
+    rows = [
+        r
+        for d in deltas
+        for r in spark.read.parquet(os.path.join(snap_dir, d)).collect()
+    ]
+    opens = [r for r in rows if r.user_id == 7 and r.open]
+    assert opens, "idle session produced no open=true snapshot"
+    r = opens[-1]
+    assert (r.session_start_us, r.session_end_us, r.n_events, r.session_value) == (
+        t0, t0 + 5 * m, 2, 4.0,
+    )
+
+
+def _spark_41():
+    import pyspark
+
+    return pyspark.__version__.startswith("4.1")
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.xfail(
+    condition=_spark_41(),
+    reason="Spark 4.1 planner NPE: timeout-triggered extra micro-batch "
+    "(PythonSQLMetrics with a null plan session) under availableNow on "
+    "local mode — events.py close_on_timeout contract. STRICT: the day "
+    "this xpasses, the upstream bug is fixed and close_on_timeout can be "
+    "re-enabled.",
+    strict=True,
+)
+def test_sessionize_close_on_timeout_upstream_npe_guard(spark, tmp_path):
+    """r9 verdict ask #5b: version-guarded canary for the documented Spark
+    4.1 planner NPE that keeps close_on_timeout permanently off. On 4.1
+    this must FAIL (xfail strict); on a Spark that fixed the NPE it runs
+    clean and the strict xfail turns it into a loud signal to re-enable
+    the timeout path."""
+    from map_spark_sql_spark.streaming.events import custom_sessionize, drain
+
+    t0 = 1_700_000_000_000_000
+    m = 60 * 1_000_000
+    slabs = [[(1, t0, 1.0)], [(1, t0 + 5 * m, 2.0)]]
+    feed = _slab_feed(spark, tmp_path, slabs)
+    sess = custom_sessionize(
+        read_event_stream(spark, feed, nanos=False, max_files_per_trigger=1),
+        gap_minutes=30,
+        close_on_timeout=True,
+    )
+    q = (
+        sess.writeStream.format("noop")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "_to_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain(q)
