@@ -5370,59 +5370,62 @@ def similarity_knn_edges_lsh_recall(spark, sf_dir):
 # tools/check_correctness.py (see SCALE.md).
 
 _WINDOW_ORDER = [
-    "mapkeys_stats",            # entry flagship (driver-green r1-r8)
-    # -- all 25 round-4-latest queries (r8 verdict ask #6) --
-    "corpus_curation_report",
-    "dedup_ngram_containment",
-    "docs_chunk_sliding",
-    "docs_shuffle_shards",
-    "docs_temperature_mixture",
-    "events_daily_rollup",
-    "events_hopping_10m_5m",
-    "events_sketch_stats",
-    "fuzzy_name_pairs_blocked",
-    "mapkeys_skew_report",
-    "multimodal_featurize",
-    "null_safe_taxon_match",
-    "orders_price_percentiles",
-    "runtime_prefilter_building_revenue",
-    "scd2_purchase_value_history",
-    "similarity_centroid_confusion",
-    "similarity_topk_ivf_trained",
-    "similarity_topk_quantized",
-    "text_quality_gate_p25",
-    "text_repetition_stats",
-    "tiles_incremental_merge",
-    "unpivot_order_measures",
-    "window_first_last_order",
-    "window_lag_lead_price_delta",
-    "window_ntile_quartiles",
-    # -- round-9 operator changes --
-    "stream_sessions_update_snapshot",  # delta-sink invariant + mixed-sink guard
-    "tiles_encode_blob_md5",            # chunked encoder null-density fix
-    "tiles_features_z1",                # whale cap env validation / conf unset
-    # -- 21 oldest round-5-certified queries (alphabetical) --
-    "points_encode_blob_md5",           # chunked encoder change (out of order)
-    "dedup_cluster_histogram",
-    "dedup_cluster_keepers",
-    "dedup_cross_source_overlap",
-    "dedup_incremental_near",
-    "dedup_method_agreement",
-    "dedup_minhash_band_stats",
-    "dedup_ngram_prune_stats",
-    "dedup_prefix_clusters",
-    "dedup_repeated_spans",
-    "dedup_segments_global",
-    "dedup_simhash_bucket_stats",
-    "dedup_winnowing_pairs",
-    "docs_bloom_prefilter",
-    "docs_domain_cap",
-    "docs_dsir_weights",
-    "docs_select_budget",
-    "docs_weighted_sample",
-    "events_cohort_retention",
-    "events_funnel_conversion",
-    "events_funnel_windowed",
+    "mapkeys_stats",            # entry flagship (driver-green r1-r9)
+    # -- all 23 round-5-latest queries (r9 verdict ask #2: after r10 no
+    #    query's newest green board is older than r6) --
+    "events_heavy_hitters_cm",
+    "events_interval_overlap",
+    "events_time_to_convert",
+    "events_top_paths",
+    "multimodal_resize",
+    "orders_snapshot_diff",
+    "retrieval_hybrid_rrf",
+    "similarity_lsh_bucket_stats",
+    "similarity_mmr_rerank",
+    "similarity_pagerank_central",
+    "similarity_topk_filtered",
+    "similarity_topk_ivfpq",
+    "similarity_topk_pq",
+    "similarity_topk_two_stage",
+    "stream_purchase_view_join",
+    "text_bm25_topk",
+    "text_boilerplate_doc_stats",
+    "text_boilerplate_ngrams",
+    "text_char_entropy",
+    "text_pmi_collocations",
+    "text_quality_classifier",
+    "text_strip_boilerplate",
+    "tpch_q4_order_priority",
+    # -- r6-cohort queries covering the round-10 operator changes
+    #    (interleaved pyramid loop / _t1_level refactor; sessionizer
+    #    lateness contract) --
+    "antarctic_subset",
+    "occ_ingest_filter",
+    "points_salted_keys",
+    "route_tiles_semi",
+    "t1_mercator_z4",
+    "tiles_antarctic_z1",
+    "tiles_mercator_z16",
+    "tiles_wgs84_z1",
+    "stream_error_burst_alerts",
+    "stream_events_dedup",
+    "stream_events_hopping",
+    "stream_purchase_view_join_bucketed",
+    # -- 14 more of the now-oldest (r6-certified) cohort, alphabetical --
+    "corpus_curate_and_pack",
+    "customers_er_resolve",
+    "dedup_minhash_recall",
+    "dedup_prefix_filter_pairs",
+    "docs_pareto_frontier",
+    "docs_quality_quantile_norm",
+    "docs_select_budget_by_source",
+    "docs_source_drift_psi",
+    "events_cusum_daily",
+    "events_interval_bin_skew",
+    "events_k_anonymity",
+    "events_mad_outliers",
+    "events_median_exact_hist",
+    "events_observed_ingest",
 ]
 
 
