@@ -816,13 +816,18 @@ def warn_low_zoom_heap(
     if heap_gib is None:
         heap_gib = _parse_mem_gib(spark.conf.get("spark.driver.memory", "8g"))
     if need_gib > 0.5 * heap_gib:
+        safe_tasks = max(1, int(0.5 * heap_gib / (row_gib * 10))) if row_gib else 1
         warnings.warn(
             f"low-zoom tile writes project ~{need_gib:.1f} GiB of aggregation "
             f"buffers (whale view {top} features -> ~{row_gib * 1024:.0f} MiB "
             f"packed/tile x ~10x boxing x {tasks} concurrent tasks) against a "
-            f"{heap_gib:.0f} GiB driver heap; set SPARK_DRIVER_MEMORY >= "
-            f"{max(2 * need_gib, 8):.0f}g or lower write concurrency for the "
-            f"z<={_WHALE_ZOOM} writes (SCALE.md round-7 sizing rule)",
+            f"{heap_gib:.0f} GiB driver heap; set SPARK_GRAFT_WHALE_TASKS <= "
+            f"{safe_tasks} to fit this heap. Lowering concurrency is the safe "
+            f"knob: RAISING the heap instead shifts the failure to a kernel "
+            f"OOM at the deep-zoom encode stages, where a bigger JVM starves "
+            f"the Python/Arrow workers of box memory (measured at the 300x "
+            f"rung, SCALE.md round-10; projection rule from round 7's sizing "
+            f"— treat this warning as a gate: SCALE.md round-7 sizing rule)",
             stacklevel=2,
         )
     return need_gib
