@@ -5346,86 +5346,81 @@ def similarity_knn_edges_lsh_recall(spark, sf_dir):
 # the whole registry; after round 6 the union of driver boards covers the
 # FULL registry (213/213), so rotation is continuity hygiene: each round
 # re-certifies the queries whose newest green board is OLDEST, plus
-# everything the round changed. The round-9 window (r8 verdict ask #6):
+# everything the round changed. The round-11 window (r10 verdict ask #3):
 #   - position 1: the entry flagship (continuity anchor);
-#   - positions 2-26: ALL 25 queries whose newest green board dates to
-#     round 4 (the verdict's full list — curation report, ngram
-#     containment, chunk/shuffle/temperature docs ops, events rollup/
-#     hopping/sketch, fuzzy blocking, skew report, multimodal featurize,
-#     null-safe join, percentiles, runtime prefilter, SCD2, the IVF/
-#     quantized/centroid similarity trio, text quality/repetition, tile
-#     merge, unpivot, and the window-function trio) — after this round no
-#     registry query's newest board predates round 5;
-#   - positions 27-29: the queries whose operator code changed this
-#     round: the sessions delta sink (docstring invariant + mixed-sink
-#     guard in read_sessions_snapshot, r8 nits #1/#2) and the two chunked
-#     blob encoders (null-features density fix in encode_tiles_chunked,
-#     r8 advice #4) plus the whale-capped z1 collect (env validation +
-#     conf restore-by-unset, r8 advice #1-#3);
-#   - positions 30-50: 21 of the 44 queries whose newest green board
-#     dates to round 5, alphabetically first (deterministic rotation;
-#     points_encode_blob_md5 is pulled in out of order because the
-#     chunked encoder changed); the remaining 23 rotate in r10.
+#   - positions 2-19: ALL 18 queries whose newest green board dates to
+#     round 6 (the verdict's full list) — after this round no registry
+#     query's newest board predates round 7;
+#   - positions 20-21: the two streaming-sessions queries, because
+#     custom_sessionize grows the carry_closed_end opt-in this round
+#     (r10 verdict ask #6) and its consumers should re-certify on the
+#     same board;
+#   - positions 22-50: 29 of the 48 queries whose newest green board
+#     dates to round 7, alphabetically first (deterministic rotation;
+#     events_sessions_batch lands in this block); the remaining 19
+#     rotate in r12.
 # The full registry remains locally re-certified at sf0.01 every round via
 # tools/check_correctness.py (see SCALE.md).
 
 _WINDOW_ORDER = [
-    "mapkeys_stats",            # entry flagship (driver-green r1-r9)
-    # -- all 23 round-5-latest queries (r9 verdict ask #2: after r10 no
-    #    query's newest green board is older than r6) --
-    "events_heavy_hitters_cm",
-    "events_interval_overlap",
-    "events_time_to_convert",
-    "events_top_paths",
-    "multimodal_resize",
-    "orders_snapshot_diff",
-    "retrieval_hybrid_rrf",
-    "similarity_lsh_bucket_stats",
-    "similarity_mmr_rerank",
-    "similarity_pagerank_central",
-    "similarity_topk_filtered",
-    "similarity_topk_ivfpq",
-    "similarity_topk_pq",
-    "similarity_topk_two_stage",
-    "stream_purchase_view_join",
-    "text_bm25_topk",
-    "text_boilerplate_doc_stats",
-    "text_boilerplate_ngrams",
-    "text_char_entropy",
-    "text_pmi_collocations",
-    "text_quality_classifier",
-    "text_strip_boilerplate",
-    "tpch_q4_order_priority",
-    # -- r6-cohort queries covering the round-10 operator changes
-    #    (interleaved pyramid loop / _t1_level refactor; sessionizer
-    #    lateness contract) --
-    "antarctic_subset",
-    "occ_ingest_filter",
-    "points_salted_keys",
-    "route_tiles_semi",
-    "t1_mercator_z4",
-    "tiles_antarctic_z1",
-    "tiles_mercator_z16",
-    "tiles_wgs84_z1",
-    "stream_error_burst_alerts",
-    "stream_events_dedup",
-    "stream_events_hopping",
-    "stream_purchase_view_join_bucketed",
-    # -- 14 more of the now-oldest (r6-certified) cohort, alphabetical --
-    "corpus_curate_and_pack",
-    "customers_er_resolve",
-    "dedup_minhash_recall",
-    "dedup_prefix_filter_pairs",
-    "docs_pareto_frontier",
-    "docs_quality_quantile_norm",
-    "docs_select_budget_by_source",
-    "docs_source_drift_psi",
-    "events_cusum_daily",
-    "events_interval_bin_skew",
-    "events_k_anonymity",
-    "events_mad_outliers",
-    "events_median_exact_hist",
-    "events_observed_ingest",
+    "mapkeys_stats",            # entry flagship (driver-green r1-r10)
+    # -- all 18 round-6-latest queries (r10 verdict ask #3: after r11 no
+    #    query's newest green board is older than r7) --
+    "events_profile",
+    "events_rolling_1h_user",
+    "events_transition_matrix",
+    "events_type_bitmask_daily",
+    "events_winsorize_p01_p99",
+    "multimodal_frames",
+    "part_corr_qty_price",
+    "similarity_diversity_stats",
+    "similarity_graph_assortativity",
+    "similarity_ivf_recall",
+    "similarity_kcore",
+    "similarity_ppr_seed_expand",
+    "similarity_topk_batch",
+    "similarity_triangle_density",
+    "text_bpe_pair_merges",
+    "text_bpe_train_rounds",
+    "text_lm_score_bigram",
+    "text_winnowing_fingerprints",
+    # -- queries riding the code this round changes: custom_sessionize
+    #    grows the carry_closed_end opt-in (r10 verdict ask #6), so every
+    #    sessionizer consumer re-certifies on the live board
+    #    (events_sessions_batch is in the alphabetical block below) --
+    "stream_events_sessions",
+    "stream_sessions_update_snapshot",
+    # -- 29 of the 48 now-oldest (r7-certified) cohort, alphabetical
+    #    (deterministic rotation; the remaining 19 rotate in r12) --
+    "agg_distinct_customers",
+    "agg_grouping_sets_orders",
+    "agg_rollup_region_nation",
+    "boryear_decode",
+    "dedup_exact",
+    "dedup_simhash_banded",
+    "docs_tokenize",
+    "events_profile_approx",
+    "events_sessions_batch",
+    "join_anti_not_exists",
+    "join_orders_customer_agg",
+    "join_semi_exists",
+    "json_props_stats",
+    "mapkeys_threshold",
+    "orders_priority_histogram",
+    "points_counts",
+    "points_features",
+    "points_features_salted",
+    "pyramid_rollup_z3",
+    "range_join_price_bands",
+    "route_points_anti",
+    "set_ops_purchasers_vs_errors",
+    "set_ops_viewers_minus_buyers",
+    "similarity_knn_edges_lsh",
+    "similarity_knn_edges_lsh_recall",
+    "similarity_pairs_lsh",
+    "t1_antarctic_z1",
+    "t1_arctic_z1",
+    "t1_wgs84_z2",
 ]
 
 

@@ -782,6 +782,9 @@ def main() -> int:
         "resume": resume,
         "gates_mode": gates_mode,
         "driver_memory": os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
+        # the other half of the whale recipe (SCALE.md round-10 addendum):
+        # heap sized for deep-zoom encode, z<=2 concurrency capped here
+        "whale_tasks": os.environ.get("SPARK_GRAFT_WHALE_TASKS"),
         "config": {
             "tiles_threshold": cfg.tiles_threshold,
             "tile_size": cfg.tile_size,
