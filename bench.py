@@ -17,12 +17,15 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# FROZEN for round 9 (fourth frozen round; r7 verdict ask #7, r8 ask #3):
-# the 50-query set below is byte-identical to rounds 6-8, so BENCH_r09.json
-# compares 1:1 with r08. NEW in r9: the output carries "calib" fields
-# (_calibrate below) — a Spark-free CPU reference workload timed at bench
-# start. Cross-round comparisons should normalize by it:
-#   code_ratio ~= (total_rN / total_rM) / (calib_32t_rN / calib_32t_rM)
+# FROZEN for round 11 (sixth frozen round; r7 verdict ask #7, r8 ask #3,
+# r10 ask #5): the 50-query set below is byte-identical to rounds 6-10.
+# The output carries "calib" fields (_calibrate below, since r9) — a
+# Spark-free CPU reference workload timed at bench start — and, since
+# r11, the regression verdict itself: median_per_query_ratio_vs_prev
+# against the newest committed BENCH_r{N}.json (the r10 variance
+# experiment's operating rule — raw total for the headline, MEDIAN
+# per-query ratio for regression calls; totals swing ~19% on identical
+# code, the median ratio was 1.005 between those same two runs).
 # Known structural levels carried forward, NOT regressions:
 # - tiles_mercator_z2 ~2x its r5 level: z <= _WHALE_ZOOM routes through
 #   the two-level pixel-block aggregation — the trade that cut the 100x
@@ -207,19 +210,71 @@ def main() -> None:
             timings[name] = round(min(samples), 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "calib": calib,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "calib": calib,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    out.update(_vs_prev(timings, total, out["sf"], calib))
+    print(json.dumps(out))
     spark.stop()
+
+
+def _vs_prev(timings: dict, total: float, sf, calib: dict) -> dict:
+    """Regression statistic vs the newest committed BENCH_r{N}.json
+    (r10 verdict ask #5). The r10 variance experiment (SCALE.md round-10)
+    showed single-run TOTALS swing ~19% run-to-run on identical code
+    while the MEDIAN per-query ratio between the same two runs was 1.005
+    — so the operating rule is: raw total for the headline, median
+    per-query ratio for regression verdicts. This emits the statistic in
+    the JSON itself so the rule is machine-checkable, not prose."""
+    import glob
+    import re
+    import statistics
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    prev_files = []
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m:
+            prev_files.append((int(m.group(1)), path))
+    if not prev_files:
+        return {}
+    rnd, path = max(prev_files)
+    try:
+        with open(path, encoding="utf-8") as f:
+            prev = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    # the driver's BENCH_r{N}.json wraps this script's JSON line under
+    # "parsed" (alongside rc/cpus/tail); unwrap to the bench payload
+    if "parsed" in prev and isinstance(prev["parsed"], dict):
+        prev = prev["parsed"]
+    fields: dict = {"prev_round": rnd, "prev_total_sec": prev.get("value")}
+    ratios = [
+        timings[q] / p
+        for q, p in (prev.get("queries") or {}).items()
+        if q in timings and isinstance(p, (int, float)) and p > 0
+    ]
+    # ratios are only meaningful at the same scale factor the prior
+    # round's driver run used (sf0.1); a local sf0.01 iteration run
+    # still gets prev_* fields but no cross-sf verdict statistic
+    if ratios and prev.get("sf") == sf:
+        fields["median_per_query_ratio_vs_prev"] = round(statistics.median(ratios), 3)
+        fields["total_ratio_vs_prev"] = (
+            round(total / prev["value"], 3) if prev.get("value") else None
+        )
+        prev_calib = (prev.get("calib") or {}).get("calib_32t_sec")
+        if prev_calib and calib.get("calib_32t_sec"):
+            # the host-speed probe's ratio, for reading the raw total
+            # against host drift (r10: probe moved ~9% OPPOSITE to walls)
+            fields["calib_32t_ratio_vs_prev"] = round(
+                calib["calib_32t_sec"] / prev_calib, 3
+            )
+    return fields
 
 
 if __name__ == "__main__":
