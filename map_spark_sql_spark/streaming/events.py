@@ -172,6 +172,13 @@ def session_windows(
 
 
 SESSION_STATE_SCHEMA = "start_us long, end_us long, n_events long, session_value double"
+# carry_closed_end=True widens state with the LAST CLOSED run's tuple so a
+# late event landing in the silent gap between it and the open run can
+# bridge both (the r10 verdict ask #6 widening)
+SESSION_STATE_CARRY_SCHEMA = (
+    SESSION_STATE_SCHEMA
+    + ", c_start_us long, c_end_us long, c_n_events long, c_session_value double"
+)
 SESSION_OUT_SCHEMA = (
     "user_id long, session_start_us long, session_end_us long, "
     "n_events long, session_value double, open boolean"
@@ -183,6 +190,7 @@ def custom_sessionize(
     gap_minutes: int = 30,
     close_on_timeout: bool = False,
     lateness_counter=None,
+    carry_closed_end: bool = False,
 ) -> DataFrame:
     """Custom stateful sessionization via ``applyInPandasWithState`` — the
     escape hatch for session semantics the built-in ``session_window`` can't
@@ -221,7 +229,33 @@ def custom_sessionize(
       pinned as documented divergence by ``test_streaming.py::
       test_sessionize_bridging_event_documented_divergence``. A feed that
       needs bridging semantics must replay in batch (the gap-islands
-      oracle) or widen state to carry the last closed end.
+      oracle) or opt into ``carry_closed_end=True`` (below), which widens
+      state to carry the last closed run.
+
+    ``carry_closed_end=True`` (r10 verdict ask #6) keeps the LAST closed
+    run ``(start, end, n, value)`` in state alongside the open run, so:
+
+    - a late event within gap of BOTH the closed run's end and the open
+      run's start bridges all three into one session (re-emitted spanning
+      the superseded closed emission — the read path's overlap-cluster
+      rule in :func:`resolve_session_deltas` keeps the newest);
+    - a late event within gap of only the closed run re-opens and extends
+      it, re-emitting it closed with the grown extent;
+    - the lateness-violation counter now counts only events BEYOND the
+      carried closed run's reach (``t < c_start - gap``), because
+      silent-gap events are handled, not mis-merged.
+
+    ONE level of carry is complete, not an approximation, under the
+    per-user lateness < gap contract: for any older closed run C' (the
+    one before the carried C), C.start - C'.end > gap held when C opened,
+    and every event time the feed can still deliver exceeds
+    ``max_seen - gap >= C.start - gap > C'.end`` — i.e. a compliant feed
+    can never produce an event within gap of any closed run older than
+    the last. State grows by one fixed-width tuple per key; the bound
+    that matters at scale is unchanged. Pinned by ``test_streaming.py::
+    test_sessionize_carry_closed_end_bridges``, which runs the exact slab
+    the divergence test pins and asserts the flag flips the answer to the
+    batch gap-islands result.
 
     In-bound disorder (late events inside or within gap of the open run's
     interval, including backward growth) is pinned equivalent by
@@ -331,13 +365,143 @@ def custom_sessionize(
             ],
         )
 
+    def sessionize_carry(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, end, n, val = state.get[:4]
+            # the carried closed run was already emitted closed; only the
+            # open run needs its closing emission
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": user_id,
+                        "session_start_us": start,
+                        "session_end_us": end,
+                        "n_events": n,
+                        "session_value": val,
+                        "open": False,
+                    }
+                ]
+            )
+            return
+
+        rows = pd.concat(list(pdf_iter)).sort_values("ts")
+        ts_us = (rows["ts"].astype("int64") // 1000).tolist()
+        values = rows["value"].tolist()
+
+        start = end = None
+        n, val = 0, None
+        c_start = c_end = c_val = None
+        c_n = 0
+        if state.exists:
+            start, end, n, val, c_start, c_end, c_n, c_val = state.get
+
+        out: list = []
+        c_out_idx = None  # index in ``out`` of this batch's closed emission
+        n_violations = 0
+
+        def merged_val(a, b):
+            if a is None:
+                return b
+            return a if b is None else a + b
+
+        def emit_closed(tup):
+            # re-emitting the carried run within the SAME batch must
+            # replace the earlier row, not duplicate it — cross-batch
+            # supersession is the read path's batch_seq rule, but within
+            # one batch both rows would tie on batch_seq
+            nonlocal c_out_idx
+            if c_out_idx is None:
+                out.append(tup)
+                c_out_idx = len(out) - 1
+            else:
+                out[c_out_idx] = tup
+
+        def bridge_if_adjacent():
+            # closed run within gap of the open run's (possibly grown)
+            # start: batch semantics make them ONE session
+            nonlocal start, n, val, c_start, c_end, c_n, c_val, c_out_idx
+            if c_end is None or start - c_end > gap_us:
+                return
+            start = min(start, c_start)
+            n += c_n
+            val = merged_val(val, c_val)
+            if c_out_idx is not None:
+                out[c_out_idx] = None  # superseded within this batch
+            c_start, c_end, c_n, c_val, c_out_idx = None, None, 0, None, None
+
+        for t, v in zip(ts_us, values):
+            v_f = None if pd.isna(v) else float(v)
+            if start is not None and t - end > gap_us:
+                out.append((user_id, start, end, n, val, False))
+                # the outgoing run becomes the carried last-closed (a
+                # compliant feed can never reach the one it replaces —
+                # see the docstring's one-level-completeness argument)
+                c_start, c_end, c_n, c_val = start, end, n, val
+                c_out_idx = len(out) - 1
+                start, end, n, val = None, None, 0, None
+            if start is None or t >= start - gap_us:
+                # belongs to the open run (or opens it): running min/max
+                if start is None or t < start:
+                    start = t
+                n += 1
+                val = merged_val(val, v_f)
+                end = t if end is None or t > end else end
+                bridge_if_adjacent()
+            elif c_end is not None and t >= c_start - gap_us:
+                # silent-gap or in-closed-run event: re-open the carried
+                # run; within gap of the open run too -> full bridge
+                c_start = min(c_start, t)
+                c_end = max(c_end, t)
+                c_n += 1
+                c_val = merged_val(c_val, v_f)
+                if start - c_end <= gap_us:
+                    bridge_if_adjacent()
+                else:
+                    emit_closed((user_id, c_start, c_end, c_n, c_val, False))
+            else:
+                # beyond even the carried run's reach: bound violation —
+                # count it, then fall back to the no-carry mis-merge into
+                # whichever run is nearer in time (the carried run when it
+                # exists, else the open run)
+                n_violations += 1
+                if c_end is not None:
+                    c_start = min(c_start, t)
+                    c_n += 1
+                    c_val = merged_val(c_val, v_f)
+                    emit_closed((user_id, c_start, c_end, c_n, c_val, False))
+                else:
+                    start = t
+                    n += 1
+                    val = merged_val(val, v_f)
+        if n_violations:
+            lateness_counter.add(n_violations)
+        out.append((user_id, start, end, n, val, True))
+        state.update((start, end, n, val, c_start, c_end, c_n, c_val))
+        if close_on_timeout:
+            state.setTimeoutDuration(gap_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            [row for row in out if row is not None],
+            columns=[
+                "user_id",
+                "session_start_us",
+                "session_end_us",
+                "n_events",
+                "session_value",
+                "open",
+            ],
+        )
+
     out_df = (
         events.select("user_id", "ts", "value")
         .groupBy("user_id")
         .applyInPandasWithState(
-            sessionize,
+            sessionize_carry if carry_closed_end else sessionize,
             outputStructType=SESSION_OUT_SCHEMA,
-            stateStructType=SESSION_STATE_SCHEMA,
+            stateStructType=(
+                SESSION_STATE_CARRY_SCHEMA if carry_closed_end else SESSION_STATE_SCHEMA
+            ),
             outputMode="update",
             timeoutConf=(
                 GroupStateTimeout.ProcessingTimeTimeout
@@ -596,6 +760,7 @@ def sessions_to_snapshot(
     spark: SparkSession,
     snapshot_dir: str,
     gap_minutes: int = 30,
+    carry_closed_end: bool = False,
 ) -> "object":
     """Sessionization in UPDATE output mode via ``foreachBatch`` into a
     DELTA-per-batch parquet snapshot — the at-scale form of the sessions
@@ -637,11 +802,18 @@ def sessions_to_snapshot(
     :func:`compact_sessions_snapshot` folds deltas into a ``base_b{n}``
     dir so read cost stays bounded on long streams.
 
+    ``carry_closed_end`` passes through to :func:`custom_sessionize`: with
+    it on, a gap-bridging late event re-emits the MERGED session spanning
+    the superseded closed emission, and the overlap-cluster/batch_seq rule
+    below resolves the supersession with no read-path change.
+
     Returns the started StreamingQuery (caller awaits termination).
     """
     import os
 
-    sessions = custom_sessionize(stream, gap_minutes=gap_minutes)
+    sessions = custom_sessionize(
+        stream, gap_minutes=gap_minutes, carry_closed_end=carry_closed_end
+    )
     cols = sessions.columns
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
@@ -650,13 +822,18 @@ def sessions_to_snapshot(
             os.path.join(snapshot_dir, f"delta_b{batch_id}")
         )
 
-    return (
+    query = (
         sessions.writeStream.foreachBatch(_apply)
         .outputMode("update")
         .option("checkpointLocation", os.path.join(snapshot_dir, "_checkpoint"))
         .trigger(availableNow=True)
         .start()
     )
+    # surface the sessionizer's bound-violation metric on the query handle
+    # (r10 verdict ask #7): harnesses read it after the query drains, so a
+    # bound-violating feed shows up in receipts, not just in pytest
+    query.lateness_violations = sessions.lateness_violations
+    return query
 
 
 def resolve_session_deltas(deltas: DataFrame) -> DataFrame:
@@ -682,8 +859,11 @@ def resolve_session_deltas(deltas: DataFrame) -> DataFrame:
     a bound-violating feed is counted, and the gap-BRIDGING late event
     (within bound but batch-semantically merging a closed session with
     the open one) yields two non-overlapping intervals here where the
-    batch twin has one — see :func:`custom_sessionize`'s disorder
-    contract and its documented-divergence pin.
+    batch twin has one — unless the sessionizer ran with
+    ``carry_closed_end=True``, in which case the merged re-emission spans
+    the superseded closed one and this same newest-in-cluster rule
+    resolves it; see :func:`custom_sessionize`'s disorder contract and
+    its documented-divergence pin.
     One shuffle (by user) total; no join — per-batch state never meets a
     corpus-sized side.
     """

@@ -1024,6 +1024,147 @@ def test_sessionize_lateness_violation_counter(spark, tmp_path):
     assert run(compliant, "ok") == 0
 
 
+def _snapshot_sessions(spark, tmp_path, slabs, name, carry):
+    from map_spark_sql_spark.streaming import (
+        read_sessions_snapshot,
+        sessions_to_snapshot,
+    )
+    from map_spark_sql_spark.streaming.events import drain
+
+    feed = _slab_feed(spark, tmp_path / name, slabs)
+    snap_dir = str(tmp_path / name / "snap")
+    q = sessions_to_snapshot(
+        read_event_stream(spark, feed, nanos=False, max_files_per_trigger=1),
+        spark,
+        snap_dir,
+        gap_minutes=30,
+        carry_closed_end=carry,
+    )
+    drain(q)
+    return sorted(
+        map(
+            tuple,
+            read_sessions_snapshot(spark, snap_dir)
+            .select(
+                "user_id", "session_start_us", "session_end_us", "n_events",
+                "session_value",
+            )
+            .collect(),
+        )
+    )
+
+
+def test_sessionize_carry_closed_end_bridges(spark, tmp_path):
+    """r10 verdict ask #6: the EXACT slab the documented-divergence test
+    pins (closed A, open B, then a silent-gap event within gap of both)
+    must produce the batch gap-islands answer once carry_closed_end=True —
+    and keep the pinned divergence with it off. The merged re-emission
+    spans the superseded closed emission, so resolve_session_deltas'
+    newest-in-overlap-cluster rule resolves the supersession unchanged."""
+    t0 = 1_700_000_000_000_000
+    m = 60 * 1_000_000
+    slabs = [
+        [(1, t0, 1.0)],
+        [(1, t0 + 40 * m, 2.0)],
+        [(1, t0 + 20 * m, 4.0)],
+    ]
+    batch_want = [(1, t0, t0 + 40 * m, 3, 7.0)]
+    stream_want = [
+        (1, t0, t0, 1, 1.0),
+        (1, t0 + 20 * m, t0 + 40 * m, 2, 6.0),
+    ]
+    assert _snapshot_sessions(spark, tmp_path, slabs, "carry_on", True) == batch_want
+    assert _snapshot_sessions(spark, tmp_path, slabs, "carry_off", False) == stream_want
+
+
+def test_sessionize_carry_extends_closed_without_bridge(spark, tmp_path):
+    """carry_closed_end with silent-gap events that reach the carried
+    closed run but NOT the open one: the closed run re-opens, absorbs
+    both (the second re-emission replacing the first within its batch),
+    and is re-emitted closed with the grown extent — matching batch
+    gap-islands, which keeps the two islands separate."""
+    t0 = 1_700_000_000_000_000
+    m = 60 * 1_000_000
+    # b0: A=[t0]. b1: t0+70m > gap -> A closes, B opens. b2: t0+10m and
+    # t0+20m both within gap of A's (growing) end, both > gap from B's
+    # start (70-20=50m): A becomes [t0, t0+20m] n=3 and STAYS closed.
+    slabs = [
+        [(1, t0, 1.0)],
+        [(1, t0 + 70 * m, 2.0)],
+        [(1, t0 + 10 * m, 4.0), (1, t0 + 20 * m, 8.0)],
+    ]
+    want = [
+        (1, t0, t0 + 20 * m, 3, 13.0),
+        (1, t0 + 70 * m, t0 + 70 * m, 1, 2.0),
+    ]
+    assert _snapshot_sessions(spark, tmp_path, slabs, "extend", True) == want
+
+
+def test_sessionize_carry_same_batch_reopen_then_bridge(spark, tmp_path):
+    """Within ONE batch: an early event re-opens the carried closed run
+    (emitting its grown extent), then a later event pulls the open run
+    back to within gap of it — the bridge must supersede the same-batch
+    closed re-emission (rows tie on batch_seq, so the fold replaces the
+    row rather than leaning on the read path) and emit one merged
+    session, matching batch gap-islands."""
+    t0 = 1_700_000_000_000_000
+    m = 60 * 1_000_000
+    # b0: A=[t0]. b1: B=[t0+70m] (A closes). b2 sorted: t0+20m attaches to
+    # A ([t0, t0+20m], still > gap from B), then t0+45m grows B backward
+    # to t0+45m -> 45-20=25m <= gap -> everything bridges into one.
+    slabs = [
+        [(1, t0, 1.0)],
+        [(1, t0 + 70 * m, 2.0)],
+        [(1, t0 + 20 * m, 4.0), (1, t0 + 45 * m, 8.0)],
+    ]
+    want = [(1, t0, t0 + 70 * m, 4, 15.0)]
+    assert _snapshot_sessions(spark, tmp_path, slabs, "rebridge", True) == want
+
+
+def test_sessionize_carry_violation_still_counted(spark, tmp_path):
+    """With the carry on, the violation bound moves to the carried closed
+    run's reach: an event more than gap before ITS start is still a
+    counted mis-merge (absorbed backward into the closed run), while a
+    silent-gap event is handled and must NOT count."""
+    from map_spark_sql_spark.streaming.events import custom_sessionize, drain
+
+    t0 = 1_700_000_000_000_000
+    m = 60 * 1_000_000
+
+    def run(slabs, name):
+        feed = _slab_feed(spark, tmp_path / name, slabs)
+        sess = custom_sessionize(
+            read_event_stream(spark, feed, nanos=False, max_files_per_trigger=1),
+            gap_minutes=30,
+            carry_closed_end=True,
+        )
+        q = (
+            sess.writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / name / "_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain(q)
+        return sess.lateness_violations.value
+
+    # carried A=[t0+100m] after B opens at t0+140m; t0 predates A's start
+    # by 100m > gap -> one violation
+    violating = [
+        [(1, t0 + 100 * m, 1.0)],
+        [(1, t0 + 140 * m, 2.0)],
+        [(1, t0, 4.0)],
+    ]
+    assert run(violating, "viol") == 1
+    # the bridging slab is HANDLED under the carry: zero violations
+    compliant = [
+        [(1, t0, 1.0)],
+        [(1, t0 + 40 * m, 2.0)],
+        [(1, t0 + 20 * m, 4.0)],
+    ]
+    assert run(compliant, "ok") == 0
+
+
 def test_sessionize_idle_open_snapshot_reaches_sink(spark, tmp_path):
     """r9 verdict ask #5a: with close_on_timeout OFF (the shipped default
     while the Spark 4.1 planner NPE stands), the documented claim is that

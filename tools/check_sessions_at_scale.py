@@ -104,9 +104,15 @@ def main() -> int:
     t_stream = time.perf_counter() - t0
     n_batches = len([p for p in query.recentProgress if p["numInputRows"] > 0])
     deltas = [d for d in os.listdir(snap_dir) if d.startswith("delta_b")]
+    # disorder-bound compliance metric (r10 verdict ask #7): events beyond
+    # the open run's reach mis-merge and are counted — 0 on the rung
+    # feed's time-ordered slabs means the digest equality below rests on a
+    # feed that honored the sessionizer's contract, visibly
+    lateness_violations = query.lateness_violations.value
     print(
         f"stream drained: {n_batches} micro-batches, {len(deltas)} delta dirs "
-        f"({t_stream:.1f}s)"
+        f"({t_stream:.1f}s); lateness_violations={lateness_violations} "
+        f"(bound-compliant feed => 0)"
     )
 
     # Spark-side digest of the merge-on-read snapshot

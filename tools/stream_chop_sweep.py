@@ -176,6 +176,12 @@ def main() -> int:
     STE.drain(query, timeout_sec=3600)
     secs = time.perf_counter() - t0
     n_batches = len([p for p in query.recentProgress if p["numInputRows"] > 0])
+    # the sessionizer's disorder-bound metric (r10 verdict ask #7): a feed
+    # whose late events exceed the carried run's reach mis-merges and is
+    # COUNTED — the sweep surfaces the counter so receipts show bound
+    # compliance, not just pytest. The chopped generator feed must be 0.
+    lateness_violations = query.lateness_violations.value
+    print(f"  lateness_violations: {lateness_violations} (bound-compliant feed => 0)")
     # per-batch write volume (r7 verdict ask #3 done-criterion): each delta
     # dir holds ONLY that batch's changed-session emissions, so bytes/rows
     # per batch track the batch — not the corpus (the old full-rewrite sink
