@@ -710,29 +710,44 @@ def main() -> int:
             ).collect()
         }
 
-    if "EPSG:3857" in cfg.projections:
-        if gates_mode == "rung":
+    if gates_mode == "rung":
+        # Rung-mode tile gates run PER BUILT PROJECTION (r10 verdict ask
+        # #4: the 300x second-CRS certification needs 4326's pyramid held
+        # to the same z2-size + z16-decoded sharded digests as 3857's;
+        # the oracles are already CRS-parameterized).
+        for crs in cfg.projections:
+            crs_dir = crs.replace(":", "_")
             # G5 (rung): WRITTEN z2 blob SIZES, byte-exact per key, sharded
             compare_digest_sharded(
-                "tiles EPSG_3857/z2 blob sizes (disk) ~digest~ routed size oracle",
-                spark.read.parquet(f"{out_dir}/tiles/EPSG_3857/z2").select(
+                f"tiles {crs_dir}/z2 blob sizes (disk) ~digest~ routed size oracle",
+                spark.read.parquet(f"{out_dir}/tiles/{crs_dir}/z2").select(
                     "key", F.length("value").alias("n_bytes")
                 ),
-                lambda sh: routed_tile_size_oracle("EPSG:3857", 2, sh),
+                lambda sh, crs=crs: routed_tile_size_oracle(crs, 2, sh),
                 routed_load,
                 sf_dir,
                 gates,
             )
-        else:
-            # G5: WRITTEN z2 mercator blobs (whale-guard zoom, derived
-            # pyramid) vs the routed X5 wire-format oracle
-            compare(
-                "tiles EPSG_3857/z2 blobs (disk) == routed blob oracle",
-                blob_md5_view(spark, f"{out_dir}/tiles/EPSG_3857/z2"),
-                routed_blob_oracle("EPSG:3857", 2),
-                con,
+            # G6 (rung): WRITTEN z16 blobs decoded back to t3 counts, sharded
+            compare_digest_sharded(
+                f"tiles {crs_dir}/z16 decoded (disk) ~digest~ routed t3 oracle",
+                decoded_tile_counts(spark, f"{out_dir}/tiles/{crs_dir}/z16"),
+                lambda sh, crs=crs: routed_t3_oracle(crs, 16, sh),
+                routed_load,
+                sf_dir,
                 gates,
             )
+
+    if "EPSG:3857" in cfg.projections and gates_mode != "rung":
+        # G5: WRITTEN z2 mercator blobs (whale-guard zoom, derived
+        # pyramid) vs the routed X5 wire-format oracle
+        compare(
+            "tiles EPSG_3857/z2 blobs (disk) == routed blob oracle",
+            blob_md5_view(spark, f"{out_dir}/tiles/EPSG_3857/z2"),
+            routed_blob_oracle("EPSG:3857", 2),
+            con,
+            gates,
+        )
 
         # G6: WRITTEN z16 mercator blobs DECODED back to t3 counts vs the
         # routed t3 oracle (gates the base zoom the whole derived pyramid
@@ -742,24 +757,15 @@ def main() -> int:
         # the case the check_map_at_scale digest convention exists for: both
         # engines reduce to (count, sum(h1), sum(h2)) over the same
         # canonical row string and the harness transfer is O(1). At the
-        # rung, the oracle side additionally shards per mapKey.
-        if gates_mode == "rung":
-            compare_digest_sharded(
-                "tiles EPSG_3857/z16 decoded (disk) ~digest~ routed t3 oracle",
-                decoded_tile_counts(spark, f"{out_dir}/tiles/EPSG_3857/z16"),
-                lambda sh: routed_t3_oracle("EPSG:3857", 16, sh),
-                routed_load,
-                sf_dir,
-                gates,
-            )
-        else:
-            compare_digest(
-                "tiles EPSG_3857/z16 decoded (disk) ~digest~ routed t3 oracle",
-                decoded_tile_counts(spark, f"{out_dir}/tiles/EPSG_3857/z16"),
-                routed_t3_oracle("EPSG:3857", 16),
-                con,
-                gates,
-            )
+        # rung, the oracle side additionally shards per mapKey (the loop
+        # above).
+        compare_digest(
+            "tiles EPSG_3857/z16 decoded (disk) ~digest~ routed t3 oracle",
+            decoded_tile_counts(spark, f"{out_dir}/tiles/EPSG_3857/z16"),
+            routed_t3_oracle("EPSG:3857", 16),
+            con,
+            gates,
+        )
 
     # G7: WRITTEN z1 antarctic blobs decoded — covers the S4 lat<=1 subset
     # branch and a second CRS's derived pyramid
