@@ -55,6 +55,79 @@ def chop_feed(src: str, n_slabs: int) -> str:
     return feed
 
 
+def bridging_feed(feed: str, gap_minutes: int = 30) -> int:
+    """Inject GUARANTEED-BRIDGING disorder into a chopped feed, in place:
+    in every slab, find per-user consecutive event triples (a, b, c) with
+    ``b - a <= gap``, ``c - b <= gap``, ``c - a > gap`` where the run c
+    opens chains unbroken (every later delta <= gap) to the user's last
+    event of the slab, then delay b into a straggler file delivered
+    between this slab and the next.
+
+    Without b the stream closes the a-run when c arrives (c - a > gap)
+    and opens at c; b then lands in the silent gap within reach of both —
+    the EXACT bridging case ``carry_closed_end`` exists for, forced
+    deterministically rather than hoped for from random lateness. Batch
+    semantics chain all three into one island, so every delayed b is a
+    guaranteed divergence without the carry and an exact merge with it.
+
+    The disorder is contract-compliant: when b arrives, the user's open
+    run STARTS AT C — no event after c broke the chain (that is what the
+    unbroken-suffix condition buys), so the run c opened is still the
+    open one — and ``c - b <= gap`` puts b within its reach, with the
+    a-run exactly the carried closed run. Zero counted lateness
+    violations, with or without the carry. Returns the number of delayed
+    events."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    n_delayed = 0
+    for fname in sorted(os.listdir(feed)):
+        path = os.path.join(feed, fname)
+        mtime = os.stat(path).st_mtime
+        t = pq.read_table(path)
+        df = t.select(["user_id", "event_id"]).to_pandas()
+        df["_row"] = range(len(df))
+        # cast on the ARROW side: timestamp[us] -> int64 is microseconds by
+        # construction, where pandas .astype('int64') yields whatever unit
+        # the datetime64 column happens to carry (us for these parquets,
+        # ns inside Spark's Arrow transfer — a silent 1000x gap error)
+        df["_ts_us"] = pc.cast(t.column("ts"), "int64").to_pandas().values
+        df = df.sort_values(["user_id", "_ts_us", "event_id"]).reset_index(drop=True)
+        g = df.groupby("user_id")
+        a_ts = g["_ts_us"].shift(1)
+        c_ts = g["_ts_us"].shift(-1)
+        # gap-breaks remaining at or after each row within its user group
+        # (reverse per-group cumsum); == 0 at b means b-a, c-b and every
+        # later delta are all <= gap, i.e. c's run reaches the slab end
+        delta_gt = ((df["_ts_us"] - a_ts) > gap_us).astype(int)
+        breaks_from = (
+            delta_gt.iloc[::-1].groupby(df["user_id"].iloc[::-1]).cumsum().iloc[::-1]
+        )
+        mask = (
+            ((df["_ts_us"] - a_ts) <= gap_us)
+            & ((c_ts - df["_ts_us"]) <= gap_us)
+            & ((c_ts - a_ts) > gap_us)
+            & (breaks_from == 0)
+        )
+        # at most ONE delayed event per user per slab: removing two chained
+        # b's from one user makes two closes land between them, and the
+        # second straggler would then need the run BEFORE the carried one —
+        # beyond the one-level carry by construction
+        sel = df.loc[mask].groupby("user_id").head(1)
+        rows = sorted(sel["_row"].tolist())
+        if not rows:
+            continue
+        keep = [i for i in range(t.num_rows) if i not in set(rows)]
+        pq.write_table(t.take(keep), path)
+        os.utime(path, (mtime, mtime))
+        lp = path.replace(".parquet", "_late.parquet")
+        pq.write_table(t.take(rows), lp)
+        os.utime(lp, (mtime + 0.5, mtime + 0.5))
+        n_delayed += len(rows)
+    return n_delayed
+
+
 def run_chopped(spark, feed: str, build, name: str, output_mode: str):
     """writeStream -> memory sink with maxFilesPerTrigger=1, returning
     (rows, n_batches, seconds). Inlines run_to_memory to keep the query
