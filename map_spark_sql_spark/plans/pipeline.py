@@ -472,6 +472,47 @@ def _whale_task_cap() -> int:
     return cap
 
 
+# Mid-zoom (2 < z <= 8) encode-concurrency ladder. The X5 Arrow encode's
+# per-WORKER live set is batch-bounded (~1.6-2+ GiB of pandas expansion
+# per in-flight task, measured at the 300x rung), so the box-wide python
+# term is concurrency x per-task — NOT partition-count x bytes. Three
+# consecutive cold 300x builds kernel-OOM'd at the z7 write with the
+# driver JVM at ~60 GiB (48g heap full + native) and ~32 concurrent
+# encode workers holding ~50+ GiB: the r10 whale rule ("memory-per-task
+# is the invariant, concurrency is the lever") applied only at z <= 2,
+# while the budget actually runs out a rung earlier on a long cold run
+# whose JVM has aged through 8 deep-zoom levels. The ladder narrows the
+# mid-zoom reduce stages (t2/t3 rollup -> chunked encode -> sink
+# exchange) the same way the whale cap narrows z <= 2: a shuffle-free
+# coalesce, so the plan gains no exchange. Mid-zoom sinks are a small
+# share of pyramid bytes (z8..z3 = ~6.7 of 27 GiB at 300x), so halving
+# their width costs minutes against the ~hour build. Cluster analogue:
+# shallow-zoom stages get fewer concurrent tasks per executor
+# (spark.task.cpus or a capped coalesce), never more executor memory.
+_MID_ZOOM = 8
+_MID_ZOOM_TASK_CAP = 16  # z <= 7; z8 runs at cap + 8 (proven to fit, barely)
+
+
+def _mid_zoom_cap(zoom: int) -> int:
+    """Concurrency cap for 2 < zoom <= _MID_ZOOM, SPARK_GRAFT_MID_ZOOM_TASKS
+    overriding the z<=7 value (z8 always gets +8 over it: the widest rung
+    the 300x box survived at full width had zero free pages left)."""
+    import os
+    import warnings
+
+    base = _MID_ZOOM_TASK_CAP
+    raw = os.environ.get("SPARK_GRAFT_MID_ZOOM_TASKS")
+    if raw is not None:
+        try:
+            base = max(1, int(raw))
+        except ValueError:
+            warnings.warn(
+                f"SPARK_GRAFT_MID_ZOOM_TASKS={raw!r} is not an integer; "
+                f"using the default ({_MID_ZOOM_TASK_CAP})"
+            )
+    return base + 8 if zoom == _MID_ZOOM else base
+
+
 def collect_tile_pixels(
     addressed: DataFrame,
     px_struct,
@@ -703,6 +744,11 @@ def run_pipeline(
                 zoom: int, df: DataFrame, _family: str = family, _echo=echo_dir
             ) -> None:
                 sink = f"{out_dir}/tiles/{_family}/z{zoom}"
+                if _WHALE_ZOOM < zoom <= _MID_ZOOM:
+                    # bind the reduce stage (rollup -> encode) to the
+                    # mid-zoom ladder; see _mid_zoom_cap for the 300x
+                    # kernel-OOM forensics this encodes
+                    df = df.coalesce(_mid_zoom_cap(zoom))
                 # chunked X5 encoder: low-zoom whale tiles are sliced in the
                 # JVM before the Python encode (encode_tiles ships the whole
                 # pixel array per row — worker-fatal at rung scale)

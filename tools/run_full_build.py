@@ -581,6 +581,20 @@ def main() -> int:
             # row-bounded but byte-heavy at rung scale; the rung-SIZED
             # result (G6 z16) is digest-compared, never collected
             "spark.driver.maxResultSize": "4g",
+            # A cold pyramid build reaches the z<=7 whale writes carrying
+            # every idle Python worker the 32-way deep-zoom Arrow encodes
+            # ever spawned — each holding its peak pandas RSS (~2-2.6 GiB,
+            # ~35 GiB of dead weight measured in the r11 kernel-OOM, twice,
+            # box-exclusive the second time; the r10 RESUME survived the
+            # same zooms only because its JVM and worker pool were fresh).
+            # Recycling workers per task caps worker RSS at
+            # concurrency x live-task need; spawn cost is ~0.1s/task,
+            # noise against multi-minute encode stages. Cluster analogue:
+            # long multi-stage jobs recycle executor python workers
+            # (spark.python.worker.reuse=false) or rotate executors.
+            "spark.python.worker.reuse": os.environ.get(
+                "SPARK_GRAFT_PY_WORKER_REUSE", "false"
+            ),
         },
     )
     sampler = RssSampler()
