@@ -712,16 +712,23 @@ def simhash_banded_pairs(
         )
         .filter((F.size("ms") > 1) & (F.size("ms") <= max_bucket))
     )
+    # r11 optimization: the hamming test runs INSIDE the pair lambda, so
+    # only surviving pairs are materialized as structs and exploded (sf0.1:
+    # 2.71M candidate pairs -> 0.80M exploded rows; before, all 2.71M
+    # four-field structs crossed the Generate and were filtered after).
+    # bit_count evaluates twice per survivor (filter + struct), which is
+    # far cheaper than allocating 2M dropped structs. Output multiset is
+    # unchanged — predicate-through-explode commutes.
     pairs = F.expr(
-        "flatten(transform(ms, (a, i) -> transform(slice(ms, i + 2, size(ms) - i - 1), "
-        "b -> struct(a.id AS a_id, b.id AS b_id, a.sig AS a_sig, b.sig AS b_sig))))"
+        "flatten(transform(ms, (a, i) -> "
+        f"transform(filter(slice(ms, i + 2, size(ms) - i - 1), "
+        f"b -> bit_count(a.sig ^ b.sig) <= {max_hamming}), "
+        "b -> struct(a.id AS a_id, b.id AS b_id, "
+        "bit_count(a.sig ^ b.sig) AS hamming))))"
     )
     return (
         buckets.select(F.explode(pairs).alias("p"))
-        .select("p.*")
-        .withColumn("hamming", F.expr("bit_count(a_sig ^ b_sig)"))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("a_id", "b_id", "hamming")
+        .select("p.a_id", "p.b_id", "p.hamming")
         .distinct()
     )
 
@@ -1052,11 +1059,19 @@ def prefix_filter_pairs(
     dfreq = post.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("rep").orderBy("df", "h")
     pos_cols = ["rn"] if positional else []
+    # r11 optimization: the prefix table feeds BOTH sides of the posting
+    # self-join below. Without its own lineage cut, Catalyst plans the
+    # whole explode -> dfreq -> join -> window chain TWICE (one copy per
+    # join input — measured as duplicate operator subtrees 1-20/21-40 in
+    # plans/r11/dedup_prefix_filter_pairs_before.txt); the non-eager
+    # localCheckpoint computes it once and both sides scan the result
+    # (guide §2.4: share one exchange between same-keyed consumers).
     pref = (
         post.join(dfreq, "h")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.expr(f"rn <= sz - (({num} * sz + {den - 1}) div {den}) + 1"))
         .select("rep", "sz", *pos_cols, "h")
+        .localCheckpoint(eager=False)
     )
     # AllPairs length filter (lossless): J >= t forces
     # num * max(|a|,|b|) <= den * min(|a|,|b|), pruned inside the posting
@@ -1104,27 +1119,47 @@ def prefix_filter_pairs(
         .select("a_id", "b_id")
         .distinct()
     )
-    ver = (
-        cand.join(
-            fams.select(
-                F.col("rep").alias("a_id"),
-                F.col("hs").alias("a_hs"),
-                F.col("sz").alias("a_sz"),
-                F.col("family").alias("a_family"),
-            ),
-            "a_id",
-        )
-        .join(
-            fams.select(
-                F.col("rep").alias("b_id"),
-                F.col("hs").alias("b_hs"),
-                F.col("sz").alias("b_sz"),
-                F.col("family").alias("b_family"),
-            ),
-            "b_id",
-        )
-        .withColumn("shared", F.size(F.array_intersect("a_hs", "b_hs")))
+    joined = cand.join(
+        fams.select(
+            F.col("rep").alias("a_id"),
+            F.col("hs").alias("a_hs"),
+            F.col("sz").alias("a_sz"),
+            F.col("family").alias("a_family"),
+        ),
+        "a_id",
+    ).join(
+        fams.select(
+            F.col("rep").alias("b_id"),
+            F.col("hs").alias("b_hs"),
+            F.col("sz").alias("b_sz"),
+            F.col("family").alias("b_family"),
+        ),
+        "b_id",
     )
+    # r11 optimization: computing `shared` as a plain withColumn lets the
+    # optimizer inline it into the threshold filter and push BOTH into the
+    # second join's condition — array_intersect then runs 2-3x per
+    # candidate row (twice inside the join condition, again in the output
+    # projection; plans/r11/dedup_prefix_filter_pairs_before.txt op 56/57).
+    # The single-element explode(array(struct(...))) is a Generate barrier:
+    # a predicate on a generated field cannot be pushed below the Generate,
+    # so the intersect is evaluated exactly once per candidate and the
+    # threshold filter stays a cheap integer comparison above it.
+    ver = joined.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    "a_id",
+                    "b_id",
+                    "a_family",
+                    "b_family",
+                    "a_sz",
+                    "b_sz",
+                    F.size(F.array_intersect("a_hs", "b_hs")).alias("shared"),
+                )
+            )
+        ).alias("s")
+    ).select("s.*")
     cross = (
         ver.filter(F.expr(f"{den} * shared >= {num} * (a_sz + b_sz - shared)"))
         .select(

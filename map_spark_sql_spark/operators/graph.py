@@ -75,6 +75,21 @@ def connected_components(
         verts = sym.select("u").distinct()
 
     labels = verts.select("u", F.col("u").alias("label"))
+
+    # r11 optimization: convergence is detected with a monotone sum probe
+    # instead of a per-round join of new-vs-old labels. Every label is
+    # non-increasing round over round (least of own and neighbors'), so the
+    # label sum is non-increasing and stays equal exactly when NO label
+    # changed — one aggregate over the (lazily checkpointed) new label
+    # table replaces a full join + count job per round, and the aggregate
+    # itself materializes the checkpoint. DECIMAL(38,0) keeps the sum
+    # exact for any int64 id multiset.
+    def _label_sum(tbl: DataFrame):
+        return tbl.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
+
+    prev_sum = _label_sum(labels)
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
@@ -91,17 +106,13 @@ def connected_components(
                     "label"
                 ),
             )
-            .localCheckpoint()  # cut lineage; also materializes for the check
+            .localCheckpoint(eager=False)  # materialized by the probe below
         )
-        changed = (
-            new_labels.withColumnRenamed("label", "new_label")
-            .join(labels, "u")
-            .filter(F.col("new_label") != F.col("label"))
-            .count()
-        )
+        new_sum = _label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     if stats is not None:
         stats["rounds"] = rounds
     return labels.select(F.col("u").alias(id_col), F.col("label").alias("cluster_id"))
@@ -158,7 +169,8 @@ def _connected_components_star(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        # lazy: the fingerprint probe below materializes it in one job
+        .localCheckpoint(eager=False)
     )
     if vertices is not None:
         verts = vertices.select(F.col(id_col).alias("u")).distinct()
@@ -198,7 +210,9 @@ def _connected_components_star(
             .select("s.u", "s.v")
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()
+            # lazy: the per-round fingerprint probe materializes it, so
+            # the eager-checkpoint job per round is folded into the probe
+            .localCheckpoint(eager=False)
         )
         rounds += 1
         nfp = _edge_fingerprint(e2)
@@ -322,7 +336,12 @@ def pagerank(
                     + F.expr("(85 * coalesce(m, CAST(0 AS BIGINT))) div 100")
                 ).cast("bigint").alias("r"),
             )
-            .localCheckpoint()
+            # r11 optimization: lazy — the iteration count is FIXED (no
+            # per-round convergence read), so nothing needs the rank table
+            # until the caller's action. Lazy checkpoints still truncate
+            # lineage once computed, but all 5 rounds now run inside ONE
+            # job instead of paying 5 eager materialization jobs.
+            .localCheckpoint(eager=False)
         )
     return ranks.select(F.col("v").alias(id_col), F.col("r").alias(rank_col))
 

@@ -165,7 +165,10 @@ def kmeans_fit(
         cent = (
             cent.join(means, "cid", "left")
             .select("cid", F.coalesce("nvec", "cvec").alias("cvec"))
-            .localCheckpoint()  # cut the per-iteration lineage growth
+            # lazy: cuts the per-iteration lineage growth once computed,
+            # without paying an eager k-row materialization job per round
+            # (the next round's broadcast build computes it)
+            .localCheckpoint(eager=False)
         )
     return cent
 
@@ -1158,7 +1161,10 @@ def quantized_knn_edges(emb: DataFrame, k: int = 3) -> DataFrame:
     qv = (
         emb.select("vec_id", F.expr(q_expr).alias("q"))
         .repartition(par)
-        .localCheckpoint(eager=True)
+        # lazy: the toPandas collect below materializes it, so the eager
+        # checkpoint's extra job is folded into the collect; mapInPandas
+        # then reuses the stored blocks
+        .localCheckpoint(eager=False)
     )
     # Quantization happens JVM-side above (Spark round() is HALF_UP; numpy
     # rounds half-even — codes must come from the SAME expression as the
