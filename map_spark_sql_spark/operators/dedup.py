@@ -726,8 +726,15 @@ def simhash_banded_pairs(
         "b -> struct(a.id AS a_id, b.id AS b_id, "
         "bit_count(a.sig ^ b.sig) AS hamming))))"
     )
+    # r11 optimization: same fan-out rule as ngram_jaccard_pairs — the
+    # bucket table is tiny by BYTES, so AQE coalesces it to ~1 partition
+    # and the quadratic in-bucket pair lambda + the distinct's partial agg
+    # would serialize; an explicit repartition-by-num (exempt from
+    # coalescing) spreads the explosion across the cores (guide §2.5).
+    par = df.sparkSession.sparkContext.defaultParallelism
     return (
-        buckets.select(F.explode(pairs).alias("p"))
+        buckets.repartition(par, "band_id", "band_val")
+        .select(F.explode(pairs).alias("p"))
         .select("p.a_id", "p.b_id", "p.hamming")
         .distinct()
     )
@@ -1058,7 +1065,6 @@ def prefix_filter_pairs(
     )
     dfreq = post.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("rep").orderBy("df", "h")
-    pos_cols = ["rn"] if positional else []
     # r11 optimization: the prefix table feeds BOTH sides of the posting
     # self-join below. Without its own lineage cut, Catalyst plans the
     # whole explode -> dfreq -> join -> window chain TWICE (one copy per
@@ -1066,11 +1072,25 @@ def prefix_filter_pairs(
     # plans/r11/dedup_prefix_filter_pairs_before.txt); the non-eager
     # localCheckpoint computes it once and both sides scan the result
     # (guide §2.4: share one exchange between same-keyed consumers).
+    # r11 optimization — spread the fan-out (guide §2.5 input skew): the
+    # prefix table is SMALL relative to what the posting self-join below
+    # generates from it (sf0.1: 28k prefix rows -> 17.9M candidate rows, a
+    # ~650x fan-out). Left to AQE, the window's output coalesces to ~1
+    # post-shuffle partition, so the join fan-out AND the candidate
+    # distinct's partial aggregate ran near single-threaded (measured:
+    # 10.9s for the distinct alone). The explicit round-robin repartition
+    # to default parallelism costs one shuffle of the tiny prefix table
+    # and spreads the generation + map-side dedup across every core
+    # (measured: join+distinct 12.9s -> 3.9s). At cluster scale the same
+    # logic holds: AQE sizes partitions by the ~MB prefix bytes, not the
+    # GB candidate stream they generate.
+    par = df.sparkSession.sparkContext.defaultParallelism
     pref = (
         post.join(dfreq, "h")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.expr(f"rn <= sz - (({num} * sz + {den - 1}) div {den}) + 1"))
-        .select("rep", "sz", *pos_cols, "h")
+        .select("rep", "sz", "rn", "h")
+        .repartition(par)
         .localCheckpoint(eager=False)
     )
     # AllPairs length filter (lossless): J >= t forces
@@ -1092,7 +1112,27 @@ def prefix_filter_pairs(
     # posting join cost +15% wall on the operator. Enable on corpora with
     # heavy shared-vocabulary overlap SHORT of the threshold, where
     # late-rank matches dominate the candidate stream.
-    a_post = pref.select(
+    # r11 optimization — self-join INDEX-prefix reduction (Bayardo et al.
+    # WWW'07 §3.1, lossless): take any qualifying pair and label its
+    # smaller set `a` (|a| <= |b|). Overlap O >= alpha where
+    # alpha = ceil(num*(|a|+|b|) / (num+den)); the SMALLEST shared token
+    # under the global (df, h) order sits at position <= |x| - O + 1 in
+    # BOTH sets, hence within the first |a| - ceil(2*num*|a|/(num+den)) + 1
+    # tokens of a (using |b| >= |a|) and within b's probe prefix (using the
+    # length filter den*|a| >= num*|b|, without which J < t anyway). So
+    # the a-side only needs the SHORTER index prefix (t=0.7: 0.18*sz vs
+    # 0.3*sz), and each pair is generated once per token of
+    # idx(a) ∩ probe(b) instead of probe(a) ∩ probe(b) — measured sf0.1:
+    # the raw candidate stream drops 26.9M -> 17.9M rows and the
+    # dedup aggregate that dominated the query shrinks with it, while the
+    # tighter keep condition also removes ~41k false candidates before
+    # verify (distinct pairs 5.00M -> 4.96M, same verified output). Ties in
+    # size break by id, so every unordered pair is generated under exactly
+    # one labeling; output ids are re-normalized to (min, max) to keep the
+    # contract byte-identical.
+    a_post = pref.filter(
+        F.expr(f"rn <= sz - ((2 * {num} * sz + {num + den - 1}) div {num + den}) + 1")
+    ).select(
         F.col("rep").alias("a_id"), F.col("sz").alias("a_psz"),
         *[F.col("rn").alias("a_rn")] if positional else [], "h",
     )
@@ -1101,8 +1141,10 @@ def prefix_filter_pairs(
         *[F.col("rn").alias("b_rn")] if positional else [], "h",
     )
     keep = (
-        (F.col("a_id") < F.col("b_id"))
-        & (F.expr(f"{num} * a_psz <= {den} * b_psz"))
+        (
+            (F.col("a_psz") < F.col("b_psz"))
+            | ((F.col("a_psz") == F.col("b_psz")) & (F.col("a_id") < F.col("b_id")))
+        )
         & (F.expr(f"{num} * b_psz <= {den} * a_psz"))
     )
     if positional:
@@ -1116,7 +1158,10 @@ def prefix_filter_pairs(
     cand = (
         a_post.join(b_post, "h")
         .filter(keep)
-        .select("a_id", "b_id")
+        .select(
+            F.least("a_id", "b_id").alias("a_id"),
+            F.greatest("a_id", "b_id").alias("b_id"),
+        )
         .distinct()
     )
     joined = cand.join(

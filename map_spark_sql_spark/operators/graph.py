@@ -65,8 +65,14 @@ def connected_components(
         )
     if algorithm != "label":
         raise ValueError(f"unknown algorithm {algorithm!r}")
-    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # r11 optimization: cut the edge-builder lineage BEFORE symmetrizing —
+    # both union legs otherwise re-run the caller's whole edge pipeline
+    # (in the curation funnel that is the full MinHash/LSH pair build,
+    # measured ~2.3 s, computed twice inside one job).
+    base = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
+        eager=False
+    )
+    sym = base.union(base.select(F.col("v").alias("u"), F.col("u").alias("v")))
     sym = sym.distinct().localCheckpoint(eager=False)
 
     if vertices is not None:
@@ -74,7 +80,10 @@ def connected_components(
     else:
         verts = sym.select("u").distinct()
 
-    labels = verts.select("u", F.col("u").alias("label"))
+    # lazy checkpoint: the initial-sum probe below materializes the seed
+    # labels, so round 1's union leg scans the stored blocks instead of
+    # recomputing the vertex derivation
+    labels = verts.select("u", F.col("u").alias("label")).localCheckpoint(eager=False)
 
     # r11 optimization: convergence is detected with a monotone sum probe
     # instead of a per-round join of new-vs-old labels. Every label is
@@ -93,19 +102,20 @@ def connected_components(
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
-        nbr_min = (
-            sym.join(labels.withColumnRenamed("u", "v"), "v")
-            .groupBy("u")
-            .agg(F.min("label").alias("nbr_label"))
-        )
+        # r11 optimization: one round = ONE aggregation. The old form
+        # (join sym->labels, groupBy neighbor-min, left-join back onto
+        # labels, coalesce) shuffled the label table twice per round; here
+        # the vertex's own label rides along as a union self-row, so
+        # min(label) over (self-row ∪ neighbor rows) IS the update —
+        # vertices without neighbors keep their label via the self-row,
+        # exactly the old coalesce semantics. Per round: one join + one
+        # groupBy, map-side partial min (guide §2.3 "aggregate before you
+        # shuffle", §2.4 fewer exchanges).
+        nbr = sym.join(labels.withColumnRenamed("u", "v"), "v").select("u", "label")
         new_labels = (
-            labels.join(nbr_min, "u", "left")
-            .select(
-                "u",
-                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
-                    "label"
-                ),
-            )
+            labels.unionByName(nbr)
+            .groupBy("u")
+            .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=False)  # materialized by the probe below
         )
         new_sum = _label_sum(new_labels)
@@ -179,6 +189,11 @@ def _connected_components_star(
 
     rounds = 0
     fp = _edge_fingerprint(e)
+    # r11 note: a min-over-window variant (fusing each star's groupBy+join
+    # into one window) was measured and REVERTED — the window forces a full
+    # shuffle+sort of the symmetrized edge table per star, where the
+    # groupBy form shuffles only pre-aggregated per-center minima and lets
+    # AQE broadcast them back (sf0.1 ER graph: 2.7s -> 5.2s regression).
     for _ in range(max_iter):
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         # large-star: m(u) = min over neighborhood incl. self
@@ -320,27 +335,39 @@ def pagerank(
         .otherwise(F.lit(0).cast("bigint"))
         .alias("r"),
     )
+    # r11 optimization: one round = one join + ONE aggregation. The old
+    # form summed contributions per target and then LEFT-JOINED the result
+    # back onto the vertex table to add the teleport base and keep
+    # rank-sinks — a second shuffle of the rank table every round. Here the
+    # constant per-vertex base rides along as union rows (c=0, b=base), so
+    # groupBy(v) computes `(85*sum(c)) div 100 + sum(b)` in one pass:
+    # exactly one base row per vertex reproduces the old
+    # `base + (85*coalesce(m,0)) div 100` bit-for-bit (sum(c)=0 for
+    # sinks), with map-side partial sums (guide §2.3/§2.4).
+    base_rows = verts.select(
+        "v",
+        F.lit(0).cast("bigint").alias("c"),
+        F.when(F.col("is_seed"), F.lit(base).cast("bigint"))
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("b"),
+    ).localCheckpoint(eager=False)
     for _ in range(iters):
-        inflow = (
-            ed.join(ranks.withColumnRenamed("v", "s"), "s")
-            .select("t", F.expr("r div outdeg").alias("c"))
-            .groupBy("t")
-            .agg(F.sum("c").alias("m"))
+        contrib = ed.join(ranks.withColumnRenamed("v", "s"), "s").select(
+            F.col("t").alias("v"),
+            F.expr("r div outdeg").alias("c"),
+            F.lit(0).cast("bigint").alias("b"),
         )
         ranks = (
-            verts.join(inflow.withColumnRenamed("t", "v"), "v", "left")
-            .select(
-                "v",
-                (
-                    F.when(F.col("is_seed"), F.lit(base)).otherwise(F.lit(0))
-                    + F.expr("(85 * coalesce(m, CAST(0 AS BIGINT))) div 100")
-                ).cast("bigint").alias("r"),
+            base_rows.unionByName(contrib)
+            .groupBy("v")
+            .agg(
+                (F.expr("(85 * sum(c)) div 100") + F.sum("b"))
+                .cast("bigint")
+                .alias("r")
             )
-            # r11 optimization: lazy — the iteration count is FIXED (no
-            # per-round convergence read), so nothing needs the rank table
-            # until the caller's action. Lazy checkpoints still truncate
-            # lineage once computed, but all 5 rounds now run inside ONE
-            # job instead of paying 5 eager materialization jobs.
+            # lazy — the iteration count is FIXED (no per-round convergence
+            # read), so all rounds run inside ONE job at the caller's
+            # action; the checkpoint still truncates lineage once computed.
             .localCheckpoint(eager=False)
         )
     return ranks.select(F.col("v").alias(id_col), F.col("r").alias(rank_col))

@@ -706,9 +706,15 @@ def knn_graph(
     than N^2). Ties on (sim, neighbor id) for determinism."""
     from pyspark.sql import Window
 
+    # r11 optimization: lineage cut before symmetrizing — the union's two
+    # legs otherwise each re-run the whole LSH bucket pipeline (the
+    # before-plan scans the embedding table twice, ops 1/11 in
+    # plans/r11/similarity_knn_graph_before.txt); the lazy checkpoint
+    # computes the pair table once and both legs scan the stored blocks
+    # (guide §2.4: share one computation between same-keyed consumers).
     pairs = cosine_pairs_lsh(
         df, dim=dim, bits=bits, threshold=-1.0, vec_col=vec_col, id_col=id_col
-    )
+    ).localCheckpoint(eager=False)
     sym = pairs.select(
         F.col("a_id").alias("src"), F.col("b_id").alias("dst"), "sim"
     ).unionByName(

@@ -187,7 +187,16 @@ def tfidf_top_terms(
             "term"
         ),
     )
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # r11 optimization: tf feeds BOTH the document-frequency aggregate and
+    # the scored join; without a lineage cut the whole tokenize + (doc,
+    # term) shuffle was planned twice (3 scans of the corpus in
+    # plans/r11/text_tfidf_top_terms_before.txt). The lazy checkpoint
+    # materializes tf once — the reference's CTAS-between-stages shape.
+    tf = (
+        toks.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
     scored = (
@@ -935,7 +944,17 @@ def lm_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> D
     """
     words = f"filter({_words(f'lower({text_col})', 'spark')}, t -> t <> '')"
     toks = df.select(F.col(id_col), F.explode(F.expr(words)).alias("term"))
-    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    # r11 optimization: freq feeds both the corpus total and the token
+    # join; the lazy checkpoint (vocab-bounded table) stops Catalyst from
+    # planning the tokenize + term shuffle twice more (3 corpus scans -> 2
+    # in the plan; the token stream itself is deliberately NOT
+    # materialized — re-tokenizing is a scan-local HOF, cheaper at scale
+    # than storing the exploded stream).
+    freq = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     total = freq.agg(F.sum("cnt").cast("long").alias("total"))
     nll_u = F.expr(
         "CAST(round(-ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)) * 1000000) AS BIGINT)"
@@ -1122,9 +1141,17 @@ def dsir_weights(
         .withColumn("_acc", accept)
         .select(F.col(id_col), F.col("_acc"), F.explode(F.expr(words)).alias("term"))
     )
-    feat = toks.groupBy("term").agg(
-        F.count(F.lit(1)).cast("long").alias("n_raw"),
-        F.sum(F.when(F.col("_acc"), 1).otherwise(0)).cast("long").alias("n_tgt"),
+    # r11 optimization: the feature table feeds both the scalar totals and
+    # the token join — the lazy checkpoint (vocab-bounded) keeps the
+    # tokenize + classifier + term shuffle from being planned twice more
+    # (the lm_score rule; 3 corpus scans -> 2).
+    feat = (
+        toks.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_raw"),
+            F.sum(F.when(F.col("_acc"), 1).otherwise(0)).cast("long").alias("n_tgt"),
+        )
+        .localCheckpoint(eager=False)
     )
     # scalar names must not collide case-insensitively with the per-term
     # columns (Spark resolution is case-insensitive: N_tgt would be

@@ -4038,15 +4038,35 @@ def text_pmi_collocations(spark, sf_dir):
         F.posexplode(F.expr("slice(ws, 1, size(ws) - 1)")).alias("i", "w1"),
         F.col("ws"),
     ).select("w1", F.expr("ws[i + 1]").alias("w2"))
-    bcount = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_ab"))
+    # r11 optimization: the DataFrame graph referenced `big` twice, `toks`
+    # twice, `bcount` twice and `ucount` three times with no lineage cut —
+    # Catalyst planned EIGHT scans of documents, each re-splitting the
+    # text (plans/r11/text_pmi_collocations_before.txt). The bigram count
+    # is checkpointed (vocab-bounded, Zipf-small), and the unigram counts
+    # are DERIVED from it instead of re-reading the token stream:
+    # count(w at a w1 position) == sum_{w2} n_ab(w, w2) exactly, so only
+    # the final-position tokens still need a (second, last) scan. 8 scans
+    # -> 2 (guide §2.4 share computation; §1.2 step 1 fewer passes).
+    bcount = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .localCheckpoint(eager=False)
+    )
     # unigram counts over the SAME token stream the bigrams see: every
     # bigram-participating position once = all positions of docs with >=2
-    # tokens (first n-1 positions via w1, the final position added back)
+    # tokens (first n-1 positions summed from bcount, the final position
+    # added back)
     ucount = (
-        big.select(F.col("w1").alias("w"))
-        .unionAll(toks.select(F.expr("ws[size(ws) - 1]").alias("w")))
+        bcount.groupBy(F.col("w1").alias("w"))
+        .agg(F.sum("n_ab").alias("n_w"))
+        .unionByName(
+            toks.select(F.expr("ws[size(ws) - 1]").alias("w"))
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("n_w"))
+        )
         .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("n_w"))
+        .agg(F.sum("n_w").alias("n_w"))
+        .localCheckpoint(eager=False)
     )
     tot = ucount.agg(
         F.sum("n_w").alias("n_uni")
