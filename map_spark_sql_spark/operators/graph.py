@@ -80,9 +80,9 @@ def connected_components(
     else:
         verts = sym.select("u").distinct()
 
-    # lazy checkpoint: the initial-sum probe below materializes the seed
-    # labels, so round 1's union leg scans the stored blocks instead of
-    # recomputing the vertex derivation
+    # lazy checkpoint: round 1's probe job materializes the seed labels,
+    # so later legs scan the stored blocks instead of recomputing the
+    # vertex derivation
     labels = verts.select("u", F.col("u").alias("label")).localCheckpoint(eager=False)
 
     # r11 optimization: convergence is detected with a monotone sum probe
@@ -93,12 +93,17 @@ def connected_components(
     # table replaces a full join + count job per round, and the aggregate
     # itself materializes the checkpoint. DECIMAL(38,0) keeps the sum
     # exact for any int64 id multiset.
-    def _label_sum(tbl: DataFrame):
-        return tbl.agg(
-            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-        ).first()["s"]
+    # r11 (2nd pass): the seed label-sum is the vertex-id sum, and the new
+    # label table carries one row per vertex — so round 1's probe can read
+    # BOTH sums (sum(label) for convergence, sum(u) for the seed baseline)
+    # in one aggregate, dropping the separate seed-probe job + its compile.
+    def _label_sum(tbl: DataFrame, with_seed: bool = False):
+        aggs = [F.sum(F.col("label").cast("decimal(38,0)")).alias("s")]
+        if with_seed:
+            aggs.append(F.sum(F.col("u").cast("decimal(38,0)")).alias("su"))
+        return tbl.agg(*aggs).first()
 
-    prev_sum = _label_sum(labels)
+    prev_sum = None
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
@@ -118,7 +123,10 @@ def connected_components(
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=False)  # materialized by the probe below
         )
-        new_sum = _label_sum(new_labels)
+        row = _label_sum(new_labels, with_seed=prev_sum is None)
+        if prev_sum is None:
+            prev_sum = row["su"]
+        new_sum = row["s"]
         labels = new_labels
         if new_sum == prev_sum:
             break
@@ -351,7 +359,7 @@ def pagerank(
         .otherwise(F.lit(0).cast("bigint"))
         .alias("b"),
     ).localCheckpoint(eager=False)
-    for _ in range(iters):
+    for i in range(iters):
         contrib = ed.join(ranks.withColumnRenamed("v", "s"), "s").select(
             F.col("t").alias("v"),
             F.expr("r div outdeg").alias("c"),
@@ -365,11 +373,19 @@ def pagerank(
                 .cast("bigint")
                 .alias("r")
             )
-            # lazy — the iteration count is FIXED (no per-round convergence
-            # read), so all rounds run inside ONE job at the caller's
-            # action; the checkpoint still truncates lineage once computed.
-            .localCheckpoint(eager=False)
         )
+        # r11 (2nd pass): `ranks` is referenced exactly ONCE per round (the
+        # contrib join), so the un-checkpointed plan nests LINEARLY and a
+        # per-round barrier buys nothing — but costs a full Catalyst
+        # compile per round, because even a lazy localCheckpoint plans the
+        # accumulated query eagerly on the driver (Dataset.checkpoint
+        # builds the RDD at call time). Measured at sf0.1: 7.5 s -> 5.5 s
+        # for the 5-round central query, bit-identical ranks. A barrier
+        # every 8th round keeps very deep iteration counts from compiling
+        # O(depth^2) plan text while still letting the common shallow runs
+        # (5 rounds here) compile exactly once at the caller's action.
+        if (i + 1) % 8 == 0:
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks.select(F.col("v").alias(id_col), F.col("r").alias(rank_col))
 
 
@@ -582,15 +598,29 @@ def kcore(
     every vertex still meeting the bar, so the two engines agree even on a
     graph that has not converged (pytest pins convergence on a long chain,
     where each pass removes only the endpoints — the adversarial case).
-    Each pass is one degree aggregation (groupBy on the vertex) plus two
-    left-semi joins against the survivor set — all hash-partitioned on
-    vertex id, no sort, no window, nothing driver-side; O(rounds) total
-    shuffles. The non-eager ``localCheckpoint`` per pass keeps the plan
-    from nesting ``rounds`` deep.
+
+    r11 shape: the edge set is SYMMETRIZED once (every undirected edge as
+    two directed rows), which makes a vertex's degree visible to a plain
+    window count in either role — ``deg(x) = count over (partition by s)``
+    = ``count over (partition by d)`` — so one peel pass is two window
+    counts + a filter, referencing the surviving table exactly ONCE. The
+    whole ``rounds``-pass peel is therefore a single LINEAR plan with no
+    per-round barrier: the previous form (degree groupBy + two left-semi
+    joins + a lazy ``localCheckpoint`` per pass) referenced ``e`` three
+    times per round, and each checkpoint forced a full Catalyst compile of
+    the accumulated plan on the driver — measured 4-16 s of pure plan
+    build for 6 rounds at sf0.1 against ~0.3 s for this form (engine time
+    1.6 s vs 0.8 s; net 7.0 s -> 2.6 s on the bench query, identical
+    rows). Per pass the symmetric table is hash-shuffled twice (once per
+    endpoint role) with map-side-sortable fixed-width rows; the skew story
+    is the same as the degree groupBy's (a hot vertex concentrates its
+    degree rows), and no driver action runs until the caller's one.
 
     Returns ``(id_col, core_degree)`` — vertices of the ``rounds``-peeled
     graph with degree >= k, and that degree.
     """
+    from pyspark.sql import Window
+
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("u"),
@@ -598,31 +628,24 @@ def kcore(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=False)
     )
+    s = e.select(F.col("u").alias("s"), F.col("v").alias("d")).union(
+        e.select(F.col("v").alias("s"), F.col("u").alias("d"))
+    )
+    ws = Window.partitionBy("s")
+    wd = Window.partitionBy("d")
     for _ in range(rounds):
-        deg = (
-            e.select(F.col("u").alias("x"))
-            .union(e.select(F.col("v").alias("x")))
-            .groupBy("x")
-            .agg(F.count(F.lit(1)).alias("d"))
+        s = (
+            s.withColumn("ns", F.count(F.lit(1)).over(ws))
+            .withColumn("nd", F.count(F.lit(1)).over(wd))
+            .filter((F.col("ns") >= k) & (F.col("nd") >= k))
+            .select("s", "d")
         )
-        surv = deg.filter(F.col("d") >= k).select("x")
-        e = (
-            e.join(surv.withColumnRenamed("x", "u"), "u", "left_semi")
-            .join(surv.withColumnRenamed("x", "v"), "v", "left_semi")
-            .select("u", "v")
-            .localCheckpoint(eager=False)
-        )
-    final = (
-        e.select(F.col("u").alias("x"))
-        .union(e.select(F.col("v").alias("x")))
-        .groupBy("x")
-        .agg(F.count(F.lit(1)).alias("d"))
-        .filter(F.col("d") >= k)
+    final = s.groupBy("s").agg(F.count(F.lit(1)).alias("dg")).filter(
+        F.col("dg") >= k
     )
     return final.select(
-        F.col("x").alias(id_col), F.col("d").cast("bigint").alias("core_degree")
+        F.col("s").alias(id_col), F.col("dg").cast("bigint").alias("core_degree")
     )
 
 

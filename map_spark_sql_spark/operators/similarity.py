@@ -461,16 +461,31 @@ def cosine_pairs_lsh(
     repartitioned so the explode stage cannot inherit the input's
     AQE-coalesced (tiny-by-bytes) partitioning and serialize on one task.
     """
+    # r11: the L2 norm is a per-MEMBER quantity, but the old plan evaluated
+    # it per PAIR (norm_sql over a_vec and b_vec inside the exploded
+    # candidate row) — two interpreted 64-element HOF reductions per
+    # candidate where one suffices per vector. Computing it once in ``sig``
+    # and carrying it through the member struct leaves only the dot product
+    # as per-pair work (guide §1.2 step 2). Bit-identical: the norm is the
+    # same expression over the same values, and the sim formula
+    # ``round(dot / (na * nb), 6)`` is unchanged.
     sig = df.select(
         F.col(id_col),
         F.col(vec_col),
+        F.expr(norm_sql(vec_col, "spark")).alias("nrm"),
         F.expr(lsh_signature_sql(vec_col, dim, bits, "spark")).alias("bucket"),
     )
     buckets = (
         sig.groupBy("bucket")
         .agg(
             F.sort_array(
-                F.collect_list(F.struct(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")))
+                F.collect_list(
+                    F.struct(
+                        F.col(id_col).alias("id"),
+                        F.col(vec_col).alias("vec"),
+                        F.col("nrm").alias("nrm"),
+                    )
+                )
             ).alias("ms")
         )
         .filter((F.size("ms") > 1) & (F.size("ms") <= max_bucket))
@@ -478,20 +493,19 @@ def cosine_pairs_lsh(
     pairs = F.expr(
         "flatten(transform(ms, (a, i) -> "
         "transform(slice(ms, i + 2, size(ms) - i - 1), "
-        "b -> struct(a.id AS a_id, a.vec AS a_vec, b.id AS b_id, b.vec AS b_vec))))"
+        "b -> struct(a.id AS a_id, a.vec AS a_vec, a.nrm AS a_nrm, "
+        "b.id AS b_id, b.vec AS b_vec, b.nrm AS b_nrm))))"
     )
     dot = F.expr(
         "aggregate(zip_with(a_vec, b_vec, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
         "CAST(0 AS DOUBLE), (s, x) -> s + x)"
     )
-    na = F.expr(norm_sql("a_vec", "spark"))
-    nb = F.expr(norm_sql("b_vec", "spark"))
     par = df.sparkSession.sparkContext.defaultParallelism
     return (
         buckets.repartition(par, "bucket")
         .select(F.explode(pairs).alias("p"))
-        .select("p.a_id", "p.b_id", "p.a_vec", "p.b_vec")
-        .withColumn("sim", F.round(dot / (na * nb), 6))
+        .select("p.a_id", "p.b_id", "p.a_vec", "p.b_vec", "p.a_nrm", "p.b_nrm")
+        .withColumn("sim", F.round(dot / (F.col("a_nrm") * F.col("b_nrm")), 6))
         .filter(F.col("sim") >= threshold)
         .select("a_id", "b_id", "sim")
     )
@@ -1340,9 +1354,20 @@ def quantized_knn_edges_lsh(
         dot = np.take_along_axis(dots, part, axis=1).reshape(-1)
         return pd.DataFrame({"src": src, "dst": dst, "dot": dot})
 
-    per_bucket = kept.select("t", "b", "salt", "vec_id", "q").groupBy(
-        "t", "b", "salt"
-    ).applyInPandas(bucket_topk, schema="src long, dst long, dot long")
+    # Explicit exchange on the group keys (guide §2.5 fan-out spreading, the
+    # same rule ngram_jaccard_pairs and the banded/prefix dedup paths apply):
+    # the bucket table is tiny by BYTES, so AQE coalesces the groupBy
+    # shuffle to ~1 partition and the quadratic per-bucket GEMM serializes
+    # onto one task (measured: the applyInPandas stage ran (0+1)/1 at
+    # sf0.1). A user repartition on the identical keys is reused by the
+    # groupBy (one exchange, no extra shuffle) and is exempt from AQE
+    # coalescing, so the GEMM spreads across the cluster.
+    per_bucket = (
+        kept.select("t", "b", "salt", "vec_id", "q")
+        .repartition(par, "t", "b", "salt")
+        .groupBy("t", "b", "salt")
+        .applyInPandas(bucket_topk, schema="src long, dst long, dot long")
+    )
     dedup = per_bucket.groupBy("src", "dst").agg(F.max("dot").alias("dot"))
     w = Window.partitionBy("src").orderBy(F.desc("dot"), F.asc("dst"))
     return (

@@ -86,15 +86,157 @@ def decode_tile_py(blob: bytes) -> list[dict]:
     return res
 
 
+# --- vectorized (Arrow/numpy) encoder kernels --------------------------------
+#
+# The original encoders mapped a Python codec over every row: each tile's
+# list<struct> crossed Arrow -> pandas as boxed dicts and was walked dict-by-
+# dict through struct.pack — interpreted Python per FEATURE, the exact shape
+# guide §4.2 says to replace with whole-batch native kernels. Both wire
+# records are fixed-width (pixel header <iiI> = 12 B, feature <iq> = 12 B;
+# point feature <ddiq> = 28 B), so a batch's entire body assembles as ONE
+# numpy integer matrix whose row-major bytes ARE the packed records; the
+# per-row work left is slicing bytes at record offsets. The UDFs are Spark
+# 4.1 `arrow_udf`s: the column arrives as a `pyarrow.Array` (zero Python
+# boxing — offsets + primitive child arrays), runs on the same byte-bounded
+# ArrowEvalPython batching as the pandas UDFs they replace (whale batches
+# still close at arrow.maxBytesPerBatch), and the pure-Python codecs above
+# stay as the unit-testable spec the kernels are pinned byte-identical to.
+
+
+def _np_field(struct_arr, name):
+    import numpy as np
+
+    return struct_arr.field(name).to_numpy(zero_copy_only=False)
+
+
+def _list_lengths(list_arr):
+    """Per-row element counts of a ListArray as int64 (nulls -> 0)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    return (
+        pc.fill_null(pc.list_value_length(list_arr), 0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+
+
+def _exclusive_cumsum(counts):
+    """[0, c0, c0+c1, ...] — offsets array one longer than ``counts``."""
+    import numpy as np
+
+    off = np.zeros(counts.shape[0] + 1, dtype=np.int64)
+    np.cumsum(counts, out=off[1:])
+    return off
+
+
+def _tile_body_records(pixels):
+    """The 12-byte wire records of a flattened pixel StructArray as an
+    (n_pixels + n_features) x 3 little-endian uint32 matrix: row-major
+    ``tobytes()`` equals the concatenation encode_tile_block_py produces.
+    Pixel headers land at record index ``i + features_before(i)``; the
+    feature records fill every other slot in flattened order."""
+    import numpy as np
+
+    px = _np_field(pixels, "px").astype("<i4")
+    py = _np_field(pixels, "py").astype("<i4")
+    feats_col = pixels.field("features")
+    nf = _list_lengths(feats_col)
+    import pyarrow.compute as pc
+
+    feats = pc.list_flatten(feats_col)
+    bor = _np_field(feats, "borYear").astype("<i4")
+    occ = _np_field(feats, "occCount").astype("<i8")
+
+    n = px.shape[0]
+    total = n + bor.shape[0]
+    buf = np.empty((total, 3), dtype="<u4")
+    hdr = np.arange(n, dtype=np.int64) + _exclusive_cumsum(nf)[:-1]
+    buf[hdr, 0] = px.view("<u4")
+    buf[hdr, 1] = py.view("<u4")
+    buf[hdr, 2] = nf.astype("<u4")
+    mask = np.ones(total, dtype=bool)
+    mask[hdr] = False
+    occ_u = occ.view("<u8")
+    buf[mask, 0] = bor.view("<u4")
+    buf[mask, 1] = (occ_u & np.uint64(0xFFFFFFFF)).astype("<u4")
+    buf[mask, 2] = (occ_u >> np.uint64(32)).astype("<u4")
+    return buf, nf
+
+
+def _encode_tiles_batch(tile_arr, header: bool):
+    """One Arrow batch of tile pixel-arrays -> BinaryArray of wire blobs
+    (``header=True``: full TILE_MAGIC|u32(npx) blobs; False: body runs for
+    the chunked assembler)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    npx = _list_lengths(tile_arr)
+    pixels = pc.list_flatten(tile_arr)
+    buf, nf = _tile_body_records(pixels)
+    body = memoryview(buf.tobytes())
+    pix_off = _exclusive_cumsum(npx)
+    rec_off = (pix_off + _exclusive_cumsum(nf)[pix_off]) * 12
+    if header:
+        blobs = [
+            TILE_MAGIC
+            + struct.pack("<I", int(npx[i]))
+            + bytes(body[rec_off[i] : rec_off[i + 1]])
+            for i in range(npx.shape[0])
+        ]
+    else:
+        blobs = [
+            bytes(body[rec_off[i] : rec_off[i + 1]]) for i in range(npx.shape[0])
+        ]
+    return pa.array(blobs, type=pa.binary())
+
+
+_POINT_DT = None  # built lazily: numpy packed struct dtype of the PF1 record
+
+
+def _encode_points_batch(features_arr):
+    """One Arrow batch of point feature-arrays -> BinaryArray of PF1 blobs.
+    The 28-byte <ddiq> record is a packed numpy structured dtype, so the
+    whole batch's features serialize as one ``rec.tobytes()``."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    global _POINT_DT
+    if _POINT_DT is None:
+        _POINT_DT = np.dtype(
+            {
+                "names": ["lat", "lng", "borYear", "occCount"],
+                "formats": ["<f8", "<f8", "<i4", "<i8"],
+                "offsets": [0, 8, 16, 20],
+                "itemsize": 28,
+            }
+        )
+    n = _list_lengths(features_arr)
+    feats = pc.list_flatten(features_arr)
+    rec = np.empty(len(feats), dtype=_POINT_DT)
+    rec["lat"] = _np_field(feats, "lat")
+    rec["lng"] = _np_field(feats, "lng")
+    rec["borYear"] = _np_field(feats, "borYear").astype("<i4")
+    rec["occCount"] = _np_field(feats, "occCount").astype("<i8")
+    body = memoryview(rec.tobytes())
+    off = _exclusive_cumsum(n) * 28
+    blobs = [
+        POINT_MAGIC + struct.pack("<I", int(n[i])) + bytes(body[off[i] : off[i + 1]])
+        for i in range(n.shape[0])
+    ]
+    return pa.array(blobs, type=pa.binary())
+
+
 # --- Spark operators --------------------------------------------------------
 
 
 def encode_point_features(points: DataFrame, features_col: str = "features") -> DataFrame:
     """points-path rows -> (key, mapKey, value binary); X4 analogue."""
 
-    @F.pandas_udf(BinaryType())
-    def _enc(col: pd.Series) -> pd.Series:
-        return col.map(encode_point_features_py)
+    @F.arrow_udf(BinaryType())
+    def _enc(col):
+        return _encode_points_batch(col)
 
     return points.withColumn("value", _enc(F.col(features_col))).drop(features_col)
 
@@ -105,14 +247,14 @@ def encode_tiles(tiles: DataFrame, tile_col: str = "tile") -> DataFrame:
     Ships each row's WHOLE pixel array to the Python worker — fine at mid/
     high zooms (tile payload shrinks 4x per zoom), fatal for low-zoom whale
     tiles at rung scale: a z2 tile over ~1.2B fanned rows is ~10M+ pixel
-    structs, and the Arrow->Python conversion explodes that to tens of GB
-    of boxed objects, crashing the worker (caught by the 1000x blob gate,
-    round 7). Use :func:`encode_tiles_chunked` wherever a whale tile can
-    appear; output is byte-identical (pinned in pytest)."""
+    structs; even the unboxed Arrow transfer is a whole-tile buffer per row
+    (caught by the 1000x blob gate, round 7). Use
+    :func:`encode_tiles_chunked` wherever a whale tile can appear; output
+    is byte-identical (pinned in pytest)."""
 
-    @F.pandas_udf(BinaryType())
-    def _enc(col: pd.Series) -> pd.Series:
-        return col.map(encode_tile_py)
+    @F.arrow_udf(BinaryType())
+    def _enc(col):
+        return _encode_tiles_batch(col, header=True)
 
     return tiles.withColumn("value", _enc(F.col(tile_col))).drop(tile_col)
 
@@ -177,17 +319,17 @@ def encode_tiles_chunked(
     small = tiles.filter(F.size(F.col(tile_col)) <= chunk)
     big = tiles.filter(F.size(F.col(tile_col)) > chunk)
 
-    @F.pandas_udf(BinaryType())
-    def _enc_whole(col: pd.Series) -> pd.Series:
-        return col.map(encode_tile_py)
+    @F.arrow_udf(BinaryType())
+    def _enc_whole(col):
+        return _encode_tiles_batch(col, header=True)
 
     small_enc = small.withColumn("value", _enc_whole(F.col(tile_col))).select(
         *others, "value"
     )
 
-    @F.pandas_udf(BinaryType())
-    def _enc_block(col: pd.Series) -> pd.Series:
-        return col.map(encode_tile_block_py)
+    @F.arrow_udf(BinaryType())
+    def _enc_block(col):
+        return _encode_tiles_batch(col, header=False)
 
     def _asm_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("_idx")
