@@ -2440,6 +2440,19 @@ class TestKcore:
         got = {r["id"]: r["core_degree"] for r in G.kcore(df, k=3, rounds=4).collect()}
         assert got == {0: 3, 1: 3, 2: 3, 3: 3}
 
+    def test_duplicate_and_reversed_edges_do_not_inflate_degree(self, spark):
+        """The r11 window peel counts degree as rows per endpoint role of
+        the SYMMETRIZED table — that is only the true degree because the
+        edge set is canonicalized + distinct'd first. A triangle fed with
+        duplicates and both orientations must still peel as degree 2."""
+        from map_spark_sql_spark.operators import graph as G
+
+        edges = [(0, 1), (1, 0), (0, 1), (1, 2), (2, 1), (0, 2), (2, 0), (0, 2)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        assert G.kcore(df, k=3, rounds=2).count() == 0
+        got = {r["id"]: r["core_degree"] for r in G.kcore(df, k=2, rounds=2).collect()}
+        assert got == {0: 2, 1: 2, 2: 2}
+
 
 class TestTrailingRangeStats:
     def test_frame_includes_ties_and_bound(self, spark):

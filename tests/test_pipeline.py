@@ -159,6 +159,32 @@ def test_binary_encoders_roundtrip(occurrence_df):
     assert chunked == whole and len(chunked) > 0
 
 
+def test_vectorized_tile_encoder_edge_values(spark):
+    """The r11 numpy encoder kernel vs the pure-Python codec spec on the
+    wire format's edge values: negative buffered pixel coords (two's
+    complement i32), an occCount past 2^32 (i64 lo/hi split), and an
+    empty features list (nf = 0 header with no feature records)."""
+    tile = [
+        {
+            "px": -64,
+            "py": -1,
+            "features": [
+                {"borYear": 202303, "occCount": 3},
+                {"borYear": 5, "occCount": 2**33 + 7},
+            ],
+        },
+        {"px": 0, "py": 511, "features": []},
+    ]
+    df = spark.createDataFrame(
+        [("k", tile)],
+        "key string, tile array<struct<px:int,py:int,"
+        "features:array<struct<borYear:int,occCount:bigint>>>>",
+    )
+    got = bytes(T.encode_tiles(df).collect()[0]["value"])
+    assert got == T.encode_tile_py(tile)
+    assert T.decode_tile_py(got) == tile
+
+
 def test_blob_hex_oracle_builders():
     """The DuckDB wire-format reconstruction (plans/tiles.py hex builders)
     must transcribe exactly the bytes the Python codecs emit — this is the
