@@ -210,12 +210,22 @@ def _connected_components_star(
             .agg(F.min("v").alias("mv"))
             .select("u", F.least("u", "mv").alias("m"))
         )
+        # r11: no distinct on e1. Its set is irrelevant downstream — m2's
+        # min absorbs duplicate (u, m) rows in the partial aggregate, the
+        # e1-m2 join emits exactly one output row per e1 row either way
+        # (m2 is one row per u), and e2's final distinct collapses the
+        # set. The removed exchange+aggregate cost one full shuffle of e1
+        # per round to save shuffling duplicate rows into the next two
+        # operators — but e1's row count is bounded by |sym| regardless
+        # (one output row per filtered sym row), so the duplicate mass the
+        # distinct collapsed is at most what the join shuffles anyway.
+        # Measured on the sf0.1 ER graph: 2.89 -> 2.25 s, labels
+        # identical row-for-row.
         e1 = (
             sym.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
         # small-star over larger-first edges: center u and every smaller
         # neighbor attach to min(neighbors) (all < u by orientation)
