@@ -609,28 +609,40 @@ def kcore(
     graph that has not converged (pytest pins convergence on a long chain,
     where each pass removes only the endpoints — the adversarial case).
 
-    r11 shape: the edge set is SYMMETRIZED once (every undirected edge as
-    two directed rows), which makes a vertex's degree visible to a plain
-    window count in either role — ``deg(x) = count over (partition by s)``
-    = ``count over (partition by d)`` — so one peel pass is two window
-    counts + a filter, referencing the surviving table exactly ONCE. The
-    whole ``rounds``-pass peel is therefore a single LINEAR plan with no
-    per-round barrier: the previous form (degree groupBy + two left-semi
-    joins + a lazy ``localCheckpoint`` per pass) referenced ``e`` three
-    times per round, and each checkpoint forced a full Catalyst compile of
-    the accumulated plan on the driver — measured 4-16 s of pure plan
-    build for 6 rounds at sf0.1 against ~0.3 s for this form (engine time
-    1.6 s vs 0.8 s; net 7.0 s -> 2.6 s on the bench query, identical
-    rows). Per pass the symmetric table is hash-shuffled twice (once per
-    endpoint role) with map-side-sortable fixed-width rows; the skew story
-    is the same as the degree groupBy's (a hot vertex concentrates its
-    degree rows), and no driver action runs until the caller's one.
+    r12 shape: the edge set is SYMMETRIZED once (every undirected edge as
+    two directed rows), so a vertex's degree is one partial-aggregable
+    ``groupBy(s).count()`` per pass — the map side collapses each vertex's
+    rows before the (vertex, count) exchange, so the shuffle carries one
+    tiny row per vertex instead of every edge row, and nothing sorts. The
+    pass then drops edges whose either endpoint FAILED the bar via two
+    left-ANTI joins against the failing set (``deg < k``): on a peeling
+    graph the failing set is far smaller than the surviving set, so the
+    planner broadcasts it (and keeps SMJ freedom when it is not small).
+    Both endpoints' memberships are decided against the same round-start
+    snapshot, so the symmetry invariant holds round to round and the
+    semantics are the exact Batagelj-Zaveršnik round peel. A lazy
+    ``localCheckpoint`` every SECOND pass bounds the plan (between
+    barriers the surviving table is referenced twice per pass — degree +
+    join — so an unbarriered chain re-executes its subtree 2^rounds
+    times: measured 9.7 s with no mid barriers vs 2.2 s with one per two
+    passes at sf0.1).
+
+    History: the r10 form (unordered edge table, union-both-roles degree,
+    two semi joins, checkpoint EVERY pass) measured 3.66 s on the r12 box;
+    the r11 form (two window counts per pass, zero checkpoints — one
+    linear plan) removed the per-pass Catalyst compile that dominated on a
+    slow box but pays two full sort+shuffles of the edge table per pass,
+    and REGRESSED on the driver board (2.46 -> 4.49 s; 3.98 s on the r12
+    box). This form keeps the cheap-compile property (3 bounded compiles
+    for 6 rounds) and replaces every sort with a partial aggregation:
+    min-of-5 isolated 2.24 s vs 3.98 s (window) on the same box, identical
+    rows across all three forms. At scale the per-pass cost is one scan of
+    stored edge blocks + a per-vertex exchange + the anti-join probes — no
+    corpus-sized sort anywhere.
 
     Returns ``(id_col, core_degree)`` — vertices of the ``rounds``-peeled
     graph with degree >= k, and that degree.
     """
-    from pyspark.sql import Window
-
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("u"),
@@ -639,18 +651,21 @@ def kcore(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    s = e.select(F.col("u").alias("s"), F.col("v").alias("d")).union(
-        e.select(F.col("v").alias("s"), F.col("u").alias("d"))
+    s = (
+        e.select(F.col("u").alias("s"), F.col("v").alias("d"))
+        .union(e.select(F.col("v").alias("s"), F.col("u").alias("d")))
+        .localCheckpoint(eager=False)
     )
-    ws = Window.partitionBy("s")
-    wd = Window.partitionBy("d")
-    for _ in range(rounds):
+    for i in range(rounds):
+        deg = s.groupBy("s").agg(F.count(F.lit(1)).alias("dg"))
+        bad = deg.filter(F.col("dg") < k).select(F.col("s").alias("x"))
         s = (
-            s.withColumn("ns", F.count(F.lit(1)).over(ws))
-            .withColumn("nd", F.count(F.lit(1)).over(wd))
-            .filter((F.col("ns") >= k) & (F.col("nd") >= k))
+            s.join(bad.withColumnRenamed("x", "s"), "s", "left_anti")
+            .join(bad.withColumnRenamed("x", "d"), "d", "left_anti")
             .select("s", "d")
         )
+        if (i + 1) % 2 == 0 and i != rounds - 1:
+            s = s.localCheckpoint(eager=False)
     final = s.groupBy("s").agg(F.count(F.lit(1)).alias("dg")).filter(
         F.col("dg") >= k
     )

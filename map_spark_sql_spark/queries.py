@@ -4451,8 +4451,9 @@ def similarity_kcore(spark, sf_dir):
     degree<3, with their core degree. On a near-dup graph the 3-core is
     the dense duplicate families — chain-linked stragglers (the vertices
     connected-components gloms onto a cluster through one weak edge) peel
-    off. One degree agg + two semi-joins per round, all keyed on vertex
-    id; fixed round count mirrored exactly by the unrolled-CTE oracle."""
+    off. One partial-aggregable degree agg + two anti-joins against the
+    failing set per round, all keyed on vertex id; fixed round count
+    mirrored exactly by the unrolled-CTE oracle."""
     _register_views(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     edges = SIM.quantized_knn_edges(emb, k=3)
