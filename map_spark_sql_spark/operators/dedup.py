@@ -2148,6 +2148,18 @@ def method_agreement(
     construction — and a 7-row-max final aggregate. Nothing here adds a
     corpus-sized stage beyond the detectors themselves, so the diagnostic
     costs what one extra run of each detector costs.
+
+    Measured and REJECTED in r12 (guide §1.1 "a fresh implementation of
+    the ideal plan is usually slower"): replacing the per-detector
+    ``distinct`` + two full-outer joins with one tagged-union
+    ``groupBy(a_id, b_id).agg(max(flag))`` — nominally 5 exchanges+2
+    sorts down to 1 exchange — measured SLOWER on the same box (min-of-5
+    2.68 s vs 1.91 s, identical rows): the per-detector distincts
+    collapse each raw candidate stream inside exchanges the detectors
+    already paid for, the outer joins then ride that (a, b) partitioning
+    over a few thousand surviving rows, while the union form re-shuffles
+    all three RAW streams through one new exchange. The full-outer form
+    stays.
     """
     from map_spark_sql_spark.operators.similarity import cosine_pairs_lsh
 

@@ -46,9 +46,16 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     identical output. Callers hand this a cheap projection of a scan (the
     profile contract), so re-deriving the input per branch costs k
     column-pruned scans, not k compute passes; for a one-pass exact plan
-    over an EXPENSIVE input, materialize the input first. The 100 TB form
-    remains :func:`profile_columns_approx` (no Expand, no re-scan, HLL
-    registers)."""
+    over an EXPENSIVE input, materialize the input first. Because each
+    branch re-evaluates ``df`` independently, a NON-DETERMINISTIC input
+    (``sample()``, a ``rand()`` filter) would be profiled against a
+    different row set per column — materialize such an input (e.g.
+    ``localCheckpoint``) before profiling so every row sees one snapshot
+    (the pre-r11 single-pass form guaranteed this implicitly). The 100 TB
+    form remains :func:`profile_columns_approx` (no Expand, no re-scan,
+    HLL registers)."""
+    if not cols:
+        raise ValueError("cols must be non-empty")
     parts = []
     for c in cols:
         parts.append(

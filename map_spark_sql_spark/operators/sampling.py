@@ -149,7 +149,8 @@ WHERE {bucket} < {w}
 
 
 def pareto_frontier(
-    df: DataFrame, q_col: str, l_col: str, *keep_cols: str
+    df: DataFrame, q_col: str, l_col: str, *keep_cols: str,
+    max_distinct_q: int = 1 << 20,
 ) -> DataFrame:
     """Pareto-optimal (non-dominated) selection over two integer criteria:
     keep a row iff NO other row is >= on both ``q_col`` and ``l_col`` and
@@ -178,18 +179,42 @@ def pareto_frontier(
     bucket it first (that caller owns the quantization anyway — the
     frontier over raw doubles is as noisy as the data).
 
+    That assumption is now ENFORCED, not just documented (r11 verdict
+    ask #7): the per-q maxima table is counted before the window runs and
+    a distinct count past ``max_distinct_q`` raises instead of silently
+    sorting a corpus-sized single partition at rung scale. The count is
+    the one driver round-trip this plan retains, and it is not pure
+    overhead: it materializes the (lazily checkpointed) maxima table, so
+    the window reads stored blocks instead of re-running the groupBy.
+
     ``scored`` (the filtered fact projection) is consumed by both the
     groupBy and the final join; the lazy localCheckpoint computes the
     (often expensive) criterion columns once instead of once per consumer.
     """
     from pyspark.sql import Window
 
+    # dict.fromkeys dedupes while preserving order: a caller passing q_col
+    # or l_col inside keep_cols would otherwise produce duplicate columns
+    # and an ambiguous-reference error at the join below
+    proj = list(dict.fromkeys([*keep_cols, q_col, l_col]))
     scored = (
         df.filter(F.col(q_col).isNotNull() & F.col(l_col).isNotNull())
-        .select(*keep_cols, q_col, l_col)
+        .select(*proj)
         .localCheckpoint(eager=False)
     )
-    g = scored.groupBy(q_col).agg(F.max(l_col).alias("_gmax"))
+    g = (
+        scored.groupBy(q_col)
+        .agg(F.max(l_col).alias("_gmax"))
+        .localCheckpoint(eager=False)
+    )
+    n_q = g.count()
+    if n_q > max_distinct_q:
+        raise ValueError(
+            f"pareto_frontier: {q_col} has {n_q} distinct values "
+            f"(> max_distinct_q={max_distinct_q}); the exclusive running "
+            "max would sort them in ONE partition — bucket the criterion "
+            "first (the caller owns the quantization)"
+        )
     w = (
         Window.orderBy(F.col(q_col).desc())
         .rowsBetween(Window.unboundedPreceding, -1)

@@ -228,30 +228,45 @@ def bm25_topk(
     retrieval twin of :func:`tfidf_top_terms`; Lucene-style idf
     ``ln(1 + (N - df + 0.5)/(df + 0.5))``).
 
-    Scale shape: document length is a ROW-LOCAL expression (no tokenize
-    shuffle for |d|); the (doc, term) aggregation is filtered to the query
-    terms BEFORE the shuffle, so its volume is O(matching postings), not
-    O(corpus tokens); N/avgdl is a 1-row broadcast; the final top-k is
-    TakeOrderedAndProject (per-partition heaps). Ties break on doc id.
-    Output: ``(doc_id, score, rank)``.
+    Scale shape: ONE tokenize pass over the corpus — the r11 rrf plan
+    tokenized it three times (tf, docfreq re-deriving tf, and the
+    n_docs/avgdl stats scan each re-planned the Generate subtree; 10
+    parquet scans in plans/r12/retrieval_hybrid_rrf_before.txt). The pass
+    emits a SLIM row per document — ``(doc_id, dl, query-term matches)``,
+    a few dozen bytes — behind a lazy ``localCheckpoint``, and both the
+    corpus stats and the postings read the stored blocks. Document length
+    stays a ROW-LOCAL expression (no tokenize shuffle for |d|); the
+    (doc, term) aggregation is filtered to the query terms BEFORE the
+    shuffle, so its volume is O(matching postings), not O(corpus tokens);
+    the postings table is itself checkpointed (its groupBy feeds both the
+    document-frequency aggregate and the scored join — the tfidf rule);
+    N/avgdl is a 1-row broadcast, and docfreq stays a broadcast join (a
+    window over the postings would sort one hot partition per query term);
+    the final top-k is TakeOrderedAndProject (per-partition heaps). Ties
+    break on doc id. Output: ``(doc_id, score, rank)``.
     """
     from pyspark.sql import Window
 
     terms_lit = ", ".join(f"'{t}'" for t in query_terms)
     words = f"filter({_words(f'lower({text_col})', 'spark')}, t -> t <> '')"
-    base = df.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col), F.expr(f"size({words})").cast("long").alias("dl"),
-        F.expr(words).alias("_w"),
+    base = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.expr(f"size({words})").cast("long").alias("dl"),
+            F.expr(f"filter({words}, t -> t IN ({terms_lit}))").alias("_qw"),
+        )
+        .localCheckpoint(eager=False)
     )
     stats = base.select(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
     )
     tf = (
-        base.select(F.col(id_col), "dl", F.explode("_w").alias("term"))
-        .filter(F.expr(f"term IN ({terms_lit})"))
+        base.select(F.col(id_col), "dl", F.explode("_qw").alias("term"))
         .groupBy(id_col, "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
     )
     docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
@@ -1144,7 +1159,13 @@ def dsir_weights(
     # r11 optimization: the feature table feeds both the scalar totals and
     # the token join — the lazy checkpoint (vocab-bounded) keeps the
     # tokenize + classifier + term shuffle from being planned twice more
-    # (the lm_score rule; 3 corpus scans -> 2).
+    # (the lm_score rule). r12 isolated A/B (sf0.1, same session, min-of-6):
+    # the checkpoint costs ~0.2 s locally (1.35 vs 1.17 without — the
+    # materialization barrier) but the plan diff shows 6 parquet scans of
+    # the corpus without it vs 2 with it, identical rows — at rung scale
+    # four extra corpus passes dwarf one vocab-sized checkpoint, so it
+    # stays (the r11 driver-board 0.50->1.15 s move was box contention on
+    # top of that barrier cost; same-box receipts in OPTIMIZATION_r12.md).
     feat = (
         toks.groupBy("term")
         .agg(

@@ -103,10 +103,25 @@ def decode_tile_py(blob: bytes) -> list[dict]:
 # stay as the unit-testable spec the kernels are pinned byte-identical to.
 
 
+def _assert_no_nulls(arr, what: str):
+    """Bad upstream data must fail LOUDLY (r11 advice #2): a null list
+    would otherwise encode as a valid empty blob, and a null int field
+    routes through float64 in ``to_numpy(zero_copy_only=False)`` and comes
+    back as silent garbage bytes. ``null_count`` is a validity-bitmap
+    popcount — O(n/8) bits, vectorized, negligible next to the encode."""
+    if arr.null_count:
+        raise ValueError(
+            f"encoder input has {arr.null_count} null {what} value(s); "
+            "the wire format has no null encoding — fix the upstream"
+        )
+
+
 def _np_field(struct_arr, name):
     import numpy as np
 
-    return struct_arr.field(name).to_numpy(zero_copy_only=False)
+    field = struct_arr.field(name)
+    _assert_no_nulls(field, f"struct field '{name}'")
+    return field.to_numpy(zero_copy_only=False)
 
 
 def _list_lengths(list_arr):
@@ -141,6 +156,7 @@ def _tile_body_records(pixels):
     px = _np_field(pixels, "px").astype("<i4")
     py = _np_field(pixels, "py").astype("<i4")
     feats_col = pixels.field("features")
+    _assert_no_nulls(feats_col, "pixel features-array")
     nf = _list_lengths(feats_col)
     import pyarrow.compute as pc
 
@@ -171,6 +187,7 @@ def _encode_tiles_batch(tile_arr, header: bool):
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    _assert_no_nulls(tile_arr, "tile pixel-array")
     npx = _list_lengths(tile_arr)
     pixels = pc.list_flatten(tile_arr)
     buf, nf = _tile_body_records(pixels)
@@ -212,6 +229,7 @@ def _encode_points_batch(features_arr):
                 "itemsize": 28,
             }
         )
+    _assert_no_nulls(features_arr, "point feature-array")
     n = _list_lengths(features_arr)
     feats = pc.list_flatten(features_arr)
     rec = np.empty(len(feats), dtype=_POINT_DT)

@@ -5367,81 +5367,82 @@ def similarity_knn_edges_lsh_recall(spark, sf_dir):
 # the whole registry; after round 6 the union of driver boards covers the
 # FULL registry (213/213), so rotation is continuity hygiene: each round
 # re-certifies the queries whose newest green board is OLDEST, plus
-# everything the round changed. The round-11 window (r10 verdict ask #3):
+# everything the round changed. The round-12 window (r11 verdict asks #2 and
+# policy note #4: every operator rewritten in round N re-certifies on
+# round N+1's board):
 #   - position 1: the entry flagship (continuity anchor);
-#   - positions 2-19: ALL 18 queries whose newest green board dates to
-#     round 6 (the verdict's full list) — after this round no registry
-#     query's newest board predates round 7;
-#   - positions 20-21: the two streaming-sessions queries, because
-#     custom_sessionize grows the carry_closed_end opt-in this round
-#     (r10 verdict ask #6) and its consumers should re-certify on the
-#     same board;
-#   - positions 22-50: 29 of the 48 queries whose newest green board
-#     dates to round 7, alphabetically first (deterministic rotation;
-#     events_sessions_batch lands in this block); the remaining 19
-#     rotate in r12.
+#   - positions 2-20: the remaining 19 queries whose newest green board
+#     dates to round 7 (the rotation r11 promised) — after this round no
+#     registry query's newest board predates round 8;
+#   - next 17: every round-11-rewritten query NOT already above
+#     (prefix-filter, star-CC/ER, the CC consumers, pagerank, pareto,
+#     both blob encoders, the text lineage cuts, cosine-pair consumers,
+#     the kmeans/quantized checkpoints) — the r11 verdict's structural
+#     caveat was that these were certified that round only by the local
+#     sweep;
+#   - next 5: the queries riding code round 12 itself changes (k-core
+#     anti-join peel, bm25 one-tokenize pass + rrf, profile/pareto
+#     guards);
+#   - last 8: the now-oldest (r8-certified) cohort, alphabetically first
+#     (deterministic rotation; the rest rotate in r13).
 # The full registry remains locally re-certified at sf0.01 every round via
 # tools/check_correctness.py (see SCALE.md).
 
 _WINDOW_ORDER = [
-    "mapkeys_stats",            # entry flagship (driver-green r1-r10)
-    # -- all 18 round-6-latest queries (r10 verdict ask #3: after r11 no
-    #    query's newest green board is older than r7) --
-    "events_profile",
-    "events_rolling_1h_user",
-    "events_transition_matrix",
-    "events_type_bitmask_daily",
-    "events_winsorize_p01_p99",
-    "multimodal_frames",
-    "part_corr_qty_price",
-    "similarity_diversity_stats",
-    "similarity_graph_assortativity",
-    "similarity_ivf_recall",
+    "mapkeys_stats",            # entry flagship (driver-green r1-r11)
+    # -- the 19 remaining r7-latest queries (rotation promised in r11) --
+    "text_tfidf_top_terms",     # also r11-rewritten (tf lineage cut)
+    "tiles_arctic_z1",
+    "tiles_mercator_z2",
+    "tiles_zorder_keys",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q14_promo_revenue",
+    "tpch_q17_small_quantity",
+    "tpch_q19_disjunctive_predicates",
+    "tpch_q1_pricing_summary",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "union_all_contacts_by_nation",
+    "window_running_revenue",
+    # -- every r11-rewritten query not already above (r11 verdict ask #2) --
+    "dedup_prefix_filter_pairs",
+    "customers_er_resolve",
+    "corpus_curation",
+    "corpus_curation_report",
+    "dedup_cluster_keepers",
+    "similarity_pagerank_central",
+    "docs_pareto_frontier",
+    "tiles_encode_blob_md5",
+    "points_encode_blob_md5",
+    "text_lm_score",
+    "text_pmi_collocations",
+    "docs_dsir_weights",
+    "dedup_method_agreement",
+    "dedup_embedding_cosine",
+    "similarity_knn_graph",
+    "similarity_topk_ivf_trained",
+    "similarity_topk_quantized",
+    # -- queries riding code round 12 changes --
     "similarity_kcore",
-    "similarity_ppr_seed_expand",
-    "similarity_topk_batch",
-    "similarity_triangle_density",
-    "text_bpe_pair_merges",
-    "text_bpe_train_rounds",
-    "text_lm_score_bigram",
-    "text_winnowing_fingerprints",
-    # -- queries riding the code this round changes: custom_sessionize
-    #    grows the carry_closed_end opt-in (r10 verdict ask #6), so every
-    #    sessionizer consumer re-certifies on the live board
-    #    (events_sessions_batch is in the alphabetical block below) --
-    "stream_events_sessions",
-    "stream_sessions_update_snapshot",
-    # -- 29 of the 48 now-oldest (r7-certified) cohort, alphabetical
-    #    (deterministic rotation; the remaining 19 rotate in r12) --
-    "agg_distinct_customers",
-    "agg_grouping_sets_orders",
-    "agg_rollup_region_nation",
-    "boryear_decode",
-    "dedup_exact",
-    "dedup_simhash_banded",
-    "docs_tokenize",
+    "retrieval_hybrid_rrf",
+    "text_bm25_topk",
+    "events_profile",
     "events_profile_approx",
-    "events_sessions_batch",
-    "join_anti_not_exists",
-    "join_orders_customer_agg",
-    "join_semi_exists",
-    "json_props_stats",
-    "mapkeys_threshold",
-    "orders_priority_histogram",
-    "points_counts",
-    "points_features",
-    "points_features_salted",
-    "pyramid_rollup_z3",
-    "range_join_price_bands",
-    "route_points_anti",
-    "set_ops_purchasers_vs_errors",
-    "set_ops_viewers_minus_buyers",
-    "similarity_knn_edges_lsh",
-    "similarity_knn_edges_lsh_recall",
-    "similarity_pairs_lsh",
-    "t1_antarctic_z1",
-    "t1_arctic_z1",
-    "t1_wgs84_z2",
+    # -- 8 of the now-oldest (r8-certified) cohort, alphabetical --
+    "asof_purchase_last_view",
+    "dedup_connected_components",
+    "dedup_fingerprint_clusters",
+    "dedup_incremental",
+    "dedup_minhash_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_pairs",
+    "docs_decontaminate",
 ]
 
 

@@ -2453,6 +2453,23 @@ class TestKcore:
         got = {r["id"]: r["core_degree"] for r in G.kcore(df, k=2, rounds=2).collect()}
         assert got == {0: 2, 1: 2, 2: 2}
 
+    def test_peel_plan_is_window_free_anti_join(self, spark):
+        """The r12 peel replaces the r11 per-round window counts (two full
+        sort+shuffles of the edge table per round — the driver-board
+        regression) with a partial-aggregable degree groupBy + anti-joins
+        against the failing set: the plan must carry NO Window operator
+        and one LeftAnti join pair per round. (Join strategy stays with
+        the planner: the initial plan over unsized lazy-checkpoint leaves
+        defaults to sort-merge; AQE rewrites to broadcast at runtime —
+        plans/r12/similarity_kcore_after.txt shows the broadcast form.)"""
+        from map_spark_sql_spark.operators import graph as G
+
+        k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+        df = spark.createDataFrame(k4, "src long, dst long")
+        plan = G.kcore(df, k=3, rounds=4)._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+        assert plan.count("LeftAnti") == 8  # 2 per round x 4 rounds
+
 
 class TestTrailingRangeStats:
     def test_frame_includes_ties_and_bound(self, spark):
@@ -2503,6 +2520,32 @@ class TestParetoFrontier:
         )
         got = {r["doc_id"] for r in pareto_frontier(df, "q", "l", "doc_id").collect()}
         assert got == {2, 3}
+
+    def test_continuous_criterion_guard_fires(self, spark):
+        """A corpus-like distinct count on the criterion must raise (r11
+        verdict ask #7) instead of silently sorting all per-q maxima in a
+        single window partition at rung scale."""
+        import pytest
+
+        from map_spark_sql_spark.operators.sampling import pareto_frontier
+
+        rows = [(i, i, i % 7) for i in range(50)]  # every q distinct
+        df = spark.createDataFrame(rows, "doc_id long, q long, l long")
+        with pytest.raises(ValueError, match="distinct"):
+            pareto_frontier(df, "q", "l", "doc_id", max_distinct_q=10)
+        # same data under the default bound still computes
+        assert pareto_frontier(df, "q", "l", "doc_id").count() > 0
+
+    def test_keep_cols_overlap_tolerated(self, spark):
+        """keep_cols containing q_col/l_col must not produce an
+        ambiguous-reference error (r11 advice #4): the projection dedupes."""
+        from map_spark_sql_spark.operators.sampling import pareto_frontier
+
+        df = spark.createDataFrame(
+            [(1, 7, 10), (2, 8, 30)], "doc_id long, q long, l long"
+        )
+        got = {r["doc_id"] for r in pareto_frontier(df, "q", "l", "doc_id", "q").collect()}
+        assert got == {2}
 
 
 class TestGroupedCorr:
@@ -2569,6 +2612,17 @@ class TestProfileColumns:
         df = spark.createDataFrame([(9,), (10,)], "k long")
         got = profile_columns(df, ["k"]).collect()[0]
         assert (got["min_str"], got["max_str"]) == ("9", "10")
+
+    def test_empty_cols_raises_value_error(self, spark):
+        """profile_columns([]) must fail with a descriptive error, not an
+        IndexError on the branch list (r11 advice #3)."""
+        import pytest
+
+        from map_spark_sql_spark.operators.profile import profile_columns
+
+        df = spark.createDataFrame([(1,)], "k long")
+        with pytest.raises(ValueError, match="non-empty"):
+            profile_columns(df, [])
 
     def test_approx_same_schema_and_bound(self, spark):
         """profile_columns_approx keeps the exact schema (only n_distinct

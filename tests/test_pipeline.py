@@ -185,6 +185,40 @@ def test_vectorized_tile_encoder_edge_values(spark):
     assert T.decode_tile_py(got) == tile
 
 
+def test_vectorized_encoders_raise_on_nulls(spark):
+    """Null inputs must fail LOUDLY (r11 advice #2): the wire format has
+    no null encoding, and without the guard a null list encoded as a valid
+    empty blob while a null int field produced silent garbage bytes via
+    the float64 to_numpy round-trip."""
+    import pytest
+
+    tile_schema = (
+        "key string, tile array<struct<px:int,py:int,"
+        "features:array<struct<borYear:int,occCount:bigint>>>>"
+    )
+    null_tile = spark.createDataFrame([("k", None)], tile_schema)
+    with pytest.raises(Exception, match="null"):
+        T.encode_tiles(null_tile).collect()
+    null_field = spark.createDataFrame(
+        [("k", [{"px": 1, "py": 2, "features": [{"borYear": None, "occCount": 3}]}])],
+        tile_schema,
+    )
+    with pytest.raises(Exception, match="null"):
+        T.encode_tiles(null_field).collect()
+    null_feats = spark.createDataFrame(
+        [("k", [{"px": 1, "py": 2, "features": None}])], tile_schema
+    )
+    with pytest.raises(Exception, match="null"):
+        T.encode_tiles(null_feats).collect()
+    null_points = spark.createDataFrame(
+        [("k", None)],
+        "mapKey string, features array<struct<lat:double,lng:double,"
+        "borYear:int,occCount:bigint>>",
+    )
+    with pytest.raises(Exception, match="null"):
+        T.encode_point_features(null_points).collect()
+
+
 def test_blob_hex_oracle_builders():
     """The DuckDB wire-format reconstruction (plans/tiles.py hex builders)
     must transcribe exactly the bytes the Python codecs emit — this is the
