@@ -244,6 +244,19 @@ def cosine_topk_ivf(
     before the exact re-rank, which is the whole point of IVF at 100 TB. All
     tie-breaks (equal cosine) resolve to the lower centroid/vector id so the
     result is reproducible and oracle-checkable.
+
+    r12 shape: the vector RIDES the assignment aggregate (``first`` over
+    the n_centroids identical copies in each id group) instead of being
+    re-joined afterwards — the r11 plan re-READ the whole corpus for the
+    re-rank and joined it against the candidate ids (a broadcast join at
+    bench scale, but the candidate set is ~nprobe/n_centroids of the
+    CORPUS, so past the broadcast bound that join becomes a full SMJ
+    shuffle+sort of the embedding table keyed on ids — exactly the
+    re-attach trap of guide §8.4). Now one corpus scan feeds everything;
+    the aggregate's exchange carries the embedding once and the probe
+    membership is a semi-join on its output (plan: 6 -> 5 scans, the
+    remaining ones centroid/query-pruned; identical rows, oracle
+    hash-match at both SFs).
     """
     if centroids is not None:
         cent = centroids.select("cid", "cvec")
@@ -254,11 +267,16 @@ def cosine_topk_ivf(
     ccos = F.expr(cosine_cols_sql(vec_col, "cvec", "spark"))
     # min struct(-ccos, cid) == (max cosine, ties -> lower cid); matches the
     # oracle's row_number() OVER (ORDER BY ccos DESC, cid) = 1 pick exactly.
+    # first(vec) is deterministic here: every row in an id group carries the
+    # SAME embedding (the group is that vector x n_centroids centroid rows).
     assign = (
         df.crossJoin(F.broadcast(cent))
         .withColumn("ccos", ccos)
         .groupBy(id_col)
-        .agg(F.expr("min_by(cid, struct(-ccos, cid))").alias("cid"))
+        .agg(
+            F.expr("min_by(cid, struct(-ccos, cid))").alias("cid"),
+            F.first(vec_col).alias(vec_col),
+        )
     )
     q = df.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("qe"))
     qcos_c = F.expr(cosine_cols_sql("cvec", "qe", "spark"))
@@ -269,10 +287,9 @@ def cosine_topk_ivf(
         .limit(nprobe)
         .select("cid")
     )
-    cand_ids = assign.join(F.broadcast(probes), "cid").select(id_col)
     sim = F.round(F.expr(cosine_cols_sql(vec_col, "qe", "spark")), 6)
     return (
-        df.join(cand_ids, id_col)
+        assign.join(F.broadcast(probes), "cid")
         .filter(F.col(id_col) != query_id)
         .crossJoin(F.broadcast(q))
         .select(F.col(id_col), sim.alias("sim"))
